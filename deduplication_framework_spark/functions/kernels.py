@@ -1,0 +1,344 @@
+"""Single-node numerical kernels shared by the Arrow UDFs and the NumPy oracle.
+
+These implement, bit-for-bit, the public specs the reference relies on:
+
+* text normalization — reference ``_normalize_text``
+  (/root/reference/text/method/pipeline_api.py:218-226) and the delete-variant
+  (/root/reference/text/method/jaccard_deduplication.py:11-17);
+* multi-granularity n-grams — ``_compute_ngrams`` (pipeline_api.py:229-242);
+* LSH char-grams / word tokens — ``_char_ngrams`` (pipeline_api.py:245-249)
+  and the ``max_words`` slice (pipeline_api.py:426-428);
+* MinHash — the datasketch library's public hash spec (sha1 low-32-bit feature
+  hash; affine permutations mod the Mersenne prime 2^61-1 drawn from
+  ``np.random.RandomState(seed=1)`` in (a, b) call order; running minimum
+  masked to 32 bits). Reference usage: pipeline_api.py:417-431.
+* SimHash — the ``simhash`` PyPI library's public spec (lowercase, concat of
+  ``[\\w\\u4e00-\\u9fff]+`` matches, width-4 character slide, md5 low-64-bit
+  token hash, weighted bit votes, bit set iff vote > 0). Reference usage:
+  pipeline_api.py:373-414.
+
+Keeping one shared kernel guarantees the Spark pipeline and the oracle agree
+on per-document features exactly; the tests then exercise the *distributed
+decomposition* (banding, pair-gen, salting, connected components), which is
+where a rebuild can actually diverge from the reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+from typing import Iterable, List, Sequence, Set
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# normalization (P1)
+# ---------------------------------------------------------------------------
+
+_NON_ALNUM_RE = re.compile(r"[^\w\s一-鿿]", re.UNICODE)
+_WHITESPACE_RE = re.compile(r"\s+", re.UNICODE)
+
+
+def normalize_text(
+    content: str,
+    lowercase: bool = True,
+    strip_non_alnum: bool = True,
+    collapse_whitespace: bool = True,
+    strip_mode: str = "space",
+) -> str:
+    """Reference pipeline_api.py:218-226 (strip_mode="space") or
+    jaccard_deduplication.py:11-17 (strip_mode="delete")."""
+    text = content
+    if lowercase:
+        text = text.lower()
+    if strip_non_alnum:
+        text = _NON_ALNUM_RE.sub(" " if strip_mode == "space" else "", text)
+    if collapse_whitespace:
+        text = _WHITESPACE_RE.sub(" ", text)
+    return text.strip()
+
+
+# ---------------------------------------------------------------------------
+# n-gram features (P2-P6)
+# ---------------------------------------------------------------------------
+
+
+def multigranularity_ngrams(text: str, n: int) -> Set[str]:
+    """char n-grams (spaces included) ∪ word n-grams; whole text if shorter
+    than n. Reference pipeline_api.py:229-242."""
+    if not text:
+        return set()
+    length = len(text)
+    if length < n:
+        char_ngrams = {text}
+    else:
+        char_ngrams = {text[i : i + n] for i in range(length - n + 1)}
+    words = text.split()
+    word_ngrams: Set[str] = set()
+    if len(words) >= n:
+        for idx in range(len(words) - n + 1):
+            word_ngrams.add(" ".join(words[idx : idx + n]))
+    return char_ngrams | word_ngrams
+
+
+def lsh_char_grams(text: str, n: int, max_char_grams: int) -> List[str]:
+    """Spaces removed first; ordered list (not set) capped at max_char_grams.
+    Reference pipeline_api.py:245-249 + cap at :429-430."""
+    cleaned = text.replace(" ", "")
+    if len(cleaned) < n:
+        grams = [] if not cleaned else [cleaned]
+    else:
+        grams = [cleaned[i : i + n] for i in range(len(cleaned) - n + 1)]
+    return grams[:max_char_grams]
+
+
+def lsh_word_tokens(text: str, max_words: int) -> List[str]:
+    """First max_words whitespace tokens. Reference pipeline_api.py:426-428."""
+    return text.split()[:max_words]
+
+
+def hash_feature_u64(feature: str) -> int:
+    """Deterministic 64-bit id for a shingle: first 8 bytes of sha1,
+    little-endian. Used to carry shingle SETS as array<long> columns so that
+    Jaccard verification stays JVM-side (array_intersect/array_union) instead
+    of shipping strings through the shuffle."""
+    return struct.unpack("<Q", hashlib.sha1(feature.encode("utf-8")).digest()[:8])[0]
+
+
+def hash_features_u64(features: Iterable[str]) -> np.ndarray:
+    return np.fromiter(
+        (hash_feature_u64(f) for f in features), dtype=np.uint64
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash (J5) — datasketch public spec
+# ---------------------------------------------------------------------------
+
+_MERSENNE_PRIME = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 32) - 1)
+
+
+def sha1_hash32(data: bytes) -> int:
+    """datasketch's default feature hash: low 32 bits of sha1 (LE)."""
+    return struct.unpack("<I", hashlib.sha1(data).digest()[:4])[0]
+
+
+def minhash_permutations(num_perm: int, seed: int = 1) -> np.ndarray:
+    """(2, num_perm) uint64 (a, b) pairs, drawn in datasketch's exact call
+    order from RandomState(seed) so signatures match the library bit-for-bit."""
+    gen = np.random.RandomState(seed)
+    perms = np.array(
+        [
+            (
+                gen.randint(1, _MERSENNE_PRIME, dtype=np.uint64),
+                gen.randint(0, _MERSENNE_PRIME, dtype=np.uint64),
+            )
+            for _ in range(num_perm)
+        ],
+        dtype=np.uint64,
+    ).T
+    return perms
+
+
+def minhash_signature(
+    feature_bytes: Sequence[bytes], permutations: np.ndarray
+) -> np.ndarray:
+    """uint64[num_perm] signature. Empty feature list → all _MAX_HASH
+    (datasketch's initial hashvalues)."""
+    a, b = permutations
+    num_perm = a.shape[0]
+    if not feature_bytes:
+        return np.full(num_perm, _MAX_HASH, dtype=np.uint64)
+    hv = np.fromiter(
+        (sha1_hash32(f) for f in feature_bytes), dtype=np.uint64,
+        count=len(feature_bytes),
+    )
+    # same uint64 wraparound semantics as the numpy expression in datasketch
+    phv = np.bitwise_and(
+        (hv[:, None] * a[None, :] + b[None, :]) % _MERSENNE_PRIME, _MAX_HASH
+    )
+    return phv.min(axis=0)
+
+
+def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.count_nonzero(sig_a == sig_b)) / float(sig_a.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH (b, r) selection — datasketch _optimal_param, public math
+# ---------------------------------------------------------------------------
+
+
+def _integrate(f, a: float, b: float, steps: int = 2000) -> float:
+    xs = np.linspace(a, b, steps)
+    trapz = getattr(np, "trapezoid", None) or np.trapz
+    return float(trapz(f(xs), xs))
+
+
+def optimal_band_param(
+    threshold: float,
+    num_perm: int,
+    false_positive_weight: float = 0.5,
+    false_negative_weight: float = 0.5,
+) -> tuple:
+    """Pick (b, r) with b*r <= num_perm minimizing weighted FP/FN area under
+    the S-curve P(s) = 1 - (1 - s^r)^b — the same objective datasketch's
+    MinHashLSH uses (numerical integration; grid fine enough that the integer
+    argmin is stable)."""
+    best = None
+    best_err = float("inf")
+    for b in range(1, num_perm + 1):
+        max_r = num_perm // b
+        for r in range(1, max_r + 1):
+            fp = _integrate(lambda s: 1.0 - (1.0 - s ** float(r)) ** float(b), 0.0, threshold)
+            fn = _integrate(
+                lambda s: 1.0 - (1.0 - (1.0 - s ** float(r)) ** float(b)),
+                threshold,
+                1.0,
+            )
+            err = fp * false_positive_weight + fn * false_negative_weight
+            if err < best_err:
+                best_err = err
+                best = (b, r)
+    return best
+
+
+def lsh_param_search(signature_length: int, threshold: float) -> tuple:
+    """The reference's simpler rule: choose b*r = signature_length minimizing
+    |(1/b)^(1/r) - threshold| (audio/method/audio_dedup_main.py:35-62)."""
+    best = None
+    best_err = float("inf")
+    for b in range(1, signature_length + 1):
+        if signature_length % b != 0:
+            continue
+        r = signature_length // b
+        err = abs((1.0 / b) ** (1.0 / r) - threshold)
+        if err < best_err:
+            best_err = err
+            best = (b, r)
+    return best
+
+
+def s_curve(s: np.ndarray, b: int, r: int) -> np.ndarray:
+    """P(candidate | similarity s) = 1 - (1 - s^r)^b — reference's sanity
+    check (audio/method/LSH_deal_with_photo.py:24-45)."""
+    return 1.0 - (1.0 - np.asarray(s, dtype=np.float64) ** float(r)) ** float(b)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (J4) — `simhash` PyPI library public spec
+# ---------------------------------------------------------------------------
+
+_SIMHASH_TOKEN_RE = re.compile(r"[\w一-鿿]+", re.UNICODE)
+_SIMHASH_F = 64
+_SIMHASH_WIDTH = 4
+
+
+def simhash_tokens(content: str, width: int = _SIMHASH_WIDTH) -> List[str]:
+    """The library's _tokenize + _slide: lowercase, concat [\\w一-鿿]+ matches,
+    width-4 slide. Always returns >= 1 token ('' for empty content), matching
+    `range(max(len - width + 1, 1))`."""
+    content = content.lower()
+    content = "".join(_SIMHASH_TOKEN_RE.findall(content))
+    return [content[i : i + width] for i in range(max(len(content) - width + 1, 1))]
+
+
+def simhash64(content: str) -> int:
+    """64-bit SimHash of a string, matching Simhash(content) from the
+    `simhash` library (md5 token hash, low 64 bits; vote > 0 sets the bit)."""
+    tokens = simhash_tokens(content)
+    # low 64 bits of int(md5.hexdigest(), 16) == last 8 digest bytes, BE
+    hv = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:], "big")
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    # unpack to (n_tokens, 64) bit matrix; bit i == (h >> i) & 1
+    bits = np.unpackbits(hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = 2 * bits.astype(np.int64).sum(axis=0) - len(tokens)
+    out = np.uint64(0)
+    for i in range(_SIMHASH_F):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming_distance64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def simhash_band_layout(f: int = 64, dist: int = 10) -> List[tuple]:
+    """(offset, width) for dist+1 blocks covering f bits. Pigeonhole: two
+    fingerprints within Hamming distance <= dist agree exactly on at least one
+    block."""
+    nblocks = dist + 1
+    base = f // nblocks
+    rem = f % nblocks
+    layout = []
+    off = 0
+    for i in range(nblocks):
+        w = base + (1 if i < rem else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
+# ---------------------------------------------------------------------------
+# exact-substring detection kernels (J17 scale path)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(text: str, kgram: int, window: int) -> List[tuple]:
+    """Winnowing (Schleimer et al. 2003): per sliding window of `window`
+    consecutive kgram hashes keep the rightmost minimal hash. Guarantees any
+    common substring of length >= kgram + window - 1 shares a fingerprint.
+    Returns [(hash, position)] deduplicated."""
+    n = len(text)
+    if n < kgram:
+        return []
+    hashes = np.fromiter(
+        (hash_feature_u64(text[i : i + kgram]) for i in range(n - kgram + 1)),
+        dtype=np.uint64,
+    )
+    m = hashes.shape[0]
+    if m <= window:
+        pos = int(np.argmin(hashes))
+        return [(int(hashes[pos]), pos)]
+    picked = set()
+    # rightmost-minimal selection per window
+    out = []
+    prev = -1
+    for start in range(m - window + 1):
+        w = hashes[start : start + window]
+        rel = int(np.where(w == w.min())[0][-1])
+        pos = start + rel
+        if pos != prev:
+            key = (int(hashes[pos]), pos)
+            if key not in picked:
+                picked.add(key)
+                out.append(key)
+            prev = pos
+    return out
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """O(len(a)*len(b)) DP — oracle-side verification only (small inputs)."""
+    if not a or not b:
+        return 0
+    prev = np.zeros(len(b) + 1, dtype=np.int32)
+    best = 0
+    for i in range(1, len(a) + 1):
+        cur = np.zeros(len(b) + 1, dtype=np.int32)
+        ca = a[i - 1]
+        for j in range(1, len(b) + 1):
+            if ca == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = int(cur[j])
+        prev = cur
+    return best

@@ -1,0 +1,221 @@
+"""Text feature columns: pure-SQL normalization + the Arrow UDF families.
+
+Design rule (SURVEY.md §2.9 / BASELINE.json input_hint): no per-row Python
+UDFs — everything Python is a pandas (Arrow-batched) UDF, and anything
+expressible as builtin column functions stays JVM-side.
+
+The pandas UDFs delegate per-document math to
+:mod:`deduplication_framework_spark.functions.kernels`, the same kernels the
+NumPy oracle uses, so Spark-vs-oracle tests isolate the *distributed*
+machinery (banding, pair-gen, CC) rather than re-testing hashing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from deduplication_framework_spark.config import (
+    TextDedupConfig,
+    TextEmbeddingConfig,
+)
+from deduplication_framework_spark.functions import kernels as K
+
+# ---------------------------------------------------------------------------
+# normalization — reference pipeline_api.py:218-226, as JVM column expressions
+# ---------------------------------------------------------------------------
+
+# (?U) = Java UNICODE_CHARACTER_CLASS so \w/\s match Python's re semantics.
+_JAVA_NON_ALNUM = r"(?U)[^\w\s一-鿿]"
+_JAVA_WS = r"(?U)\s+"
+
+
+def normalize_col(col: Column, cfg: Optional[TextEmbeddingConfig] = None) -> Column:
+    """lower → strip non-[\\w\\s一-鿿] → collapse whitespace → trim, entirely
+    JVM-side (whole-stage codegen; no Python in the hot path)."""
+    cfg = cfg or TextEmbeddingConfig()
+    out = col
+    if cfg.lowercase:
+        out = F.lower(out)
+    if cfg.strip_non_alnum:
+        repl = " " if cfg.strip_mode == "space" else ""
+        out = F.regexp_replace(out, _JAVA_NON_ALNUM, repl)
+    if cfg.collapse_whitespace:
+        out = F.regexp_replace(out, _JAVA_WS, " ")
+    return F.trim(out)
+
+
+def _u64_to_i64(arr: np.ndarray) -> np.ndarray:
+    return arr.astype(np.uint64).view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# UDF family 2: normalize + multi-granularity shingles → array<long>
+# ---------------------------------------------------------------------------
+
+
+def make_shingles_udf(cfg: TextEmbeddingConfig):
+    """text → sorted distinct 64-bit hashed shingles (char n-grams ∪ word
+    n-grams of the normalized text — reference pipeline_api.py:229-242).
+
+    Hashing shingles to int64 keeps the feature sets compact through the
+    shuffle and lets Jaccard verification run JVM-side via
+    array_intersect/array_union.
+    """
+    n = max(1, cfg.ngram_size)
+    lc, strip, collapse, mode = (
+        cfg.lowercase,
+        cfg.strip_non_alnum,
+        cfg.collapse_whitespace,
+        cfg.strip_mode,
+    )
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def shingles(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            norm = K.normalize_text(t, lc, strip, collapse, mode)
+            grams = K.multigranularity_ngrams(norm, n)
+            if grams:
+                hashed = np.unique(K.hash_features_u64(grams))
+                out.append(_u64_to_i64(hashed).tolist())
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return shingles
+
+
+# ---------------------------------------------------------------------------
+# UDF family 3: MinHash signature → array<long>[num_perm]
+# ---------------------------------------------------------------------------
+
+
+def make_minhash_udf(
+    emb: TextEmbeddingConfig, ded: TextDedupConfig, include_words: bool = True
+):
+    """text → datasketch-spec MinHash signature over (first max_words word
+    tokens if include_words) + (first max_char_grams space-stripped char
+    n-grams) of the normalized text — reference pipeline_api.py:417-431
+    ('ours_lsh' when include_words=True, 'minhash_lsh' when False).
+
+    Signature values are < 2^32 so they fit LongType exactly.
+    """
+    n = max(1, emb.ngram_size)
+    lc, strip, collapse, mode = (
+        emb.lowercase,
+        emb.strip_non_alnum,
+        emb.collapse_whitespace,
+        emb.strip_mode,
+    )
+    num_perm, max_words, max_grams = ded.num_perm, ded.max_words, ded.max_char_grams
+    # permutations are deterministic (seed=1): regenerate per executor rather
+    # than pickling 2KB into every task closure repeatedly — cheap either way.
+    perms = K.minhash_permutations(num_perm)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                t = ""
+            norm = K.normalize_text(t, lc, strip, collapse, mode)
+            feats = []
+            if include_words:
+                feats.extend(K.lsh_word_tokens(norm, max_words))
+            feats.extend(K.lsh_char_grams(norm, n, max_grams))
+            sig = K.minhash_signature([f.encode("utf-8") for f in feats], perms)
+            out.append(sig.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+# ---------------------------------------------------------------------------
+# UDF family 4: SimHash fingerprint → long
+# ---------------------------------------------------------------------------
+
+
+def make_simhash_udf(emb: TextEmbeddingConfig):
+    """text → 64-bit SimHash of the *normalized* text (the reference feeds
+    normalized texts to Simhash — pipeline_api.py:271,317,387). Stored as a
+    signed long bit-pattern; XOR/bit_count work on the raw bits."""
+    lc, strip, collapse, mode = (
+        emb.lowercase,
+        emb.strip_non_alnum,
+        emb.collapse_whitespace,
+        emb.strip_mode,
+    )
+
+    @pandas_udf(T.LongType())
+    def simhash_fp(texts: pd.Series) -> pd.Series:
+        vals = np.empty(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            norm = K.normalize_text(t or "", lc, strip, collapse, mode)
+            vals[i] = K.simhash64(norm)
+        return pd.Series(vals.view(np.int64))
+
+    return simhash_fp
+
+
+# ---------------------------------------------------------------------------
+# UDF family 5 (part): winnowing fingerprints for exact-substring candidates
+# ---------------------------------------------------------------------------
+
+
+def make_winnow_udf(kgram: int, window: int):
+    """text → array of 64-bit winnowing fingerprints (Schleimer et al. 2003).
+    Any two docs sharing a substring of length >= kgram+window-1 share at
+    least one fingerprint. Operates on RAW text (exact substring semantics —
+    Lee et al. 2022 style, no normalization)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append([])
+                continue
+            fps = K.winnow_fingerprints(t, kgram, window)
+            hashed = np.unique(np.array([h for h, _ in fps], dtype=np.uint64))
+            out.append(_u64_to_i64(hashed).tolist())
+        return pd.Series(out)
+
+    return winnow
+
+
+# ---------------------------------------------------------------------------
+# JVM-side verification expressions (no Python)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| with the reference's both-empty → 1.0 rule
+    (pipeline_api.py:478-485). Operates on array<long> shingle sets."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def hamming_expr(a: Column, b: Column) -> Column:
+    """bit_count(a XOR b) on 64-bit fingerprints — JVM builtin."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def minhash_agreement_expr(a: Column, b: Column, num_perm: int) -> Column:
+    """MinHash Jaccard estimate = fraction of agreeing signature positions."""
+    agree = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree / F.lit(float(num_perm))

@@ -1,0 +1,62 @@
+"""Cluster assignment + keeper selection (SURVEY.md W5/J2 decomposition).
+
+The reference keeps the first-seen item of every duplicate group
+(``pipeline_api.py:488-528``). The order-free distributed equivalent:
+cluster id = min(doc_order member) per connected component; keeper = the doc
+whose order equals the component minimum. SURVEY.md §7 documents this as the
+one deliberate semantic change (greedy-transitive chains == CC clusters when
+candidate generation is complete).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.operators.connected_components import (
+    connected_components,
+)
+
+
+def clusters_from_edges(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    checkpoint=None,
+) -> Tuple[DataFrame, int]:
+    """docs + edges(src,dst) → clusters(doc_id, cluster_id) covering EVERY
+    doc (singletons get their own id). Returns (clusters, cc_rounds)."""
+    labels, rounds = connected_components(edges, checkpoint=checkpoint)
+    clusters = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return clusters, rounds
+
+
+def keepers(docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Rows of `docs` whose id is its cluster's minimum (the keeper set);
+    losers are everything else (left_anti of this)."""
+    keep_ids = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return docs.join(
+        keep_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+
+
+def dup_pairs_from_clusters(clusters: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) → all intra-cluster pairs (src < dst), expressed
+    as each member paired with every later member *via the cluster key* —
+    used by the recall metric (pairs within a cluster are the positives)."""
+    a = clusters.select(F.col("cluster_id"), F.col("doc_id").alias("src"))
+    b = clusters.select(F.col("cluster_id"), F.col("doc_id").alias("dst"))
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )

@@ -1,0 +1,178 @@
+"""LSH banding → candidate buckets → candidate pairs, with explicit skew
+handling.
+
+Reference semantics being re-expressed:
+
+* MinHash-LSH banding — datasketch insert/query in
+  ``/root/reference/text/method/pipeline_api.py:434-475`` and the from-scratch
+  band dict in ``/root/reference/audio/method/LSH_deal_with_photo.py:50-92``.
+  Here: ``posexplode`` the signature into b bands of r rows → 64-bit band key
+  → ``groupBy(band_idx, band_key)``. The groupBy shuffle IS the hash
+  partitioning — co-located buckets, no driver dict.
+
+* SimHash Hamming-ball bucketing — the reference scans a window
+  (``pipeline_api.py:373-414``); we bucket by pigeonhole blocks: any two
+  64-bit fingerprints within Hamming distance <= k agree exactly on at least
+  one of k+1 disjoint bit blocks.
+
+* Bucket-collision pair gen — all pairs within a bucket with ``src < dst``
+  (``LSH_deal_with_photo.py:98-108``) + optional multi-band
+  ``collision_threshold`` (``:121-124``).
+
+Skew (north_rule; absent from the reference): a boilerplate hot bucket of m
+docs would emit m^2/2 pairs. Buckets larger than ``bucket_cap`` switch from
+all-pairs to star+chain pairing (2m-2 edges, ordered by doc_order) — within a
+bucket of true mutual near-dups this keeps every member connected to the
+min-order keeper through verified edges, while capping pair volume linearly.
+Capped-bucket counts are reported in the metrics dict (no silent loss).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.functions.kernels import simhash_band_layout
+
+
+def minhash_bands(
+    signatures: DataFrame,
+    b: int,
+    r: int,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """(doc_id, sig[array<long>]) → (doc_id, band_idx, band_key).
+
+    Band key = xxhash64(band_idx, slice) computed JVM-side; collisions across
+    different slices only *add* candidates (verification removes them), never
+    lose true ones.
+    """
+    bands = signatures.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(b - 1)),
+                lambda i: F.slice(F.col(sig_col), i * r + 1, r),
+            )
+        ).alias("band_idx", "band_vals"),
+    )
+    return bands.select(
+        id_col,
+        "band_idx",
+        F.xxhash64("band_idx", "band_vals").alias("band_key"),
+    )
+
+
+def simhash_bands(
+    fingerprints: DataFrame,
+    dist: int = 10,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """(doc_id, simhash:long) → (doc_id, band_idx, band_key) using dist+1
+    pigeonhole bit blocks. Pure bit arithmetic, JVM-side."""
+    layout = simhash_band_layout(64, dist)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                (
+                    F.shiftrightunsigned(F.col(fp_col), off).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                ).alias("block_bits"),
+            )
+            for i, (off, width) in enumerate(layout)
+        ]
+    )
+    exploded = fingerprints.select(id_col, F.explode(blocks).alias("blk"))
+    return exploded.select(
+        id_col,
+        F.col("blk.band_idx").alias("band_idx"),
+        F.xxhash64("blk.band_idx", "blk.block_bits").alias("band_key"),
+    )
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    bucket_cap: int = 2000,
+    collision_threshold: int = 1,
+    id_col: str = "doc_id",
+    order_col: str = None,
+) -> Tuple[DataFrame, DataFrame]:
+    """Band rows → distinct candidate (src, dst) pairs, src < dst.
+
+    Returns (pairs, bucket_stats). bucket_stats is a 1-row DataFrame with
+    bucket/pair counts incl. how many buckets were capped — feeds _metrics.
+
+    Small buckets (size <= bucket_cap): exact all-pairs self-join.
+    Hot buckets: star+chain pairing ordered by doc id — linear edge count.
+    ``collision_threshold`` > 1 keeps only pairs colliding in >= that many
+    bands (reference audio J9 semantics, default 2 there; text LSH uses 1).
+    """
+    order = order_col or id_col
+    sized = bands.withColumn(
+        "bucket_size", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
+    )
+    # drop singleton buckets early — they can never produce a pair
+    sized = sized.filter(F.col("bucket_size") > 1)
+
+    small = sized.filter(F.col("bucket_size") <= bucket_cap)
+    hot = sized.filter(F.col("bucket_size") > bucket_cap)
+
+    a = small.select(
+        "band_idx", "band_key", F.col(id_col).alias("src")
+    )
+    b = small.select(
+        "band_idx", "band_key", F.col(id_col).alias("dst")
+    )
+    small_pairs = a.join(b, ["band_idx", "band_key"]).filter(F.col("src") < F.col("dst"))
+
+    w = Window.partitionBy("band_idx", "band_key").orderBy(F.col(id_col))
+    hot_ranked = hot.select(
+        "band_idx",
+        "band_key",
+        F.col(id_col).alias("dst"),
+        F.first(id_col).over(w).alias("star_src"),
+        F.lag(id_col).over(w).alias("chain_src"),
+    )
+    hot_pairs = (
+        hot_ranked.select(
+            "band_idx",
+            "band_key",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.array("star_src", "chain_src"),
+                        lambda s: s.isNotNull() & (s != F.col("dst")),
+                    )
+                )
+            ).alias("src"),
+            "dst",
+        )
+    )
+
+    all_pairs = small_pairs.select("src", "dst").unionByName(
+        hot_pairs.select("src", "dst")
+    )
+    if collision_threshold > 1:
+        pairs = (
+            all_pairs.groupBy("src", "dst")
+            .count()
+            .filter(F.col("count") >= collision_threshold)
+            .drop("count")
+        )
+    else:
+        pairs = all_pairs.distinct()
+
+    bucket_stats = sized.groupBy().agg(
+        F.countDistinct("band_idx", "band_key").alias("n_buckets"),
+        F.sum(F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)).alias(
+            "n_capped_band_rows"
+        ),
+        F.max("bucket_size").alias("max_bucket_size"),
+    )
+    return pairs, bucket_stats

@@ -1,0 +1,79 @@
+"""Candidate-pair verification (SURVEY.md J1/J9/P9).
+
+Joins candidate (src, dst) pairs back to per-doc features and keeps pairs
+passing the exact predicate — all JVM-side expressions:
+
+* Jaccard on hashed shingle sets: size(array_intersect)/size(array_union),
+  both-empty → 1.0 (reference ``pipeline_api.py:478-485``).
+* SimHash: bit_count(a XOR b) <= dist (reference ``pipeline_api.py:393``).
+* MinHash estimate: fraction of agreeing signature positions (what
+  datasketch's LSH *implies*; the reference's ours_lsh accepts any band
+  collision unverified — pass ``verify=False`` upstream for strict parity).
+
+The reference's hand-rolled prefilters (length-ratio / ngram-count-ratio
+``clean_the_dataset.py:375-398``) appear here as cheap WHERE predicates
+evaluated before the set intersection — for theta=0.8 a size ratio < 2/3
+already implies J < 0.8, so the filter is provably recall-safe at the
+configured threshold (|A|/|B| >= J whenever J ≥ θ requires |A∩B| ≥ θ|A∪B|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.functions.text import hamming_expr, jaccard_expr
+
+
+def _attach(pairs: DataFrame, feats: DataFrame, id_col: str, cols) -> DataFrame:
+    fa = feats.select(
+        F.col(id_col).alias("src"), *[F.col(c).alias(f"{c}_a") for c in cols]
+    )
+    fb = feats.select(
+        F.col(id_col).alias("dst"), *[F.col(c).alias(f"{c}_b") for c in cols]
+    )
+    return pairs.join(fa, "src").join(fb, "dst")
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    features: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    feat_col: str = "shingles",
+    size_prefilter: bool = True,
+) -> DataFrame:
+    """→ edges(src, dst, sim) with sim = exact Jaccard >= threshold."""
+    joined = _attach(pairs, features, id_col, [feat_col])
+    a, b = F.col(f"{feat_col}_a"), F.col(f"{feat_col}_b")
+    if size_prefilter and threshold > 0:
+        # |A| >= θ|B| and |B| >= θ|A| are necessary for J >= θ
+        sa, sb = F.size(a), F.size(b)
+        joined = joined.filter(
+            (sa >= threshold * sb) & (sb >= threshold * sa)
+        )
+    return (
+        joined.withColumn("sim", jaccard_expr(a, b))
+        .filter(F.col("sim") >= threshold)
+        .select("src", "dst", "sim")
+    )
+
+
+def verify_hamming(
+    pairs: DataFrame,
+    fingerprints: DataFrame,
+    dist: int,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """→ edges(src, dst, sim) with sim = 64 - hamming distance (so larger =
+    more similar, uniform edge schema across detectors)."""
+    joined = _attach(pairs, fingerprints, id_col, [fp_col])
+    d = hamming_expr(F.col(f"{fp_col}_a"), F.col(f"{fp_col}_b"))
+    return (
+        joined.withColumn("hamming", d)
+        .filter(F.col("hamming") <= dist)
+        .select(
+            "src", "dst", ((F.lit(64) - F.col("hamming")) / 64.0).alias("sim")
+        )
+    )

