@@ -77,17 +77,23 @@ def connected_components(
             .agg(F.min("cand").alias("cluster_id"))
         )
 
-        # 2. pointer jump: label(v) <- label(label(v))
-        parent = prop.select(
-            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
-        )
-        jumped = (
-            prop.join(parent, prop.cluster_id == parent.p_id, "left")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("p_label"), F.col("cluster_id")).alias("cluster_id"),
+        # 2. pointer jump twice: label(v) <- label(label(label(v))) — each
+        #    extra jump is a cheap self-join on the (small) label table and
+        #    multiplies the per-round shortcutting
+        jumped = prop
+        for _ in range(2):
+            parent = jumped.select(
+                F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
             )
-        )
+            jumped = (
+                jumped.join(parent, jumped.cluster_id == parent.p_id, "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("p_label"), F.col("cluster_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
         jumped = ckpt(jumped)
 
         changed = (

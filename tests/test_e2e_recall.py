@@ -1,0 +1,168 @@
+"""End-to-end golden tests (SURVEY.md §5.2 items 1/3): pipeline cluster
+assignments vs the sequential reference-semantics oracle on the planted
+600-doc corpus. The contract (BASELINE.json): dup-pair recall >= 0.99 vs
+reference clusters at identical shingle/band/row/bit-width configs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.config import PipelineConfig
+from deduplication_framework_spark.functions import kernels as K
+from deduplication_framework_spark.oracle import numpy_oracle as O
+from deduplication_framework_spark.plans.pipeline import run_pipeline
+from deduplication_framework_spark.sources.pages import (
+    extract_text_col,
+    make_extract_text_udf,
+)
+
+
+def _cluster_pairs(clusters_df):
+    rows = clusters_df.collect()
+    labels = {r.doc_id: r.cluster_id for r in rows}
+    return O.clusters_to_pairs(labels), labels
+
+
+class TestExtraction:
+    def test_udf_byte_identical(self, spark, pages):
+        """input_hint invariant: html→text extraction byte-identical per url."""
+        udf = make_extract_text_udf()
+        bad = pages.withColumn("ex", udf("html")).filter(
+            F.col("ex") != F.col("text")
+        )
+        assert bad.count() == 0
+
+    def test_sql_extraction_byte_identical(self, spark, pages):
+        bad = pages.withColumn("ex", extract_text_col(F.col("html"))).filter(
+            F.col("ex") != F.col("text")
+        )
+        assert bad.count() == 0
+
+
+class TestExactParity:
+    def test_exact_clusters_match_md5_oracle(self, spark, pages, texts):
+        txts, _ = texts
+        res = run_pipeline(spark, pages, PipelineConfig(), detectors=["exact"])
+        _, got_labels = _cluster_pairs(res.clusters)
+        expect = O.md5_exact(txts)  # raw texts: identical bytes ⇔ same md5
+        assert got_labels == expect
+
+
+class TestMinHashParity:
+    """Our band-collision graph must contain every duplicate the reference's
+    sequential ours_lsh finds (same signatures, same (b,r)), so with
+    verify=False dup-pair recall vs the oracle is 1.0 by construction —
+    asserted >= 0.99 per the contract."""
+
+    def test_recall_vs_sequential_lsh_oracle(self, spark, pages, texts):
+        txts, _ = texts
+        cfg = PipelineConfig()
+        res = run_pipeline(
+            spark, pages, cfg, detectors=["exact", "minhash"], verify=False
+        )
+        our_pairs, _ = _cluster_pairs(res.clusters)
+
+        oracle_labels = O.minhash_lsh_sequential(
+            txts,
+            ngram_size=cfg.embedding.ngram_size,
+            num_perm=cfg.dedup.num_perm,
+            threshold=cfg.dedup.threshold,
+            max_words=cfg.dedup.max_words,
+            max_char_grams=cfg.dedup.max_char_grams,
+            include_words=True,
+        )
+        ref_pairs = O.clusters_to_pairs(oracle_labels)
+        recall = O.dup_pair_recall(ref_pairs, our_pairs)
+        assert len(ref_pairs) > 50, "fixture must plant enough duplicates"
+        assert recall >= 0.99, f"recall {recall:.4f} vs sequential LSH oracle"
+
+    def test_verified_recall_vs_greedy_jaccard_oracle(self, spark, pages, texts):
+        """verify=True drops band-collision false positives; against the
+        *exact* greedy all-pairs Jaccard oracle restricted to pairs the
+        S-curve catches reliably (J >= 0.9 → P(collide) > 0.99), recall must
+        still be >= 0.99."""
+        txts, _ = texts
+        cfg = PipelineConfig()
+        res = run_pipeline(
+            spark, pages, cfg, detectors=["exact", "minhash"], verify=True
+        )
+        our_pairs, _ = _cluster_pairs(res.clusters)
+
+        feats = O.shingle_sets(txts, n=cfg.embedding.ngram_size)
+        strong_ref_pairs = set()
+        # exact oracle: any pair with multi-granularity J >= 0.9
+        for i in range(len(txts)):
+            for j in range(i + 1, len(txts)):
+                a, b = feats[i], feats[j]
+                u = a | b
+                sim = 1.0 if (not a and not b) else (len(a & b) / len(u) if u else 0)
+                if sim >= 0.90:
+                    strong_ref_pairs.add((i, j))
+        recall = O.dup_pair_recall(strong_ref_pairs, our_pairs)
+        assert len(strong_ref_pairs) > 30
+        assert recall >= 0.99, f"recall {recall:.4f} vs J>=0.9 exact oracle"
+
+
+class TestSimHashParity:
+    def test_recall_vs_windowed_oracle(self, spark, pages, texts):
+        txts, _ = texts
+        cfg = PipelineConfig()
+        res = run_pipeline(spark, pages, cfg, detectors=["simhash"])
+        our_pairs, _ = _cluster_pairs(res.clusters)
+
+        norm = O.normalize_all(txts)
+        oracle_labels = O.simhash_windowed(
+            norm, dist=cfg.dedup.simhash_dist, window=cfg.dedup.simhash_window
+        )
+        ref_pairs = O.clusters_to_pairs(oracle_labels)
+        recall = O.dup_pair_recall(ref_pairs, our_pairs)
+        assert len(ref_pairs) > 30
+        assert recall >= 0.99, f"recall {recall:.4f} vs windowed simhash oracle"
+
+
+class TestSubstringDetector:
+    def test_planted_substring_pairs_found(self, spark, pages):
+        """Every planted (host, embedder) pair shares a >=200-char span →
+        must end up in the same cluster (winnowing guarantee)."""
+        cfg = PipelineConfig()
+        res = run_pipeline(spark, pages, cfg, detectors=["substring"])
+        our_pairs, _ = _cluster_pairs(res.clusters)
+
+        planted = (
+            pages.filter(F.col("dup_class") == "substring")
+            .groupBy("group_id")
+            .agg(F.collect_list("doc_order").alias("members"))
+            .collect()
+        )
+        expected = set()
+        for r in planted:
+            ms = sorted(r.members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    expected.add((ms[i], ms[j]))
+        assert len(expected) > 10
+        missing = expected - our_pairs
+        assert not missing, f"missed planted substring pairs: {sorted(missing)[:5]}"
+
+
+class TestGreedyEquivalence:
+    def test_cc_pairs_superset_of_greedy(self, texts):
+        """Pure-oracle property: CC over the full J>=θ edge graph recovers
+        every greedy (keeper, dup) relation — the documented semantic change
+        (SURVEY.md W5) loses no duplicate pairs."""
+        txts, _ = texts
+        feats = O.shingle_sets(txts[:200], n=3)
+        greedy = O.greedy_jaccard(feats, threshold=0.8)
+        greedy_pairs = O.clusters_to_pairs(greedy)
+
+        edges = []
+        for i in range(len(feats)):
+            for j in range(i + 1, len(feats)):
+                a, b = feats[i], feats[j]
+                u = a | b
+                sim = 1.0 if (not a and not b) else (len(a & b) / len(u) if u else 0)
+                if sim >= 0.8:
+                    edges.append((i, j))
+        cc = O.pairs_to_labels(len(feats), edges)
+        cc_pairs = O.clusters_to_pairs(cc)
+        assert O.dup_pair_recall(greedy_pairs, cc_pairs) == 1.0

@@ -1,0 +1,163 @@
+"""Distributed-operator tests: the decomposition machinery (banding, pair
+gen, salting, CC, keeper) against brute-force/union-find ground truth."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.functions import kernels as K
+from deduplication_framework_spark.functions.text import jaccard_expr
+from deduplication_framework_spark.operators.cluster import (
+    clusters_from_edges,
+    keepers,
+)
+from deduplication_framework_spark.operators.connected_components import (
+    connected_components,
+)
+from deduplication_framework_spark.operators.exact import exact_dedup
+from deduplication_framework_spark.operators.lsh import (
+    candidate_pairs,
+    minhash_bands,
+    simhash_bands,
+)
+from deduplication_framework_spark.operators.verify import verify_jaccard
+from deduplication_framework_spark.oracle import numpy_oracle as O
+
+
+class TestExactDedup:
+    def test_first_seen_keeper(self, spark):
+        df = spark.createDataFrame(
+            [(0, "aaa"), (1, "bbb"), (2, "aaa"), (3, "aaa"), (4, "ccc")],
+            "doc_id long, text string",
+        )
+        keep, edges = exact_dedup(df)
+        assert {r.doc_id for r in keep.collect()} == {0, 1, 4}
+        got = {(r.src, r.dst) for r in edges.collect()}
+        assert got == {(0, 2), (0, 3)}
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_union_find_random_graph(self, spark, seed):
+        rng = np.random.RandomState(seed)
+        n, m = 300, 220
+        pairs = [
+            (int(a), int(b))
+            for a, b in zip(rng.randint(0, n, m), rng.randint(0, n, m))
+            if a != b
+        ]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        labels, rounds = connected_components(edges)
+        got = {r.doc_id: r.cluster_id for r in labels.collect()}
+        ids = sorted({x for p in pairs for x in p})
+        expect = O.pairs_to_labels(ids, pairs)
+        assert got == expect
+        # sub-diameter convergence (diameter ~27 for these seeds); dedup
+        # cluster graphs are near-stars and converge in 1-3 rounds
+        assert rounds <= 14
+
+    def test_long_chain(self, spark):
+        # worst-case diameter: a path graph 0-1-2-...-63
+        pairs = [(i, i + 1) for i in range(63)]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        labels, rounds = connected_components(edges)
+        got = {r.doc_id: r.cluster_id for r in labels.collect()}
+        assert set(got.values()) == {0}
+        assert rounds <= 7  # pointer jumping: log2(64) + slack
+
+    def test_singletons_rejoin(self, spark):
+        docs = spark.range(6).withColumnRenamed("id", "doc_id")
+        edges = spark.createDataFrame([(1, 2), (4, 5)], "src long, dst long")
+        clusters, _ = clusters_from_edges(docs, edges)
+        got = {r.doc_id: r.cluster_id for r in clusters.collect()}
+        assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4, 5: 4}
+        keep = keepers(docs, clusters)
+        assert {r.doc_id for r in keep.collect()} == {0, 1, 3, 4}
+
+
+class TestCandidatePairs:
+    def _bands_df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, band_idx int, band_key long")
+
+    def test_all_pairs_small_bucket(self, spark):
+        rows = [(i, 0, 7) for i in range(4)] + [(9, 1, 8)]
+        pairs, stats = candidate_pairs(self._bands_df(spark, rows), bucket_cap=100)
+        got = {(r.src, r.dst) for r in pairs.collect()}
+        assert got == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+        s = stats.collect()[0]
+        assert s.n_buckets == 1 and s.max_bucket_size == 4
+
+    def test_hot_bucket_star_chain(self, spark):
+        rows = [(i, 0, 7) for i in range(10)]
+        pairs, stats = candidate_pairs(self._bands_df(spark, rows), bucket_cap=5)
+        got = {(r.src, r.dst) for r in pairs.collect()}
+        star = {(0, i) for i in range(1, 10)}
+        chain = {(i, i + 1) for i in range(9)}
+        assert got == star | chain
+        # linear edge count, and every member is connected to min (keeper)
+        assert stats.collect()[0].n_capped_band_rows == 10
+
+    def test_collision_threshold(self, spark):
+        # pair (1,2) collides in 2 bands; (3,4) in 1
+        rows = [(1, 0, 7), (2, 0, 7), (1, 1, 9), (2, 1, 9), (3, 2, 5), (4, 2, 5)]
+        pairs, _ = candidate_pairs(
+            self._bands_df(spark, rows), bucket_cap=100, collision_threshold=2
+        )
+        assert {(r.src, r.dst) for r in pairs.collect()} == {(1, 2)}
+
+    def test_minhash_banding_complete(self, spark):
+        """Docs with identical band slices must land in the same bucket."""
+        perms = K.minhash_permutations(32)
+        feats = [f"t{i}".encode() for i in range(50)]
+        sig = K.minhash_signature(feats, perms).astype(np.int64).tolist()
+        df = spark.createDataFrame([(0, sig), (1, sig)], "doc_id long, sig array<long>")
+        bands = minhash_bands(df, b=4, r=8)
+        pairs, _ = candidate_pairs(bands)
+        assert {(r.src, r.dst) for r in pairs.collect()} == {(0, 1)}
+
+    def test_simhash_banding_within_dist(self, spark):
+        a = int(np.int64(0x0123456789ABCDEF))
+        b = a ^ (1 << 3) ^ (1 << 40)  # distance 2
+        far = ~a & ((1 << 63) - 1)
+        df = spark.createDataFrame(
+            [(0, a), (1, b), (2, far)], "doc_id long, simhash long"
+        )
+        bands = simhash_bands(df, dist=10)
+        pairs, _ = candidate_pairs(bands)
+        got = {(r.src, r.dst) for r in pairs.collect()}
+        assert (0, 1) in got and (0, 2) not in got
+
+
+class TestVerify:
+    def test_jaccard_expr_matches_kernel(self, spark):
+        sets = {
+            0: ["a", "b", "c", "d"],
+            1: ["a", "b", "c", "e"],
+            2: ["x", "y"],
+            3: [],
+            4: [],
+        }
+        def i64(u: int) -> int:
+            return u - (1 << 64) if u >= (1 << 63) else u
+
+        feats = spark.createDataFrame(
+            [(k, [i64(K.hash_feature_u64(s)) for s in v]) for k, v in sets.items()],
+            "doc_id long, shingles array<long>",
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (0, 2), (3, 4)], "src long, dst long"
+        )
+        edges = verify_jaccard(pairs, feats, threshold=0.0, size_prefilter=False)
+        got = {(r.src, r.dst): round(r.sim, 4) for r in edges.collect()}
+        assert got[(0, 1)] == round(3 / 5, 4)
+        assert got[(0, 2)] == 0.0
+        assert got[(3, 4)] == 1.0  # both-empty → 1.0 (reference rule)
+
+    def test_size_prefilter_safe(self, spark):
+        # |A|=2, |B|=10 → max possible J = 0.2 < θ=0.8: filtered without set ops
+        feats = spark.createDataFrame(
+            [(0, list(range(2))), (1, list(range(10)))],
+            "doc_id long, shingles array<long>",
+        )
+        pairs = spark.createDataFrame([(0, 1)], "src long, dst long")
+        assert verify_jaccard(pairs, feats, 0.8).count() == 0
