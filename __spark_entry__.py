@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: MinHash-LSH near-dup clustering over the
+sf0.001 ``documents`` table. ``queries()`` — one entry per implemented
+operator family (SURVEY.md §2), each (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-parity SQL for the SQL-expressible ones; the
+detector/cluster queries are non-SQL-expressible (LSH banding + iterative
+connected components) and get the driver's rows-only check.
+
+Column names are aliased identically on both sides (driver hashes values
+after sorting columns by name). Float-valued outputs are rounded to keep the
+value-hash stable across engines' summation orders.
 """
 
 from __future__ import annotations
@@ -12,27 +17,463 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from deduplication_framework_spark.config import PipelineConfig
+from deduplication_framework_spark.plans.pipeline import run_pipeline
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, ...) → the pipeline's doc shape."""
+    return docs.select(
+        F.col("doc_id").alias("doc_order"),
+        F.col("doc_id").cast("string").alias("url"),
+        "text",
+        "lang",
+    )
+
+
+# normalization char class shared verbatim by Spark (Java regex) and DuckDB
+# (RE2): explicit ASCII alnum + underscore + whitespace + CJK
+_NORM_CLASS = r"[^a-z0-9_\s一-鿿]"
+
+
+def _normalize_expr(col):
+    out = F.lower(col)
+    out = F.regexp_replace(out, _NORM_CLASS, " ")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+# ---------------------------------------------------------------------------
+# SQL-checkable operator queries
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """P7/S14: md5 exact-hash groups with first-seen keeper."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+def q_exact_keepers(spark, sf_dir):
+    """P7: keeper rows (row_number()==1 within md5 group by doc order)."""
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_dedup_rate_stats(spark, sf_dir):
+    """A4: corpus-level dedup-rate rollup."""
+    return _docs(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+def q_normalize_text(spark, sf_dir):
+    """P1: reference text normalization as pure column expressions."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", _normalize_expr(F.col("text")).alias("normalized")
+    )
+
+
+def q_char_ngram_counts(spark, sf_dir):
+    """P2: distinct char 3-gram count per doc (raw text)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.array_distinct(
+                F.expr("transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3))")
+            )
+        ).alias("n_char_3grams"),
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """P3/token counting: whitespace token count per doc."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+
+
+def q_length_band_candidates(spark, sf_dir):
+    """P9: the reference's length-ratio candidate prefilter as a band join —
+    per doc, how many partners pass n_chars ratio ∈ [0.5, 2]."""
+    d = _docs(spark, sf_dir)
+    a = d.select(F.col("doc_id").alias("src"), F.col("n_chars").alias("ca"))
+    b = d.select(F.col("doc_id").alias("dst"), F.col("n_chars").alias("cb"))
+    return (
+        a.join(
+            b,
+            (F.col("src") < F.col("dst"))
+            & (F.col("ca") >= 0.5 * F.col("cb"))
+            & (F.col("ca") <= 2.0 * F.col("cb")),
+        )
+        .groupBy("src")
+        .agg(F.count("*").alias("n_candidates"))
+    )
+
+
+def q_doc_stats_by_lang(spark, sf_dir):
+    """A1: per-category rollup (counts + byte sums)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+def q_source_rollup(spark, sf_dir):
+    """A1/A3: per-source aggregate report."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    """Text-quality scoring: token count, mean token length, punct count."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            (F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+             / F.size(toks)),
+            3,
+        ).alias("mean_token_len"),
+        F.size(F.split(F.col("text"), r"[.,!?;:]")).alias("n_punct_splits"),
+    )
+
+
+def q_stopword_hits(spark, sf_dir):
+    """Language-ID heuristic: English stopword token hits per doc."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sw = ["the", "and", "of", "to", "in", "a", "is"]
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t.isin(sw))).alias("n_stopwords"),
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Vector plumbing: L2 norm per embedding (rounded for hash stability)."""
+    sumsq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return _emb(spark, sf_dir).select(
+        "vec_id", F.round(F.sqrt(sumsq), 3).alias("l2_norm")
+    )
+
+
+def q_cosine_neighbor_counts(spark, sf_dir):
+    """J13 analog: per vector, #others with cosine >= 0.2 (unit-norm corpus →
+    dot product). Brute-force baseline for ANN; integer output keeps the
+    cross-engine hash stable."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("vec_id") != F.col("vid_b"))
+        .withColumn("dot", dot)
+        .filter(F.col("dot") >= 0.2)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_neighbors"))
+    )
+
+
+def q_label_sizes(spark, sf_dir):
+    """C1 analog surface: cluster-label rollup of the embedding corpus."""
+    return (
+        _emb(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+def q_events_by_type_day(spark, sf_dir):
+    """Time rollup over the events table."""
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_user_activity(spark, sf_dir):
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+def q_lineitem_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped rollup — general analytics capability check."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_orders_per_customer_nation(spark, sf_dir):
+    """Join chain with a broadcastable dim (customer→nation)."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# detector/cluster queries — non-SQL-expressible (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_clusters(spark, sf_dir):
+    """J5/J6/J10: MinHash-LSH near-dup clusters over documents."""
+    pages = _docs_as_pages(_docs(spark, sf_dir))
+    res = run_pipeline(
+        spark, pages, PipelineConfig(), detectors=["exact", "minhash"]
+    )
+    return res.clusters.select("doc_id", "cluster_id")
+
+
+def q_simhash_clusters(spark, sf_dir):
+    """J4: SimHash Hamming-ball clusters over documents."""
+    pages = _docs_as_pages(_docs(spark, sf_dir))
+    res = run_pipeline(spark, pages, PipelineConfig(), detectors=["simhash"])
+    return res.clusters.select("doc_id", "cluster_id")
+
+
+def q_substring_clusters(spark, sf_dir):
+    """J17: exact-substring duplication clusters (winnowing candidates)."""
+    pages = _docs_as_pages(_docs(spark, sf_dir))
+    res = run_pipeline(spark, pages, PipelineConfig(), detectors=["substring"])
+    return res.clusters.select("doc_id", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash-LSH clustering on sf0.001 documents."""
+    return q_minhash_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dup_groups": q_exact_dup_groups,
+        "exact_keepers": q_exact_keepers,
+        "dedup_rate_stats": q_dedup_rate_stats,
+        "normalize_text": q_normalize_text,
+        "char_ngram_counts": q_char_ngram_counts,
+        "token_counts": q_token_counts,
+        "length_band_candidates": q_length_band_candidates,
+        "doc_stats_by_lang": q_doc_stats_by_lang,
+        "source_rollup": q_source_rollup,
+        "quality_scores": q_quality_scores,
+        "stopword_hits": q_stopword_hits,
+        "embedding_norms": q_embedding_norms,
+        "cosine_neighbor_counts": q_cosine_neighbor_counts,
+        "label_sizes": q_label_sizes,
+        "events_by_type_day": q_events_by_type_day,
+        "user_activity": q_user_activity,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "orders_per_customer_nation": q_orders_per_customer_nation,
+        "minhash_clusters": q_minhash_clusters,
+        "simhash_clusters": q_simhash_clusters,
+        "substring_clusters": q_substring_clusters,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_groups": """
+            SELECT md5(text) AS text_md5, count(*) AS n_copies,
+                   min(doc_id) AS keeper_id
+            FROM documents GROUP BY 1
+        """,
+        "exact_keepers": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "dedup_rate_stats": """
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_distinct,
+                   count(*) - count(DISTINCT md5(text)) AS n_dupes
+            FROM documents
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9_\\s一-鿿]', ' ', 'g'), '\\s+', ' ', 'g'))
+                   AS normalized
+            FROM documents
+        """,
+        "char_ngram_counts": """
+            SELECT doc_id,
+                   array_length(list_distinct(list_transform(
+                       range(1, greatest(length(text)-1, 2)),
+                       i -> substring(text, i::INT, 3)))) AS n_char_3grams
+            FROM documents
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        "length_band_candidates": """
+            SELECT a.doc_id AS src, count(*) AS n_candidates
+            FROM documents a JOIN documents b
+              ON a.doc_id < b.doc_id
+             AND a.n_chars >= 0.5 * b.n_chars
+             AND a.n_chars <= 2.0 * b.n_chars
+            GROUP BY 1
+        """,
+        "doc_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY 1
+        """,
+        "source_rollup": """
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY 1
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   array_length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                         / array_length(string_split_regex(trim(text), '\\s+')), 3)
+                       AS mean_token_len,
+                   array_length(string_split_regex(text, '[.,!?;:]')) AS n_punct_splits
+            FROM documents
+        """,
+        "stopword_hits": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> t IN ('the','and','of','to','in','a','is'))) AS n_stopwords
+            FROM documents
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> x::DOUBLE * x::DOUBLE))), 3) AS l2_norm
+            FROM embeddings
+        """,
+        "cosine_neighbor_counts": """
+            SELECT a.vec_id AS vec_id, count(*) AS n_neighbors
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE list_sum(list_transform(
+                      list_zip(a.embedding, b.embedding),
+                      p -> p[1]::DOUBLE * p[2]::DOUBLE)) >= 0.2
+            GROUP BY 1
+        """,
+        "label_sizes": """
+            SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1
+        """,
+        "events_by_type_day": """
+            SELECT event_type, ts::DATE AS day, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "user_activity": """
+            SELECT user_id, count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY 1
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "orders_per_customer_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        # minhash_clusters / simhash_clusters / substring_clusters:
+        # non-SQL-expressible (LSH banding + iterative CC) → rows-only check
+    }

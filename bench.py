@@ -1,0 +1,191 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": "total_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1}
+
+Headline workloads:
+  * full near-dup pipelines (exact+minhash / simhash / substring) over a
+    deterministic synthetic Common-Crawl-style pages corpus sized to the SF;
+  * detector clustering over the driver's documents table;
+  * representative SQL-parity operators over the sf tables.
+
+Env:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32)
+  BENCH_PAGES          (override synthetic corpus size)
+
+``python bench.py --scaling`` additionally runs the minhash pipeline at
+local[8] and local[32] on the identical corpus and writes
+BENCH/BASELINE.md with both throughputs + scaling efficiency (the sandbox
+proxy for the north rule's N → 4N executor criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deduplication_framework_spark.config import PipelineConfig
+from deduplication_framework_spark.plans.pipeline import run_pipeline
+from deduplication_framework_spark.session import get_spark
+from deduplication_framework_spark.sources.pages import generate_pages
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+SF = _sf_of(SF_DIR)
+N_PAGES = int(os.environ.get("BENCH_PAGES", str(max(2000, int(200_000 * SF)))))
+
+
+def _timed(fn):
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def bench_pages_pipeline(spark, pages, detectors):
+    def run():
+        res = run_pipeline(spark, pages, PipelineConfig(), detectors=detectors)
+        return res.keepers.count()
+
+    return run
+
+
+def materialized_pages(spark, n, parts):
+    """Generate + cache the corpus so detector timings exclude generation."""
+    df = generate_pages(spark, n, num_partitions=parts)
+    df = df.persist()
+    df.count()
+    return df
+
+
+def main():
+    scaling = "--scaling" in sys.argv
+    results = {}
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+
+    pages = materialized_pages(spark, N_PAGES, CPUS * 2)
+
+    sec, n = _timed(bench_pages_pipeline(spark, pages, ["exact", "minhash"]))
+    results["pages_minhash_e2e"] = round(sec, 3)
+    sec, _ = _timed(bench_pages_pipeline(spark, pages, ["simhash"]))
+    results["pages_simhash_e2e"] = round(sec, 3)
+    sec, _ = _timed(bench_pages_pipeline(spark, pages, ["substring"]))
+    results["pages_substring_e2e"] = round(sec, 3)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in [
+        "minhash_clusters",
+        "exact_dup_groups",
+        "normalize_text",
+        "token_counts",
+        "cosine_neighbor_counts",
+        "lineitem_pricing_summary",
+        "orders_per_customer_nation",
+    ]:
+        sec, _ = _timed(lambda: qs[name](spark, SF_DIR).count())
+        results[f"q_{name}"] = round(sec, 3)
+
+    pages.unpersist()
+
+    scaling_report = None
+    if scaling:
+        spark.stop()
+        scaling_report = run_scaling()
+
+    total = round(sum(results.values()), 3)
+    line = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF,
+        "n_pages": N_PAGES,
+    }
+    if scaling_report:
+        line["scaling"] = scaling_report
+    print(json.dumps(line))
+
+
+def run_scaling():
+    """Same minhash job at local[8] and local[32] on the identical corpus."""
+    from pyspark.sql import SparkSession
+
+    n = N_PAGES
+    out = {}
+    for cores in (8, 32):
+        active = SparkSession.getActiveSession()
+        if active:
+            active.stop()
+        spark = get_spark(
+            app_name=f"bench-scaling-{cores}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores,
+        )
+        pages = materialized_pages(spark, n, cores * 2)
+        t0 = time.time()
+        res = run_pipeline(
+            spark, pages, PipelineConfig(), detectors=["exact", "minhash"]
+        )
+        res.keepers.count()
+        dt = time.time() - t0
+        out[f"local[{cores}]"] = {
+            "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt, 1),
+        }
+        pages.unpersist()
+        spark.stop()
+    t8, t32 = out["local[8]"]["sec"], out["local[32]"]["sec"]
+    eff = (t8 / t32) / 4.0
+    out["speedup_8_to_32"] = round(t8 / t32, 3)
+    out["scaling_efficiency"] = round(eff, 3)
+    _write_bench_md(out, n)
+    return out
+
+
+def _write_bench_md(out, n):
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(
+            f"""# BENCH — throughput & scaling (sandbox proxy)
+
+North-rule criterion: >=0.8 throughput scaling efficiency from N to 4N
+executors. No real cluster exists in this sandbox, so the evidence is the
+same MinHash+exact dedup job on the identical {n}-doc synthetic pages corpus
+at two local parallelism levels (8 vs 32 cores, same machine, same input):
+
+| cores | wall sec | docs/sec |
+|---|---|---|
+| local[8]  | {out['local[8]']['sec']} | {out['local[8]']['docs_per_sec']} |
+| local[32] | {out['local[32]']['sec']} | {out['local[32]']['docs_per_sec']} |
+
+speedup 8→32 (4x cores): **{out['speedup_8_to_32']}x**
+scaling efficiency (speedup/4): **{out['scaling_efficiency']}**
+
+Caveats: single-JVM local mode shares one driver, one disk-backed shuffle
+and fixed per-stage scheduling costs, so this is a lower bound on the
+efficiency a real 4x executor scale-out would show for this embarrassingly
+parallel signature+bucket workload. Reference single-node numbers for
+context: BASELINE.md (4.25K files/s sorter; text dedup +14% vs standard
+MinHash).
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -95,14 +95,21 @@ def run_pipeline(
     chash = cfg.config_hash()
     metrics: Dict[str, float] = {}
 
-    def stage(name: str, make: "callable", lineage: List[str], m: Dict = None):
-        """config-hash resume wrapper: reuse a committed stage, else compute."""
+    def stage(name: str, make: "callable", lineage: List[str], m: Dict = None,
+              persist: bool = False):
+        """config-hash resume wrapper: reuse a committed stage, else compute.
+
+        ``persist=True`` marks stages consumed by >1 downstream action: with
+        a store they are materialized to parquet anyway; without one they are
+        cached so UDF stages don't recompute per action."""
         if store is not None and store.is_valid(name, chash):
             metrics[f"{name}.resumed"] = 1.0
             return store.read(name)
         df = make()
         if store is not None:
             df = store.write(df, name, chash, lineage=lineage, metrics=m or {})
+        elif persist:
+            df = df.persist()
         return df
 
     docs = stage("docs", lambda: prepare_docs(pages), ["pages"])
@@ -111,7 +118,7 @@ def run_pipeline(
     uniq_docs, exact_edges = exact_dedup(docs, hash_fn="xxhash64")
     if "exact" not in detectors:
         uniq_docs, exact_edges = docs, exact_edges.limit(0)
-    uniq_docs = stage("docs_uniq", lambda: uniq_docs, ["docs"])
+    uniq_docs = stage("docs_uniq", lambda: uniq_docs, ["docs"], persist=True)
 
     edge_parts: List[DataFrame] = [exact_edges]
 
@@ -124,6 +131,7 @@ def run_pipeline(
             "shingles",
             lambda: uniq_docs.select("doc_id", sh_udf("text").alias("shingles")),
             ["docs_uniq"],
+            persist=True,
         )
 
     # ---- detector: MinHash + LSH banding
@@ -135,7 +143,11 @@ def run_pipeline(
             lambda: uniq_docs.select("doc_id", mh_udf("text").alias("sig")),
             ["docs_uniq"],
         )
+        # bands feed both the stats job and pair-gen — cache to avoid
+        # recomputing the signature UDF per consumer
         bands = minhash_bands(sigs, b, r)
+        if store is None:
+            bands = bands.persist()
         pairs, bstats = candidate_pairs(bands, bucket_cap=cfg.spark.bucket_cap)
         stats_row = bstats.collect()
         if stats_row:
@@ -159,6 +171,7 @@ def run_pipeline(
             "fingerprints_simhash",
             lambda: uniq_docs.select("doc_id", sh64_udf("text").alias("simhash")),
             ["docs_uniq"],
+            persist=True,
         )
         sbands = simhash_bands(fps, dist=cfg.dedup.simhash_dist)
         spairs, sbstats = candidate_pairs(sbands, bucket_cap=cfg.spark.bucket_cap)
@@ -204,7 +217,10 @@ def run_pipeline(
     edges = edge_parts[0]
     for e in edge_parts[1:]:
         edges = edges.unionByName(e)
-    edges = stage("edges", lambda: edges.select("src", "dst", "sim"), ["detectors"])
+    edges = stage(
+        "edges", lambda: edges.select("src", "dst", "sim"), ["detectors"],
+        persist=True,
+    )
 
     clusters, cc_rounds = clusters_from_edges(docs, edges.select("src", "dst"))
     clusters = stage("clusters", lambda: clusters, ["edges"], {"cc_rounds": cc_rounds})
