@@ -95,6 +95,43 @@ def make_shingles_udf(cfg: TextEmbeddingConfig):
     return shingles
 
 
+def make_lsh_features_udf(
+    emb: TextEmbeddingConfig, ded: TextDedupConfig, include_words: bool = True
+):
+    """text → hashed distinct LSH feature set (first max_words word tokens +
+    first max_char_grams space-stripped char n-grams) — the exact feature
+    universe the reference's ours_lsh MinHash consumes
+    (pipeline_api.py:426-430). Used to verify candidate pairs with the true
+    Jaccard *of the LSH features*: ~4.5x smaller arrays than the full
+    multi-granularity shingle set, and the faithful ours_lsh semantics."""
+    n = max(1, emb.ngram_size)
+    lc, strip, collapse, mode = (
+        emb.lowercase,
+        emb.strip_non_alnum,
+        emb.collapse_whitespace,
+        emb.strip_mode,
+    )
+    max_words, max_grams = ded.max_words, ded.max_char_grams
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def lsh_features(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            norm = K.normalize_text(t or "", lc, strip, collapse, mode)
+            feats = []
+            if include_words:
+                feats.extend(K.lsh_word_tokens(norm, max_words))
+            feats.extend(K.lsh_char_grams(norm, n, max_grams))
+            if feats:
+                hashed = np.unique(K.hash_features_u64(feats))
+                out.append(_u64_to_i64(hashed).tolist())
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return lsh_features
+
+
 # ---------------------------------------------------------------------------
 # UDF family 3: MinHash signature → array<long>[num_perm]
 # ---------------------------------------------------------------------------

@@ -20,7 +20,7 @@ def test_stage_resume_and_invalidation(spark, pages, tmp_path):
     # second run: every stage must be resumed from the store
     r2 = run_pipeline(spark, pages, cfg, detectors=["exact", "minhash"], store=store)
     resumed = [k for k in r2.metrics if k.endswith(".resumed")]
-    for stage in ["docs", "docs_uniq", "shingles", "signatures_minhash",
+    for stage in ["docs", "docs_uniq", "features_lsh", "signatures_minhash",
                   "edges_minhash", "edges", "clusters", "keepers"]:
         assert f"{stage}.resumed" in resumed, f"{stage} was recomputed"
     assert sorted(r.doc_id for r in r2.keepers.collect()) == k1

@@ -1,0 +1,92 @@
+"""Distributed suffix-array exact-substring detector (J17) vs brute-force
+LCS oracle, plus the planted substring class of the synthetic corpus."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.operators.suffix_array import (
+    substring_edges_suffix_array,
+    suffix_ranks,
+)
+from deduplication_framework_spark.oracle.numpy_oracle import substring_pairs
+
+
+def test_suffix_ranks_order_small(spark):
+    """Ranks at full depth reproduce the lexicographic suffix order of a
+    single-node sorted-suffixes oracle (per-prefix-class equality)."""
+    text = "abracadabra"
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    s, k, _ = suffix_ranks(docs, min_match_chars=11, k0=2)
+    rows = {r.pos: r.rank for r in s.collect()}
+    # oracle: group positions by first min(k, remaining) chars
+    by_prefix = {}
+    for pos in range(1, len(text) + 1):
+        by_prefix.setdefault(text[pos - 1 : pos - 1 + k], []).append(pos)
+    for prefix, positions in by_prefix.items():
+        ranks = {rows[p] for p in positions}
+        assert len(ranks) == 1, f"prefix {prefix!r} split across ranks"
+    # distinct prefixes → distinct ranks, ordered lexicographically
+    ordered = sorted(by_prefix)
+    rank_of = [rows[by_prefix[p][0]] for p in ordered]
+    assert rank_of == sorted(rank_of)
+
+
+def test_exact_pairs_vs_lcs_oracle(spark):
+    rng = np.random.RandomState(5)
+    alpha = "abcdef"
+    base = "".join(alpha[i] for i in rng.randint(0, 6, 40))
+    texts = []
+    for i in range(12):
+        t = "".join(alpha[i] for i in rng.randint(0, 6, 120))
+        if i % 3 == 0:
+            cut = rng.randint(0, 100)
+            t = t[:cut] + base + t[cut:]
+        texts.append(t)
+    L = 25
+    expect = substring_pairs(texts, L)
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    edges, _ = substring_edges_suffix_array(docs, min_match_chars=L)
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert got == expect
+
+
+def test_below_threshold_not_paired(spark):
+    span = "the-quick-brown-fox-jumps-over"  # 30 chars
+    docs = spark.createDataFrame(
+        [
+            (0, "AAAA " + span + " BBBBBBBBBBBB"),
+            (1, "CCCCCCCCCC" + span + "DDDD"),
+            (2, "totally unrelated content here without overlap zzz"),
+            (3, "EEE " + span[:19] + " FFFFFFFFFFFFFFFFFF"),
+        ],
+        "doc_id long, text string",
+    )
+    edges, _ = substring_edges_suffix_array(docs, min_match_chars=30)
+    assert {(r.src, r.dst) for r in edges.collect()} == {(0, 1)}
+
+
+def test_planted_corpus_substring_class(spark, pages):
+    """Every planted (host, embedder) pair shares >= 200 contiguous chars →
+    the suffix-array pass must link them (restricted to the substring block
+    to keep the n-chars row explosion test-sized)."""
+    sub = pages.filter(F.col("dup_class") == "substring").select(
+        F.col("doc_order").alias("doc_id"), "text"
+    )
+    edges, _ = substring_edges_suffix_array(sub, min_match_chars=200)
+    got = {(r.src, r.dst) for r in edges.collect()}
+    planted = (
+        pages.filter(F.col("dup_class") == "substring")
+        .groupBy("group_id")
+        .agg(F.collect_list("doc_order").alias("members"))
+        .collect()
+    )
+    expected = set()
+    for r in planted:
+        ms = sorted(r.members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                expected.add((ms[i], ms[j]))
+    assert len(expected) > 10
+    missing = expected - got
+    assert not missing, f"missed: {sorted(missing)[:5]}"
