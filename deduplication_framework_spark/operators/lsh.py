@@ -96,6 +96,120 @@ def simhash_bands(
     )
 
 
+def simhash_candidate_edges(
+    fingerprints: DataFrame,
+    dist: int = 10,
+    bucket_cap: int = 2000,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> Tuple[DataFrame, DataFrame]:
+    """Fused SimHash band → pair-gen → Hamming verify, returning verified
+    edges(src, dst, sim) directly.
+
+    The pigeonhole blocks are only ~6 bits wide (dist+1 blocks over 64
+    bits), so bucket collisions are plentiful — a 20k-doc corpus yields
+    ~40M raw candidates. Materializing them (distinct + shuffle) dominated
+    the simhash pipeline (65s of 85s). Since verification is a single JVM
+    expression on two longs, it is pushed INTO the self-join: false
+    candidates are filtered inside the join task and never hit the shuffle.
+    Hot buckets keep the star+chain capping; their pairs pass through the
+    same inline filter.
+    """
+    layout = simhash_band_layout(64, dist)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                (
+                    F.shiftrightunsigned(F.col(fp_col), off).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                ).alias("block_bits"),
+            )
+            for i, (off, width) in enumerate(layout)
+        ]
+    )
+    bands = fingerprints.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(fp_col).alias("fp"),
+        F.explode(blocks).alias("blk"),
+    ).select(
+        "doc_id",
+        "fp",
+        F.col("blk.band_idx").alias("band_idx"),
+        F.xxhash64("blk.band_idx", "blk.block_bits").alias("band_key"),
+    )
+
+    sized = bands.withColumn(
+        "bucket_size", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
+    ).filter(F.col("bucket_size") > 1)
+
+    small = sized.filter(F.col("bucket_size") <= bucket_cap)
+    hot = sized.filter(F.col("bucket_size") > bucket_cap)
+
+    a = small.select("band_idx", "band_key", F.col("doc_id").alias("src"),
+                     F.col("fp").alias("fp_a"))
+    b = small.select("band_idx", "band_key", F.col("doc_id").alias("dst"),
+                     F.col("fp").alias("fp_b"))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    small_edges = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter((F.col("src") < F.col("dst")) & (ham <= dist))
+        .select("src", "dst", ham.alias("hamming"))
+    )
+
+    w = Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
+    hot_ranked = hot.select(
+        "band_idx",
+        "band_key",
+        F.col("doc_id").alias("dst"),
+        F.col("fp").alias("fp_b"),
+        F.first("doc_id").over(w).alias("star_src"),
+        F.first("fp").over(w).alias("star_fp"),
+        F.lag("doc_id").over(w).alias("chain_src"),
+        F.lag("fp").over(w).alias("chain_fp"),
+    )
+    hot_edges = (
+        hot_ranked.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.array(
+                            F.struct(F.col("star_src").alias("src"),
+                                     F.col("star_fp").alias("fp_a")),
+                            F.struct(F.col("chain_src").alias("src"),
+                                     F.col("chain_fp").alias("fp_a")),
+                        ),
+                        lambda s: s["src"].isNotNull() & (s["src"] != F.col("dst")),
+                    )
+                )
+            ).alias("s"),
+            "dst",
+            "fp_b",
+        )
+        .select(F.col("s.src").alias("src"), "dst", F.col("s.fp_a").alias("fp_a"),
+                "fp_b")
+        .filter(F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= dist)
+        .select("src", "dst",
+                F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"))
+    )
+
+    edges = (
+        small_edges.unionByName(hot_edges)
+        .groupBy("src", "dst")
+        .agg(F.min("hamming").alias("hamming"))
+        .select("src", "dst", ((F.lit(64) - F.col("hamming")) / 64.0).alias("sim"))
+    )
+    stats = sized.groupBy().agg(
+        F.countDistinct("band_idx", "band_key").alias("n_buckets"),
+        F.sum(F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)).alias(
+            "n_capped_band_rows"
+        ),
+        F.max("bucket_size").alias("max_bucket_size"),
+    )
+    return edges, stats
+
+
 def candidate_pairs(
     bands: DataFrame,
     bucket_cap: int = 2000,

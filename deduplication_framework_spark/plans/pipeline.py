@@ -38,6 +38,7 @@ from deduplication_framework_spark.operators.lsh import (
     candidate_pairs,
     minhash_bands,
     simhash_bands,
+    simhash_candidate_edges,
 )
 from deduplication_framework_spark.operators.verify import (
     verify_hamming,
@@ -176,15 +177,15 @@ def run_pipeline(
             ["docs_uniq"],
             persist=True,
         )
-        sbands = simhash_bands(fps, dist=cfg.dedup.simhash_dist)
-        spairs, sbstats = candidate_pairs(sbands, bucket_cap=cfg.spark.bucket_cap)
+        sh_edges, sbstats = simhash_candidate_edges(
+            fps, dist=cfg.dedup.simhash_dist, bucket_cap=cfg.spark.bucket_cap
+        )
         srow = sbstats.collect()
         if srow:
             s = srow[0]
             metrics["simhash.n_buckets"] = float(s["n_buckets"] or 0)
             metrics["simhash.capped_band_rows"] = float(s["n_capped_band_rows"] or 0)
             metrics["simhash.max_bucket_size"] = float(s["max_bucket_size"] or 0)
-        sh_edges = verify_hamming(spairs, fps, cfg.dedup.simhash_dist)
         sh_edges = stage(
             "edges_simhash", lambda: sh_edges, ["fingerprints_simhash"]
         )
