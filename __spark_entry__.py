@@ -321,6 +321,60 @@ def q_substring_clusters(spark, sf_dir):
     return res.clusters.select("doc_id", "cluster_id")
 
 
+def q_semdedup_decisions(spark, sf_dir):
+    """C1+W3: k-means blocking + per-block SemDeDup over the embeddings
+    table (iterative MLlib + applyInPandas — rows-only check)."""
+    from deduplication_framework_spark.operators.embeddings import kmeans_semdedup
+
+    emb = _emb(spark, sf_dir)
+    _, decisions = kmeans_semdedup(emb, eps=0.05, seed=42)
+    return decisions.select("vec_id", "block_id", "keep")
+
+
+def q_sorter_categories(spark, sf_dir):
+    """S2-S8: modality classification of a deterministic mixed swamp built
+    from the documents table (text bytes + planted magic-header rows)."""
+    from deduplication_framework_spark.functions.sorter import (
+        category_rollup,
+        make_classify_udf,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # swamp: every document as a .txt / .json / extensionless file, plus
+    # planted binary rows with image/audio magics derived from doc_id
+    base = docs.select(
+        F.concat(
+            F.lit("doc_"),
+            F.col("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0, ".txt")
+            .when(F.col("doc_id") % 3 == 1, ".json")
+            .otherwise(".dat"),
+        ).alias("name"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    magics = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(
+            F.lit("bin_"),
+            F.col("doc_id"),
+            F.when(F.col("doc_id") % 2 == 0, ".png").otherwise(".wav"),
+        ).alias("name"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),
+        )
+        .otherwise(F.lit(b"RIFF\x24\x00\x00\x00WAVE" + b"\x00" * 16))
+        .alias("content"),
+    )
+    swamp = base.unionByName(magics)
+    udf = make_classify_udf(strict=True)
+    classified = swamp.select(
+        "name",
+        udf("name", "content").alias("category"),
+        F.length("content").alias("size_bytes"),
+    )
+    return category_rollup(classified)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -354,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "simhash_clusters": q_simhash_clusters,
         "substring_clusters": q_substring_clusters,
+        "semdedup_decisions": q_semdedup_decisions,
+        "sorter_categories": q_sorter_categories,
     }
 
 

@@ -86,6 +86,7 @@ def run_pipeline(
     detectors: List[str] = ("exact", "minhash", "simhash"),
     verify: bool = True,
     store: Optional[ParquetTableStore] = None,
+    collect_stats: bool = True,
 ) -> PipelineResult:
     """Run the full dedup DAG. ``verify=False`` reproduces the reference's
     ours_lsh behavior (any band collision is accepted as a duplicate edge).
@@ -153,7 +154,7 @@ def run_pipeline(
         if store is None:
             bands = bands.persist()
         pairs, bstats = candidate_pairs(bands, bucket_cap=cfg.spark.bucket_cap)
-        stats_row = bstats.collect()
+        stats_row = bstats.collect() if collect_stats else []
         if stats_row:
             s = stats_row[0]
             metrics["minhash.n_buckets"] = float(s["n_buckets"] or 0)
@@ -180,7 +181,7 @@ def run_pipeline(
         sh_edges, sbstats = simhash_candidate_edges(
             fps, dist=cfg.dedup.simhash_dist, bucket_cap=cfg.spark.bucket_cap
         )
-        srow = sbstats.collect()
+        srow = sbstats.collect() if collect_stats else []
         if srow:
             s = srow[0]
             metrics["simhash.n_buckets"] = float(s["n_buckets"] or 0)
@@ -229,7 +230,7 @@ def run_pipeline(
             cfg.suffix.min_match_chars,
             bucket_cap=cfg.spark.bucket_cap,
         )
-        sarow = sa_stats.collect()
+        sarow = sa_stats.collect() if collect_stats else []
         if sarow:
             s = sarow[0]
             metrics["suffix_array.n_buckets"] = float(s["n_buckets"] or 0)
