@@ -293,37 +293,77 @@ def simhash_band_layout(f: int = 64, dist: int = 10) -> List[tuple]:
 # ---------------------------------------------------------------------------
 
 
+_KR_BASE = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd → invertible mod 2^64
+_KR_BASE_INV = np.uint64(pow(int(_KR_BASE), -1, 1 << 64))
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain spec) — decorrelates
+    the algebraic Karp-Rabin values before min-selection."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def rolling_kgram_hashes(text: str, kgram: int) -> np.ndarray:
+    """All k-gram hashes of `text`, vectorized: Karp-Rabin over the exact
+    ring Z/2^64 (position factored out via modular inverse powers), then a
+    splitmix64 finalizer. ~20x faster than per-substring sha1 — this is the
+    hot kernel of the winnowing substring detector."""
+    n = len(text)
+    m = n - kgram + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        codes = np.frombuffer(
+            text.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.uint64)
+        inv_pows = np.cumprod(
+            np.concatenate(([np.uint64(1)], np.full(n - 1, _KR_BASE_INV))),
+            dtype=np.uint64,
+        )
+        pows = np.cumprod(
+            np.concatenate(([np.uint64(1)], np.full(m - 1, _KR_BASE))),
+            dtype=np.uint64,
+        )
+        q = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(codes * inv_pows, out=q[1:], dtype=np.uint64)
+        # H[i] = (Q[i+k] - Q[i]) * B^i  — position-independent k-gram hash
+        h = (q[kgram : kgram + m] - q[:m]) * pows
+        return _splitmix64(h)
+
+
+def sliding_min(values: np.ndarray, window: int) -> np.ndarray:
+    """Minimum over every length-`window` sliding window, O(m) vectorized
+    (two-block prefix/suffix minima — the van Herk/Gil-Werman scheme)."""
+    m = values.shape[0] - window + 1
+    if m <= 0:
+        return np.array([values.min()]) if values.size else values[:0]
+    n = values.shape[0]
+    pad = (-n) % window
+    padded = np.concatenate([values, np.full(pad, np.iinfo(np.uint64).max,
+                                             dtype=np.uint64)])
+    blocks = padded.reshape(-1, window)
+    pre = np.minimum.accumulate(blocks, axis=1).ravel()[:n]
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()[:n]
+    return np.minimum(suf[:m], pre[window - 1 : window - 1 + m])
+
+
 def winnow_fingerprints(text: str, kgram: int, window: int) -> List[tuple]:
-    """Winnowing (Schleimer et al. 2003): per sliding window of `window`
-    consecutive kgram hashes keep the rightmost minimal hash. Guarantees any
-    common substring of length >= kgram + window - 1 shares a fingerprint.
-    Returns [(hash, position)] deduplicated."""
+    """Winnowing (Schleimer et al. 2003): keep the minimal hash of every
+    window of `window` consecutive kgram hashes. Guarantees any common
+    substring of length >= kgram + window - 1 shares a fingerprint (the
+    guarantee is on hash VALUES — tie position is irrelevant because
+    fingerprints are deduplicated by value downstream).
+    Returns [(hash, first_window_index)] deduplicated by hash."""
     n = len(text)
     if n < kgram:
         return []
-    hashes = np.fromiter(
-        (hash_feature_u64(text[i : i + kgram]) for i in range(n - kgram + 1)),
-        dtype=np.uint64,
-    )
-    m = hashes.shape[0]
-    if m <= window:
-        pos = int(np.argmin(hashes))
-        return [(int(hashes[pos]), pos)]
-    picked = set()
-    # rightmost-minimal selection per window
-    out = []
-    prev = -1
-    for start in range(m - window + 1):
-        w = hashes[start : start + window]
-        rel = int(np.where(w == w.min())[0][-1])
-        pos = start + rel
-        if pos != prev:
-            key = (int(hashes[pos]), pos)
-            if key not in picked:
-                picked.add(key)
-                out.append(key)
-            prev = pos
-    return out
+    hashes = rolling_kgram_hashes(text, kgram)
+    mins = sliding_min(hashes, window)
+    vals, idx = np.unique(mins, return_index=True)
+    return [(int(v), int(i)) for v, i in zip(vals, idx)]
 
 
 def longest_common_substring_len(a: str, b: str) -> int:

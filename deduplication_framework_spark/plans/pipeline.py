@@ -204,16 +204,26 @@ def run_pipeline(
             ),
             ["docs_uniq"],
         )
-        # docs sharing any fingerprint share a k-gram (exact substring)
-        fa = fprints.select(F.col("doc_id").alias("src"), "fp")
-        fb = fprints.select(F.col("doc_id").alias("dst"), "fp")
-        sub_edges = (
-            fa.join(fb, "fp")
-            .filter(F.col("src") < F.col("dst"))
-            .groupBy("src", "dst")
-            .agg(F.count("*").alias("n_shared_fps"))
-            .select("src", "dst", F.lit(1.0).alias("sim"))
+        # docs sharing any fingerprint share a k-gram (exact substring);
+        # boilerplate spans make hot fingerprints → same star+chain capping
+        # as the LSH buckets
+        sub_bands = fprints.select(
+            "doc_id", F.lit(0).alias("band_idx"), F.col("fp").alias("band_key")
         )
+        # bucket_cap=1: a fingerprint bucket is a TRUE clique (every member
+        # provably shares the same k-gram), so star+chain connectivity is
+        # exactly equivalent to all-pairs after connected components —
+        # linear pair volume with zero recall loss
+        sub_pairs, substats = candidate_pairs(sub_bands, bucket_cap=1)
+        subrow = substats.collect() if collect_stats else []
+        if subrow:
+            s = subrow[0]
+            metrics["substring.n_buckets"] = float(s["n_buckets"] or 0)
+            metrics["substring.capped_band_rows"] = float(
+                s["n_capped_band_rows"] or 0
+            )
+            metrics["substring.max_bucket_size"] = float(s["max_bucket_size"] or 0)
+        sub_edges = sub_pairs.select("src", "dst", F.lit(1.0).alias("sim"))
         sub_edges = stage(
             "edges_substring", lambda: sub_edges, ["fingerprints_substring"]
         )
@@ -225,10 +235,12 @@ def run_pipeline(
             substring_edges_suffix_array,
         )
 
+        # bucket_cap=1: rank buckets are true cliques (identical L-char
+        # prefix), star+chain is exactly equivalent after CC
         sa_edges, sa_stats = substring_edges_suffix_array(
             uniq_docs,
             cfg.suffix.min_match_chars,
-            bucket_cap=cfg.spark.bucket_cap,
+            bucket_cap=1,
         )
         sarow = sa_stats.collect() if collect_stats else []
         if sarow:
