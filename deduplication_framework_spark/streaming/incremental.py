@@ -1,0 +1,120 @@
+"""Incremental dedup over a streaming pages source.
+
+Two surfaces:
+
+* ``stream_signatures`` — stateless: every micro-batch of pages gets
+  normalized + MinHash/SimHash featurized by the same Arrow UDFs as the
+  batch pipeline (map-only → trivially streaming-safe, exactly-once with a
+  checkpointed sink).
+
+* ``incremental_exact_dedup`` — stateful via ``foreachBatch``: each batch is
+  exact-hash deduped within itself AND against the persistent `seen`
+  table; only first-seen rows are appended to the keeper sink. This is the
+  streaming analog of the reference's first-seen-wins md5 dedup
+  (/root/reference/text/method/pipeline_api.py:340-370), with the in-memory
+  ``seen`` dict replaced by a parquet state table (Iceberg on a cluster).
+
+Near-dup detectors stay micro-batch + periodic compaction by design: LSH
+bucketing requires a shuffle over accumulated signatures, so the streaming
+job appends signatures continuously and the batch pipeline re-clusters from
+the checkpointed signature table (cheap thanks to config-hash resume).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.config import PipelineConfig
+from deduplication_framework_spark.functions.text import (
+    make_minhash_udf,
+    make_simhash_udf,
+)
+
+
+def stream_signatures(
+    pages_stream: DataFrame, cfg: Optional[PipelineConfig] = None
+) -> DataFrame:
+    """Streaming pages → (url, warc_ts, sig, simhash). Stateless map."""
+    cfg = cfg or PipelineConfig()
+    mh = make_minhash_udf(cfg.embedding, cfg.dedup, include_words=True)
+    sh = make_simhash_udf(cfg.embedding)
+    return pages_stream.select(
+        "url",
+        "warc_ts",
+        mh("text").alias("sig"),
+        sh("text").alias("simhash"),
+    )
+
+
+class IncrementalExactDedup:
+    """foreachBatch handler maintaining a persistent seen-hash state table.
+
+    State layout: ``<state_dir>/seen`` parquet of (text_hash: long). Each
+    batch: dedupe within batch (first by ``url`` order for determinism),
+    anti-join against seen, append survivors to ``<state_dir>/keepers`` and
+    their hashes to seen. Batch boundaries give exactly-once appends when
+    driven by a checkpointed streaming query.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.seen_path = os.path.join(state_dir, "seen")
+        self.keepers_path = os.path.join(state_dir, "keepers")
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _seen(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.seen_path)
+        except Exception:
+            return self.spark.createDataFrame([], "text_hash long")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        hashed = batch_df.withColumn("text_hash", F.xxhash64("text"))
+        # within-batch first-seen (min url as the deterministic tiebreak)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("text_hash").orderBy("url")
+        firsts = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        seen = self._seen()
+        fresh = firsts.join(seen, "text_hash", "left_anti").persist()
+        fresh_count = fresh.count()
+        if fresh_count:
+            fresh.drop("text_hash").write.mode("append").parquet(self.keepers_path)
+            fresh.select("text_hash").write.mode("append").parquet(self.seen_path)
+        fresh.unpersist()
+
+    def keepers(self) -> DataFrame:
+        return self.spark.read.parquet(self.keepers_path)
+
+
+def run_incremental_exact_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    schema,
+    checkpoint_dir: Optional[str] = None,
+):
+    """readStream(parquet dir) → foreachBatch(IncrementalExactDedup).
+    Returns the StreamingQuery (caller drives with processAllAvailable or
+    awaitTermination)."""
+    handler = IncrementalExactDedup(spark, state_dir)
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(handler.process_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_checkpoint"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, handler
