@@ -1,0 +1,92 @@
+"""CLI: the spark-submit entry point.
+
+    spark-submit --py-files dist/deduplication_framework_spark.zip \\
+        -m deduplication_framework_spark  # (or path to this file)
+
+or locally:
+
+    python -m deduplication_framework_spark \\
+        --input /path/pages_parquet --output /path/out \\
+        --detectors exact,minhash,simhash --config cfg.yaml \\
+        --checkpoint-dir /path/ckpt
+
+Replaces the reference's ``python -m pipelines --config cfg.yaml``
+(/root/reference/pipelines/__main__.py:7-13) — one Spark app instead of an
+orchestrator spawning conda-env subprocesses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="deduplication_framework_spark")
+    p.add_argument("--config", default=None, help="YAML/JSON config (deep-merged over defaults)")
+    p.add_argument("--input", default=None,
+                   help="pages parquet path (or iceberg table with --catalog iceberg)")
+    p.add_argument("--synthetic", type=int, default=None,
+                   help="generate an N-doc synthetic pages corpus instead of --input")
+    p.add_argument("--output", required=True, help="output directory (keepers/clusters/edges)")
+    p.add_argument("--detectors", default="exact,minhash,simhash",
+                   help="comma list from: exact,minhash,simhash,substring,suffix_array")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="table-store root for resumable stage commits")
+    p.add_argument("--no-verify", action="store_true",
+                   help="reference ours_lsh parity mode (band collision = duplicate)")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from deduplication_framework_spark.config import load_pipeline_config
+    from deduplication_framework_spark.plans.checkpoint import ParquetTableStore
+    from deduplication_framework_spark.plans.pipeline import run_pipeline
+    from deduplication_framework_spark.session import get_spark
+    from deduplication_framework_spark.sources.pages import generate_pages
+
+    cfg = load_pipeline_config(args.config)
+    spark = get_spark(app_name="dedup-pipeline", master=args.master)
+
+    if args.synthetic:
+        pages = generate_pages(spark, args.synthetic)
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        p.error("one of --input / --synthetic is required")
+
+    store = (
+        ParquetTableStore(spark, args.checkpoint_dir)
+        if args.checkpoint_dir
+        else None
+    )
+    t0 = time.time()
+    res = run_pipeline(
+        spark,
+        pages,
+        cfg,
+        detectors=[d.strip() for d in args.detectors.split(",") if d.strip()],
+        verify=not args.no_verify,
+        store=store,
+    )
+    res.keepers.write.mode("overwrite").parquet(f"{args.output}/keepers")
+    res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    res.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+
+    summary = {
+        "elapsed_sec": round(time.time() - t0, 2),
+        "docs": res.docs.count(),
+        "keepers": res.keepers.count(),
+        "cc_rounds": res.cc_rounds,
+        "metrics": res.metrics,
+        "config_hash": cfg.config_hash(),
+    }
+    print(json.dumps(summary))
+    with open(f"{args.output}/summary.json", "w") as fh:
+        json.dump(summary, fh, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""Rolling-window dedup (SURVEY.md J3) — config-parity operator.
+
+The reference falls back to comparing each doc only against the last
+``window_size`` KEPT docs when the corpus exceeds ``max_candidates``
+(/root/reference/text/method/pipeline_api.py:305-311, 531-576). That is an
+inherently sequential scalability hack — superseded by LSH at scale — kept
+here for config parity: users with ``method: jaccard`` + windowed fallback
+configs get the same semantics.
+
+Spark form: range-partition by doc order into contiguous chunks, run the
+EXACT reference loop per chunk via applyInPandas (the same kernels as the
+NumPy oracle). Duplicates spanning a chunk boundary are missed, exactly as
+the reference's window misses anything further back than ``window_size`` —
+both are documented recall trade-offs of the fallback mode; chunk size >>
+window keeps the miss classes aligned.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.config import TextEmbeddingConfig
+
+
+def windowed_jaccard_dedup(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    window_size: int = 100,
+    n_chunks: int = 32,
+    emb: TextEmbeddingConfig = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, keeper_id): keeper_id = the kept doc this one matched
+    (itself when kept). Reference loop semantics per contiguous chunk."""
+    emb = emb or TextEmbeddingConfig()
+    n = emb.ngram_size
+    lc, strip, collapse, mode = (
+        emb.lowercase,
+        emb.strip_non_alnum,
+        emb.collapse_whitespace,
+        emb.strip_mode,
+    )
+
+    chunked = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("_chunk", F.ntile(n_chunks).over(Window.orderBy("doc_id")))
+
+    def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        from deduplication_framework_spark.functions import kernels as K
+
+        pdf = pdf.sort_values("doc_id")
+        feats = [
+            K.multigranularity_ngrams(
+                K.normalize_text(t or "", lc, strip, collapse, mode), n
+            )
+            for t in pdf["text"]
+        ]
+        ids = pdf["doc_id"].tolist()
+        kept = []  # indices into chunk
+        keeper_of = {}
+        for i in range(len(ids)):
+            cur = feats[i]
+            hit = None
+            start = max(0, len(kept) - window_size)
+            for j in range(start, len(kept)):
+                a, b = cur, feats[kept[j]]
+                union = a | b
+                sim = (
+                    1.0
+                    if (not a and not b)
+                    else (len(a & b) / len(union) if union else 0.0)
+                )
+                if sim >= threshold:
+                    hit = kept[j]
+                    break
+            if hit is None:
+                keeper_of[i] = ids[i]
+                kept.append(i)
+            else:
+                keeper_of[i] = keeper_of[hit]
+        return pd.DataFrame(
+            {"doc_id": ids, "keeper_id": [keeper_of[i] for i in range(len(ids))]}
+        )
+
+    return chunked.groupBy("_chunk").applyInPandas(
+        per_chunk, schema="doc_id long, keeper_id long"
+    )
