@@ -102,7 +102,10 @@ class TestSemDeDup:
             mat = np.array([m.embedding for m in members], dtype=np.float64)
             sims = mat @ mat.T
             for j in range(len(members)):
-                mp = float(np.max(sims[:j, j])) if j > 0 else 0.0
+                # reference takes max over torch.triu(sims, 1) — the zero
+                # padding floors the max at 0 when all prior sims are
+                # negative (simple_semdedup.py:92-104); we reproduce that
+                mp = max(0.0, float(np.max(sims[:j, j]))) if j > 0 else 0.0
                 keep = mp <= 1.0 - eps
                 g_keep, g_mp = got[members[j].vec_id]
                 assert g_keep == keep
