@@ -20,14 +20,58 @@ from deduplication_framework_spark.operators.connected_components import (
 )
 
 
+def _driver_union_find(edges: DataFrame) -> dict:
+    """Union-find over a collected edge list (min-id roots)."""
+    from deduplication_framework_spark.oracle.numpy_oracle import UnionFind
+
+    uf = UnionFind()
+    ids = set()
+    for r in edges.select("src", "dst").toLocalIterator():
+        uf.union(int(r.src), int(r.dst))
+        ids.add(int(r.src))
+        ids.add(int(r.dst))
+    return uf.labels(sorted(ids))
+
+
 def clusters_from_edges(
     docs: DataFrame,
     edges: DataFrame,
     id_col: str = "doc_id",
     checkpoint=None,
+    driver_threshold: int = 0,
 ) -> Tuple[DataFrame, int]:
     """docs + edges(src,dst) → clusters(doc_id, cluster_id) covering EVERY
-    doc (singletons get their own id). Returns (clusters, cc_rounds)."""
+    doc (singletons get their own id). Returns (clusters, cc_rounds).
+
+    ``driver_threshold`` > 0 enables the adaptive fast path: when the edge
+    set is at most that many rows, collect it and run union-find on the
+    driver (the dedup edge graph is typically orders of magnitude smaller
+    than the corpus — the standard "broadcast the frontier when it fits"
+    move; GraphFrames' CC does the same). The distributed label-propagation
+    loop remains the default and the scale path.
+    """
+    if driver_threshold > 0:
+        n_edges = edges.count()
+        if n_edges <= driver_threshold:
+            labels_map = _driver_union_find(edges)
+            spark = docs.sparkSession
+            if labels_map:
+                labels = spark.createDataFrame(
+                    list(labels_map.items()), "doc_id long, cluster_id long"
+                )
+            else:
+                labels = spark.createDataFrame([], "doc_id long, cluster_id long")
+            clusters = (
+                docs.select(F.col(id_col).alias("doc_id"))
+                .join(F.broadcast(labels), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
+            return clusters, 0
     labels, rounds = connected_components(edges, checkpoint=checkpoint)
     clusters = (
         docs.select(F.col(id_col).alias("doc_id"))

@@ -223,9 +223,14 @@ def candidate_pairs(
     bucket/pair counts incl. how many buckets were capped — feeds _metrics.
 
     Small buckets (size <= bucket_cap): exact all-pairs self-join.
-    Hot buckets: star+chain pairing ordered by doc id — linear edge count.
-    ``collision_threshold`` > 1 keeps only pairs colliding in >= that many
-    bands (reference audio J9 semantics, default 2 there; text LSH uses 1).
+    Hot buckets (north_rule skew handling): SALTED into ceil(size/cap)
+    sub-buckets by a secondary hash — all-pairs within each salt group —
+    plus star+chain edges across the whole bucket so every member stays
+    connected to the bucket minimum. Pair volume ~ size*cap/2 instead of
+    size^2/2; capped-bucket counts reported in bucket_stats (no silent
+    loss). ``collision_threshold`` > 1 keeps only pairs colliding in >=
+    that many bands (reference audio J9 semantics, default 2 there; text
+    LSH uses 1).
     """
     order = order_col or id_col
     sized = bands.withColumn(
@@ -244,6 +249,24 @@ def candidate_pairs(
         "band_idx", "band_key", F.col(id_col).alias("dst")
     )
     small_pairs = a.join(b, ["band_idx", "band_key"]).filter(F.col("src") < F.col("dst"))
+
+    # hot buckets: SALT into ceil(size/cap) sub-buckets by a secondary hash
+    # (all-pairs within each salt group → local precision preserved, pair
+    # volume bounded by ~size*cap/2) PLUS star+chain edges across the whole
+    # bucket (global connectivity to the bucket minimum survives salting).
+    n_salts = F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int")
+    salted = hot.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), n_salts)
+    )
+    sa = salted.select(
+        "band_idx", "band_key", "salt", F.col(id_col).alias("src")
+    )
+    sb = salted.select(
+        "band_idx", "band_key", "salt", F.col(id_col).alias("dst")
+    )
+    salt_pairs = sa.join(sb, ["band_idx", "band_key", "salt"]).filter(
+        F.col("src") < F.col("dst")
+    )
 
     w = Window.partitionBy("band_idx", "band_key").orderBy(F.col(id_col))
     hot_ranked = hot.select(
@@ -270,6 +293,8 @@ def candidate_pairs(
     )
 
     all_pairs = small_pairs.select("src", "dst").unionByName(
+        salt_pairs.select("src", "dst")
+    ).unionByName(
         hot_pairs.select("src", "dst")
     )
     if collision_threshold > 1:

@@ -261,7 +261,11 @@ def run_pipeline(
         persist=True,
     )
 
-    clusters, cc_rounds = clusters_from_edges(docs, edges.select("src", "dst"))
+    clusters, cc_rounds = clusters_from_edges(
+        docs,
+        edges.select("src", "dst"),
+        driver_threshold=cfg.spark.cc_broadcast_threshold,
+    )
     clusters = stage("clusters", lambda: clusters, ["edges"], {"cc_rounds": cc_rounds})
     metrics["cc_rounds"] = float(cc_rounds)
 

@@ -87,15 +87,19 @@ class TestCandidatePairs:
         s = stats.collect()[0]
         assert s.n_buckets == 1 and s.max_bucket_size == 4
 
-    def test_hot_bucket_star_chain(self, spark):
+    def test_hot_bucket_salted_star_chain(self, spark):
         rows = [(i, 0, 7) for i in range(10)]
         pairs, stats = candidate_pairs(self._bands_df(spark, rows), bucket_cap=5)
         got = {(r.src, r.dst) for r in pairs.collect()}
         star = {(0, i) for i in range(1, 10)}
         chain = {(i, i + 1) for i in range(9)}
-        assert got == star | chain
-        # linear edge count, and every member is connected to min (keeper)
+        # connectivity backbone always present...
+        assert (star | chain) <= got
+        # ...plus salted within-group all-pairs, bounded well below all-pairs
+        assert len(got) < 45  # C(10,2) = full quadratic
         assert stats.collect()[0].n_capped_band_rows == 10
+        # (salt assignment is xxhash64-based inside the JVM; volume bound +
+        # backbone checked here — recall under capping is test_skew's job)
 
     def test_collision_threshold(self, spark):
         # pair (1,2) collides in 2 bands; (3,4) in 1
@@ -161,3 +165,22 @@ class TestVerify:
         )
         pairs = spark.createDataFrame([(0, 1)], "src long, dst long")
         assert verify_jaccard(pairs, feats, 0.8).count() == 0
+
+
+class TestAdaptiveCC:
+    def test_driver_fast_path_equals_distributed(self, spark):
+        import numpy as np
+        rng = np.random.RandomState(3)
+        pairs = [
+            (int(a), int(b))
+            for a, b in zip(rng.randint(0, 200, 150), rng.randint(0, 200, 150))
+            if a != b
+        ]
+        docs = spark.range(200).withColumnRenamed("id", "doc_id")
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        fast, r_fast = clusters_from_edges(docs, edges, driver_threshold=10**6)
+        dist, r_dist = clusters_from_edges(docs, edges, driver_threshold=0)
+        assert r_fast == 0 and r_dist >= 1
+        a = {r.doc_id: r.cluster_id for r in fast.collect()}
+        b = {r.doc_id: r.cluster_id for r in dist.collect()}
+        assert a == b

@@ -71,7 +71,8 @@ def test_capping_bounds_pair_volume(spark, pages):
     capped, stats = candidate_pairs(bands, bucket_cap=4)
     n_uncapped, n_capped = uncapped.count(), capped.count()
     assert stats.collect()[0].n_capped_band_rows > 0
-    # star+chain: <= 2 edges per band row; quadratic blowup gone
-    assert n_capped <= 2 * m * b
+    # star+chain (2/row) + salted all-pairs (~cap/2 per row, hash-skew
+    # slack): linear in bucket size, quadratic blowup gone
+    assert n_capped <= 6 * m * b
     assert n_capped < n_uncapped
     bands.unpersist()
