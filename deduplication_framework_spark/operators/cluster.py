@@ -26,7 +26,7 @@ def _driver_union_find(edges: DataFrame) -> dict:
 
     uf = UnionFind()
     ids = set()
-    for r in edges.select("src", "dst").toLocalIterator():
+    for r in edges.select("src", "dst").collect():
         uf.union(int(r.src), int(r.dst))
         ids.add(int(r.src))
         ids.add(int(r.dst))
