@@ -321,6 +321,74 @@ def q_substring_clusters(spark, sf_dir):
     return res.clusters.select("doc_id", "cluster_id")
 
 
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumsum windows)."""
+    ev = _read(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ev_sess")
+    return spark.sql(
+        """
+        SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+               count(*) AS n_events
+        FROM (
+            SELECT user_id, event_id,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS session_id
+            FROM (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) IS NULL
+                                 OR ts > lag(ts) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id)
+                                    + INTERVAL 30 MINUTES
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM _ev_sess
+            )
+        )
+        GROUP BY user_id
+        """
+    )
+
+
+def q_top_events_per_user(spark, sf_dir):
+    """Top-3 events by value per user (window rank, deterministic ties)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_bpe_ish_token_counts(spark, sf_dir):
+    """Token counting with a BPE-ish regex (letter runs | digit runs |
+    punct runs) — Java and RE2 agree on \\p{L}/\\p{N} classes."""
+    pat = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def q_lang_source_cube(spark, sf_dir):
+    """CUBE rollup over (lang, source) with ALL placeholders."""
+    return (
+        _docs(spark, sf_dir)
+        .cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
 def q_semdedup_decisions(spark, sf_dir):
     """C1+W3: k-means blocking + per-block SemDeDup over the embeddings
     table (iterative MLlib + applyInPandas — rows-only check)."""
@@ -410,6 +478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_clusters": q_substring_clusters,
         "semdedup_decisions": q_semdedup_decisions,
         "sorter_categories": q_sorter_categories,
+        "events_sessions": q_events_sessions,
+        "top_events_per_user": q_top_events_per_user,
+        "bpe_ish_token_counts": q_bpe_ish_token_counts,
+        "lang_source_cube": q_lang_source_cube,
     }
 
 
@@ -530,6 +602,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1
         """,
-        # minhash_clusters / simhash_clusters / substring_clusters:
-        # non-SQL-expressible (LSH banding + iterative CC) → rows-only check
+        "events_sessions": """
+            SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id, event_id,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS session_id
+                FROM (
+                    SELECT user_id, event_id, ts,
+                           CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id) IS NULL
+                                     OR ts > lag(ts) OVER (PARTITION BY user_id
+                                                           ORDER BY ts, event_id)
+                                        + INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END AS new_sess
+                    FROM events
+                )
+            )
+            GROUP BY user_id
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, rn FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "bpe_ish_token_counts": """
+            SELECT doc_id,
+                   length(regexp_extract_all(text,
+                       '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "lang_source_cube": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
+        # minhash_clusters / simhash_clusters / substring_clusters /
+        # semdedup_decisions / sorter_categories: non-SQL-expressible
+        # (LSH banding + iterative CC / MLlib / UDF classification) →
+        # rows-only check
     }
