@@ -125,6 +125,35 @@ def rank_within_blocks(
     return blocked.withColumn("block_rank", F.row_number().over(w))
 
 
+def keep_priority_score(
+    blocked: DataFrame,
+    size_col: str,
+    sim_col: str = "dist_to_centroid",
+    w_sim: float = 0.7,
+    w_size: float = 0.3,
+) -> DataFrame:
+    """W2: combined keep-priority = w_sim*sim_to_centroid +
+    w_size*minmax-normalized size, ranked desc per block (reference
+    image/method/pipeline_api.py:563-579). ``sim_col`` here is distance;
+    similarity = 1 - normalized distance for the same ordering intent."""
+    wspec = Window.partitionBy("block_id")
+    dmin, dmax = F.min(sim_col).over(wspec), F.max(sim_col).over(wspec)
+    smin, smax = F.min(size_col).over(wspec), F.max(size_col).over(wspec)
+    sim_norm = F.when(dmax == dmin, F.lit(1.0)).otherwise(
+        1.0 - (F.col(sim_col) - dmin) / (dmax - dmin)
+    )
+    size_norm = F.when(smax == smin, F.lit(0.0)).otherwise(
+        (F.col(size_col) - smin) / (smax - smin)
+    )
+    scored = blocked.withColumn(
+        "keep_priority", w_sim * sim_norm + w_size * size_norm
+    )
+    order = Window.partitionBy("block_id").orderBy(
+        F.col("keep_priority").desc(), F.col("vec_id")
+    )
+    return scored.withColumn("priority_rank", F.row_number().over(order))
+
+
 def semdedup_within_blocks(
     blocked: DataFrame,
     eps: float = 0.05,

@@ -237,6 +237,32 @@ def minhash_lsh_sequential(
     return labels
 
 
+def permutation_minhash(
+    binary_matrix: np.ndarray, n_sig: int, seed: int = 0
+) -> np.ndarray:
+    """True row-permutation MinHash over a binary characteristic matrix
+    (features x docs): sig[i][col] = first permuted row where col has a 1 —
+    the reference's from-scratch variant
+    (/root/reference/audio/method/LSH_deal_with_photo.py:7-22), with the
+    unseeded np.random.permutation FIXED to a seed (SURVEY.md J7: the
+    reference is nondeterministic; we pin it for testability)."""
+    rng = np.random.RandomState(seed)
+    n_feat, n_docs = binary_matrix.shape
+    sig = np.full((n_sig, n_docs), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(n_sig):
+        perm = rng.permutation(n_feat)
+        permuted = binary_matrix[perm]
+        # first row index with a 1, per column
+        has = permuted.any(axis=0)
+        first = permuted.argmax(axis=0)
+        sig[i] = np.where(has, first, np.iinfo(np.int64).max)
+    return sig
+
+
+def permutation_minhash_jaccard(sig: np.ndarray, a: int, b: int) -> float:
+    return float(np.count_nonzero(sig[:, a] == sig[:, b])) / sig.shape[0]
+
+
 def substring_pairs(
     texts: Sequence[str], min_match_chars: int = 200
 ) -> Set[Tuple[int, int]]:
