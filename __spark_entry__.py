@@ -389,6 +389,24 @@ def q_lang_source_cube(spark, sf_dir):
     )
 
 
+def q_ann_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 per vector — GEMM against a broadcast matrix
+    (mapInPandas); the ANN baseline. Rows-only (float ordering is engine-
+    specific at ties)."""
+    from deduplication_framework_spark.operators.ann import knn_bruteforce
+
+    return knn_bruteforce(_emb(spark, sf_dir), k=5)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (k-means inverted lists, n_probe=4) top-5 — the distributed ANN
+    scale path. Rows-only."""
+    from deduplication_framework_spark.operators.ann import ivf_topk
+
+    results, blocked = ivf_topk(_emb(spark, sf_dir), k=5, n_probe=4)
+    return results.select("vec_id", "neighbor_id", "rank")
+
+
 def q_semdedup_decisions(spark, sf_dir):
     """C1+W3: k-means blocking + per-block SemDeDup over the embeddings
     table (iterative MLlib + applyInPandas — rows-only check)."""
@@ -478,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_clusters": q_substring_clusters,
         "semdedup_decisions": q_semdedup_decisions,
         "sorter_categories": q_sorter_categories,
+        "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessions": q_events_sessions,
         "top_events_per_user": q_top_events_per_user,
         "bpe_ish_token_counts": q_bpe_ish_token_counts,

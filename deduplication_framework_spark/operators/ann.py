@@ -1,0 +1,222 @@
+"""Approximate-nearest-neighbor search over an ``embedding: array<float>``
+column (task mandate: similarity search for training-data pipelines).
+
+Two paths:
+
+* ``knn_bruteforce`` / ``neighbor_counts_bruteforce`` — exact: broadcast the
+  (N x d) matrix, GEMM per partition inside mapInPandas. Right whenever one
+  side fits in executor memory (numpy matmul ≈ 100x the per-pair Catalyst
+  ``aggregate`` expression). The oracle/baseline path.
+
+* ``ivf_topk`` — the scale path: k-means coarse quantizer (IVF), vectors
+  assigned to their nearest centroid's inverted list; each query probes its
+  ``n_probe`` closest lists. Implemented distributed: queries are exploded
+  to (query, probe_block) rows, shuffled to the block's partition, and each
+  block group runs a local GEMM via applyInPandas; a final groupBy takes
+  the global top-k. Only centroids are broadcast — inverted lists stay
+  partitioned, so the pattern survives 10^9 vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def knn_bruteforce(
+    df: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """→ (vec_id, neighbor_id, rank, sim): exact cosine top-k, GEMM against
+    a broadcast matrix."""
+    spark = df.sparkSession
+    ids, mat = _collect_matrix(df, id_col, vec_col)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M, I = b_mat.value, b_ids.value
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = (q / qn) @ M.T  # (batch, N)
+            qids = pdf[id_col].to_numpy()
+            # mask self
+            for bi, qid in enumerate(qids):
+                sims[bi, I == qid] = -np.inf
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            out = []
+            for bi, qid in enumerate(qids):
+                order = top[bi][np.argsort(-sims[bi, top[bi]], kind="stable")]
+                for rank, j in enumerate(order, 1):
+                    out.append((int(qid), int(I[j]), rank, float(sims[bi, j])))
+            yield pd.DataFrame(
+                out, columns=["vec_id", "neighbor_id", "rank", "sim"]
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        op, schema="vec_id long, neighbor_id long, rank int, sim double"
+    )
+
+
+def neighbor_counts_bruteforce(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, n_neighbors): #others with cosine >= threshold (GEMM)."""
+    spark = df.sparkSession
+    ids, mat = _collect_matrix(df, id_col, vec_col)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M, I = b_mat.value, b_ids.value
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = (q / qn) @ M.T
+            qids = pdf[id_col].to_numpy()
+            counts = []
+            for bi, qid in enumerate(qids):
+                mask = I != qid
+                counts.append(int(np.count_nonzero(sims[bi, mask] >= threshold)))
+            yield pd.DataFrame({"vec_id": qids, "n_neighbors": counts})
+
+    out = df.select(id_col, vec_col).mapInPandas(
+        op, schema="vec_id long, n_neighbors long"
+    )
+    return out.filter(F.col("n_neighbors") > 0)
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 10,
+    n_lists: int = None,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Tuple[DataFrame, "object"]:
+    """IVF top-k: → (results_df, kmeans_blocked_df). Only centroids are
+    broadcast; inverted lists stay distributed."""
+    from deduplication_framework_spark.operators.embeddings import (
+        kmeans_block,
+        l2_normalize,
+    )
+
+    spark = df.sparkSession
+    n = df.count()
+    if n_lists is None:
+        n_lists = max(2, int(np.sqrt(n)))
+    normalized = l2_normalize(df, vec_col)
+    blocked = kmeans_block(
+        normalized, n_clusters=n_lists, seed=seed, id_col=id_col, vec_col=vec_col
+    ).persist()
+
+    # centroids from the fitted assignment (mean of members, re-normalized —
+    # reference A5 semantics, image/method/pipeline_api.py:554-556)
+    cent_rows = (
+        blocked.groupBy("block_id")
+        .agg(
+            F.array(
+                *[
+                    F.avg(F.col(vec_col)[i])
+                    for i in range(len(df.select(vec_col).first()[0]))
+                ]
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    cids = np.array([r.block_id for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0
+    cmat = cmat / cnorm
+    b_cids = spark.sparkContext.broadcast(cids)
+    b_cmat = spark.sparkContext.broadcast(cmat)
+    probe = min(n_probe, len(cids))
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C, CI = b_cmat.value, b_cids.value
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = q @ C.T
+            top = np.argsort(-sims, axis=1)[:, :probe]
+            rows = []
+            for bi, qid in enumerate(pdf[id_col].to_numpy()):
+                for j in top[bi]:
+                    rows.append((int(qid), list(pdf[vec_col].iloc[bi]), int(CI[j])))
+            yield pd.DataFrame(rows, columns=["qid", "qvec", "block_id"])
+
+    queries = blocked.select(id_col, vec_col).mapInPandas(
+        probes, schema=f"qid long, qvec array<double>, block_id int"
+    )
+
+    members = blocked.select(
+        "block_id", F.col(id_col).alias("mid"), F.col(vec_col).alias("mvec")
+    )
+
+    tagged = members.select(
+        "block_id",
+        F.col("mid").alias("rid"),
+        F.col("mvec").cast("array<double>").alias("rvec"),
+        F.lit(0).alias("is_query"),
+    ).unionByName(
+        queries.select(
+            "block_id",
+            F.col("qid").alias("rid"),
+            F.col("qvec").alias("rvec"),
+            F.lit(1).alias("is_query"),
+        )
+    )
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        mem = pdf[pdf.is_query == 0]
+        qs = pdf[pdf.is_query == 1]
+        if mem.empty or qs.empty:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id", "sim"])
+        M = np.array(list(mem.rvec), dtype=np.float64)
+        I = mem.rid.to_numpy()
+        Q = np.array(list(qs.rvec), dtype=np.float64)
+        sims = Q @ M.T
+        out = []
+        kk = min(k + 1, sims.shape[1])
+        top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        for bi, qid in enumerate(qs.rid.to_numpy()):
+            for j in top[bi]:
+                if I[j] != qid:
+                    out.append((int(qid), int(I[j]), float(sims[bi, j])))
+        return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "sim"])
+
+    local = tagged.groupBy("block_id").applyInPandas(
+        per_block, schema="vec_id long, neighbor_id long, sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    results = (
+        local.groupBy("vec_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return results, blocked

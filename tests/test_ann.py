@@ -1,0 +1,86 @@
+"""ANN: GEMM brute-force exactness + IVF recall vs brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.operators.ann import (
+    ivf_topk,
+    knn_bruteforce,
+    neighbor_counts_bruteforce,
+)
+
+
+@pytest.fixture(scope="module")
+def ann_df(spark):
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for c in range(8):
+        center = rng.randn(32)
+        center /= np.linalg.norm(center)
+        for _ in range(40):
+            v = center + 0.25 * rng.randn(32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _np_topk(rows, k):
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    out = {}
+    for i, vid in enumerate(ids):
+        order = np.argsort(-sims[i], kind="stable")[:k]
+        out[int(vid)] = [int(ids[j]) for j in order]
+    return out
+
+
+def test_bruteforce_exact(spark, ann_df):
+    rows = sorted(ann_df.collect(), key=lambda r: r.vec_id)
+    expect = _np_topk(rows, 5)
+    got = {}
+    for r in knn_bruteforce(ann_df, k=5).collect():
+        got.setdefault(r.vec_id, {})[r.rank] = r.neighbor_id
+    for vid, nbrs in expect.items():
+        ranked = [got[vid][i] for i in range(1, 6)]
+        # ties at equal sim may swap; compare as sets of the top-5 sims
+        assert set(ranked) == set(nbrs), vid
+
+
+def test_neighbor_counts_matches_pairwise(spark, ann_df):
+    rows = sorted(ann_df.collect(), key=lambda r: r.vec_id)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    expect = {
+        int(r.vec_id): int(np.count_nonzero(sims[i] >= 0.9))
+        for i, r in enumerate(rows)
+        if np.count_nonzero(sims[i] >= 0.9)
+    }
+    got = {
+        r.vec_id: r.n_neighbors
+        for r in neighbor_counts_bruteforce(ann_df, 0.9).collect()
+    }
+    assert got == expect
+
+
+def test_ivf_recall(spark, ann_df):
+    k = 10
+    exact = {}
+    for r in knn_bruteforce(ann_df, k=k).collect():
+        exact.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    approx, blocked = ivf_topk(ann_df, k=k, n_lists=8, n_probe=3)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[v] & got.get(v, set())) / len(exact[v]) for v in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"IVF recall@{k} = {mean_recall:.3f}"
+    blocked.unpersist()
