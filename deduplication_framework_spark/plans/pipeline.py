@@ -70,12 +70,17 @@ def prepare_docs(
         return pages.select(
             F.col(id_col).cast("long").alias("doc_id"), "url", "text", "lang"
         )
-    w = Window.orderBy("warc_ts", "url")
-    return pages.select(
-        (F.row_number().over(w) - 1).cast("long").alias("doc_id"),
-        "url",
-        "text",
-        "lang",
+    # no explicit order column: derive a deterministic dense id over
+    # (warc_ts, url) with the distributed range-sort + zipWithIndex ranker
+    # (a global Window.orderBy would single-partition at corpus scale)
+    from deduplication_framework_spark.operators.suffix_array import _dense_rank
+
+    keyed = pages.select("url", "warc_ts", "text", "lang")
+    ranks = _dense_rank(keyed, ["warc_ts", "url"]).withColumnRenamed(
+        "rank", "doc_id"
+    )
+    return keyed.join(ranks, ["warc_ts", "url"]).select(
+        "doc_id", "url", "text", "lang"
     )
 
 
