@@ -50,6 +50,32 @@ def stream_signatures(
     )
 
 
+def stream_ingest_stats(
+    pages_stream: DataFrame,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked windowed ingest rollup: per (event-time window, lang)
+    page counts + byte volume. Late pages beyond the watermark are dropped;
+    append-mode-safe (state finalizes when the watermark passes the
+    window)."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_duration).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+            "sum_chars",
+        )
+    )
+
+
 class IncrementalExactDedup:
     """foreachBatch handler maintaining a persistent seen-hash state table.
 

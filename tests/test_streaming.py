@@ -78,3 +78,77 @@ def test_stream_signatures_matches_batch(spark, pages, tmp_path):
     )
     expect = {r.url: (tuple(r.sig), r.simhash) for r in batch.collect()}
     assert got == expect and len(got) == 50
+
+
+def test_stream_ingest_stats_watermarked(spark, pages, tmp_path):
+    """Append mode emits a window only after the watermark (set by a PRIOR
+    micro-batch) passes its end — so run two availableNow cycles over a
+    shared checkpoint and compare against the batch-side closed-window
+    oracle."""
+    import datetime
+
+    from deduplication_framework_spark.streaming.incremental import (
+        stream_ingest_stats,
+    )
+
+    src = str(tmp_path / "agg_src")
+    ckpt = str(tmp_path / "agg_ckpt")
+    out = str(tmp_path / "agg_out")
+
+    def run_once():
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        agg = stream_ingest_stats(stream, "10 minutes", "5 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_batch(spark, pages, 0, 300, src)
+    run_once()
+    batch1_max = (
+        spark.read.schema(PAGES_SCHEMA).parquet(src)
+        .agg(F.max("warc_ts")).collect()[0][0]
+    )
+    _write_batch(spark, pages, 300, 600, src)
+    run_once()
+
+    emitted = spark.read.parquet(out)
+    erows = emitted.collect()
+    assert erows, "watermark must have closed at least one window"
+
+    # semantic properties of append-mode emission (availableNow may chunk
+    # into several internal micro-batches, so the exact emitted SET depends
+    # on internal file batching — the guarantees do not):
+    batch = spark.read.schema(PAGES_SCHEMA).parquet(src)
+    global_max = batch.agg(F.max("warc_ts")).collect()[0][0]
+    expect = {
+        (r.window_start, r.lang): (r.n_pages, r.sum_chars)
+        for r in batch.groupBy(
+            F.window("warc_ts", "10 minutes").alias("w"), "lang"
+        )
+        .agg(F.count("*").alias("n_pages"), F.sum(F.length("text")).alias("sum_chars"))
+        .select(F.col("w.start").alias("window_start"), "lang", "n_pages", "sum_chars")
+        .collect()
+    }
+    seen = set()
+    for r in erows:
+        # 1. emitted only once
+        assert (r.window_start, r.lang) not in seen
+        seen.add((r.window_start, r.lang))
+        # 2. only windows the final watermark could have closed
+        assert r.window_end <= global_max - datetime.timedelta(minutes=5)
+        # 3. counts are FINAL — equal to the batch rollup for that window
+        assert (r.n_pages, r.sum_chars) == expect[(r.window_start, r.lang)]
+    # 4. every batch-1 window strictly older than the run-1 watermark made it
+    cutoff1 = batch1_max - datetime.timedelta(minutes=5)
+    must_emit = {
+        (k, lang)
+        for (k, lang) in expect
+        if k + datetime.timedelta(minutes=10) <= cutoff1
+    }
+    assert must_emit <= seen
