@@ -130,31 +130,40 @@ def run_scaling():
     signature/banding compute dominates and the scaling signal is real."""
     from pyspark.sql import SparkSession
 
-    n = max(100_000, N_PAGES)
+    n = int(os.environ.get("BENCH_SCALE_PAGES", str(max(100_000, N_PAGES))))
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
+    # interleave configs and keep the per-config MINIMUM: the sandbox host's
+    # throughput fluctuates (shared machine), and min-of-interleaved is the
+    # standard defense — a slow phase then penalizes both configs equally
+    times = {8: [], 32: []}
+    for _rep in range(reps):
+        for cores in (8, 32):
+            active = SparkSession.getActiveSession()
+            if active:
+                active.stop()
+            spark = get_spark(
+                app_name=f"bench-scaling-{cores}",
+                master=f"local[{cores}]",
+                shuffle_partitions=cores,
+            )
+            pages = materialized_pages(spark, n, cores * 2)
+            t0 = time.time()
+            res = run_pipeline(
+                spark, pages, PipelineConfig(), detectors=["exact", "minhash"],
+                collect_stats=False,
+            )
+            res.keepers.count()
+            times[cores].append(time.time() - t0)
+            pages.unpersist()
+            spark.stop()
     out = {}
     for cores in (8, 32):
-        active = SparkSession.getActiveSession()
-        if active:
-            active.stop()
-        spark = get_spark(
-            app_name=f"bench-scaling-{cores}",
-            master=f"local[{cores}]",
-            shuffle_partitions=cores,
-        )
-        pages = materialized_pages(spark, n, cores * 2)
-        t0 = time.time()
-        res = run_pipeline(
-            spark, pages, PipelineConfig(), detectors=["exact", "minhash"],
-            collect_stats=False,
-        )
-        res.keepers.count()
-        dt = time.time() - t0
+        best = min(times[cores])
         out[f"local[{cores}]"] = {
-            "sec": round(dt, 3),
-            "docs_per_sec": round(n / dt, 1),
+            "sec": round(best, 3),
+            "docs_per_sec": round(n / best, 1),
+            "all_runs_sec": [round(t, 1) for t in times[cores]],
         }
-        pages.unpersist()
-        spark.stop()
     t8, t32 = out["local[8]"]["sec"], out["local[32]"]["sec"]
     eff = (t8 / t32) / 4.0
     out["speedup_8_to_32"] = round(t8 / t32, 3)

@@ -70,7 +70,11 @@ class SparkExecConfig:
     shuffle_partitions: int = 32
     # LSH skew handling (north_rule): buckets larger than this are salted into
     # ceil(size/cap) sub-buckets; capped-bucket counts land in _metrics.
-    bucket_cap: int = 2000
+    # 256 bounds any bucket to ~32k verification pairs; boilerplate buckets
+    # (not mutual dups — their pairs fail verification anyway) stop wasting
+    # quadratic verify work, while true-dup hot buckets stay connected
+    # through the salt groups + star/chain backbone and CC.
+    bucket_cap: int = 256
     # broadcast the CC frontier when it drops under this many rows
     cc_broadcast_threshold: int = 1_000_000
     checkpoint_dir: Optional[str] = None  # table-store root; None = no checkpoints
