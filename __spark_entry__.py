@@ -407,6 +407,24 @@ def q_ann_ivf_topk(spark, sf_dir):
     return results.select("vec_id", "neighbor_id", "rank")
 
 
+def q_props_json_stats(spark, sf_dir):
+    """S4 analog: JSON payload field extraction + rollup (the reference's
+    JSON sniffing, as a column op over the events props JSON)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k_val", F.get_json_object("props", "$.k").cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k_val").alias("n_with_k"),
+            F.sum("k_val").alias("sum_k"),
+            F.min("k_val").alias("min_k"),
+            F.max("k_val").alias("max_k"),
+        )
+    )
+
+
 def q_semdedup_decisions(spark, sf_dir):
     """C1+W3: k-means blocking + per-block SemDeDup over the embeddings
     table (iterative MLlib + applyInPandas — rows-only check)."""
@@ -500,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessions": q_events_sessions,
         "top_events_per_user": q_top_events_per_user,
+        "props_json_stats": q_props_json_stats,
         "bpe_ish_token_counts": q_bpe_ish_token_counts,
         "lang_source_cube": q_lang_source_cube,
     }
@@ -649,6 +668,17 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id) AS rn
                 FROM events
             ) WHERE rn <= 3
+        """,
+        "props_json_stats": """
+            SELECT event_type,
+                   count(k_val) AS n_with_k, sum(k_val) AS sum_k,
+                   min(k_val) AS min_k, max(k_val) AS max_k
+            FROM (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+                FROM events
+            )
+            GROUP BY 1
         """,
         "bpe_ish_token_counts": """
             SELECT doc_id,

@@ -113,7 +113,11 @@ def make_lsh_features_udf(
     )
     max_words, max_grams = ded.max_words, ded.max_char_grams
 
-    @pandas_udf(T.ArrayType(T.LongType()))
+    # 32-bit hashed features: with <=400 features/doc the within- and
+    # cross-doc collision probability (~400^2/2^32 ≈ 4e-5) is far below the
+    # 1/400 Jaccard granularity, and the arrays cost half the shuffle bytes
+    # of 64-bit — verification is join-bound, not compute-bound.
+    @pandas_udf(T.ArrayType(T.IntegerType()))
     def lsh_features(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
@@ -123,8 +127,10 @@ def make_lsh_features_udf(
                 feats.extend(K.lsh_word_tokens(norm, max_words))
             feats.extend(K.lsh_char_grams(norm, n, max_grams))
             if feats:
-                hashed = np.unique(K.hash_features_u64(feats))
-                out.append(_u64_to_i64(hashed).tolist())
+                hashed = np.unique(
+                    K.hash_features_u64(feats).astype(np.uint32)
+                )
+                out.append(hashed.view(np.int32).tolist())
             else:
                 out.append([])
         return pd.Series(out)

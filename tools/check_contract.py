@@ -45,6 +45,15 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    if not only:
+        try:
+            edf = entrymod.entry(spark)
+            n = edf.count()
+            print(f"entry(): {n} rows, schema {edf.schema.simpleString()[:80]}")
+            assert n >= 0
+        except Exception as e:
+            failures.append("entry")
+            print(f"FAIL  entry(): {e}")
     for name, fn in qs.items():
         if only and name not in only:
             continue
