@@ -122,6 +122,24 @@ def main():
     print(json.dumps(line))
 
 
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    c = 0
+    while time.time() - t0 < seconds:
+        c += 1
+    return c
+
+
+def _effective_cores(seconds: float = 1.0) -> float:
+    """Measure the host's ACTUAL parallel CPU supply (the sandbox VM's
+    backing fluctuates): 32 spinning processes, total/maximum work ratio."""
+    import multiprocessing as mp
+
+    with mp.Pool(32) as p:
+        res = p.map(_burn, [seconds] * 32)
+    return round(sum(res) / max(res), 1)
+
+
 def run_scaling():
     """Same minhash job at local[8] and local[32] on the identical corpus.
 
@@ -136,11 +154,13 @@ def run_scaling():
     # throughput fluctuates (shared machine), and min-of-interleaved is the
     # standard defense — a slow phase then penalizes both configs equally
     times = {8: [], 32: []}
+    supply = {8: [], 32: []}
     for _rep in range(reps):
         for cores in (8, 32):
             active = SparkSession.getActiveSession()
             if active:
                 active.stop()
+            supply[cores].append(_effective_cores())
             spark = get_spark(
                 app_name=f"bench-scaling-{cores}",
                 master=f"local[{cores}]",
@@ -163,6 +183,7 @@ def run_scaling():
             "sec": round(best, 3),
             "docs_per_sec": round(n / best, 1),
             "all_runs_sec": [round(t, 1) for t in times[cores]],
+            "host_effective_cores_before_runs": supply[cores],
         }
     t8, t32 = out["local[8]"]["sec"], out["local[32]"]["sec"]
     eff = (t8 / t32) / 4.0
@@ -181,12 +202,15 @@ def _write_bench_md(out, n):
 North-rule criterion: >=0.8 throughput scaling efficiency from N to 4N
 executors. No real cluster exists in this sandbox, so the evidence is the
 same MinHash+exact dedup job on the identical {n}-doc synthetic pages corpus
-at two local parallelism levels (8 vs 32 cores, same machine, same input):
+at two local parallelism levels (8 vs 32 cores, same machine, same input).
+Runs are interleaved and the per-config minimum is reported — the sandbox
+host's throughput fluctuates several-fold between runs (co-tenancy), so
+single measurements are unreliable:
 
-| cores | wall sec | docs/sec |
-|---|---|---|
-| local[8]  | {out['local[8]']['sec']} | {out['local[8]']['docs_per_sec']} |
-| local[32] | {out['local[32]']['sec']} | {out['local[32]']['docs_per_sec']} |
+| cores | best wall sec | docs/sec | all reps (sec) |
+|---|---|---|---|
+| local[8]  | {out['local[8]']['sec']} | {out['local[8]']['docs_per_sec']} | {out['local[8]']['all_runs_sec']} |
+| local[32] | {out['local[32]']['sec']} | {out['local[32]']['docs_per_sec']} | {out['local[32]']['all_runs_sec']} |
 
 speedup 8→32 (4x cores): **{out['speedup_8_to_32']}x**
 scaling efficiency (speedup/4): **{out['scaling_efficiency']}**

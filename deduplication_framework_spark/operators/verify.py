@@ -19,8 +19,12 @@ configured threshold (|A|/|B| >= J whenever J â‰¥ Î¸ requires |Aâˆ©B| â‰¥ Î¸|Aâˆ
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
 
 from deduplication_framework_spark.functions.text import hamming_expr, jaccard_expr
 
@@ -35,6 +39,29 @@ def _attach(pairs: DataFrame, feats: DataFrame, id_col: str, cols) -> DataFrame:
     return pairs.join(fa, "src").join(fb, "dst")
 
 
+def make_sorted_jaccard_udf():
+    """Arrow UDF: exact Jaccard of two SORTED-DISTINCT arrays via
+    np.intersect1d(assume_unique=True) â€” a linear merge. Spark's builtin
+    array_intersect allocates a hash set per row, which measured at ~1ms of
+    JVM CPU per 400-element pair (346 CPU-seconds for 313k candidate pairs
+    at 100k docs); the merge path is ~30x cheaper. Both-empty â†’ 1.0
+    (reference pipeline_api.py:478-485)."""
+    @pandas_udf(T.DoubleType())
+    def sorted_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.float64)
+        for i, (xs, ys) in enumerate(zip(a, b)):
+            nx = 0 if xs is None else len(xs)
+            ny = 0 if ys is None else len(ys)
+            if nx == 0 and ny == 0:
+                out[i] = 1.0
+                continue
+            inter = np.intersect1d(xs, ys, assume_unique=True).size
+            out[i] = inter / (nx + ny - inter)
+        return pd.Series(out)
+
+    return sorted_jaccard
+
+
 def verify_jaccard(
     pairs: DataFrame,
     features: DataFrame,
@@ -42,8 +69,14 @@ def verify_jaccard(
     id_col: str = "doc_id",
     feat_col: str = "shingles",
     size_prefilter: bool = True,
+    use_sorted_udf: bool = True,
 ) -> DataFrame:
-    """â†’ edges(src, dst, sim) with sim = exact Jaccard >= threshold."""
+    """â†’ edges(src, dst, sim) with sim = exact Jaccard >= threshold.
+
+    ``use_sorted_udf`` (default): linear-merge Jaccard via Arrow UDF â€”
+    requires the feature arrays to be sorted-distinct (all our feature UDFs
+    emit np.unique output). Set False for arbitrary arrays (JVM
+    array_intersect path)."""
     joined = _attach(pairs, features, id_col, [feat_col])
     a, b = F.col(f"{feat_col}_a"), F.col(f"{feat_col}_b")
     if size_prefilter and threshold > 0:
@@ -52,8 +85,9 @@ def verify_jaccard(
         joined = joined.filter(
             (sa >= threshold * sb) & (sb >= threshold * sa)
         )
+    sim = make_sorted_jaccard_udf()(a, b) if use_sorted_udf else jaccard_expr(a, b)
     return (
-        joined.withColumn("sim", jaccard_expr(a, b))
+        joined.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("src", "dst", "sim")
     )
