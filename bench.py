@@ -14,9 +14,10 @@ Env:
   BENCH_PAGES          (override synthetic corpus size)
 
 ``python bench.py --scaling`` additionally runs the minhash pipeline at
-local[8] and local[32] on the identical corpus and writes
-BENCH/BASELINE.md with both throughputs + scaling efficiency (the sandbox
-proxy for the north rule's N → 4N executor criterion).
+local[8] and local[32] on the identical corpus (interleaved reps, min per
+config, host-CPU-supply probes) and writes BENCH/scaling_last_run.md.
+The curated analysis lives in BENCH/BASELINE.md (the sandbox proxy for
+the north rule's N → 4N executor criterion).
 """
 
 from __future__ import annotations
@@ -195,7 +196,7 @@ def run_scaling():
 
 def _write_bench_md(out, n):
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as fh:
+    with open("BENCH/scaling_last_run.md", "w") as fh:
         fh.write(
             f"""# BENCH — throughput & scaling (sandbox proxy)
 
