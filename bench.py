@@ -95,7 +95,7 @@ def main():
         "exact_dup_groups",
         "normalize_text",
         "token_counts",
-        "cosine_neighbor_counts",
+        "ann_topk_bruteforce",
         "lineitem_pricing_summary",
         "orders_per_customer_nation",
     ]:
