@@ -43,20 +43,53 @@ from typing import Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def _dense_rank(keys: DataFrame, key_cols) -> DataFrame:
-    """Globally dense-rank distinct keys: range-partitioned sort +
-    zipWithIndex (one extra job to size partitions, one to assign — no
-    single-partition window). Returns key_cols + rank."""
-    distinct = keys.select(*key_cols).distinct().orderBy(*key_cols)
-    spark = distinct.sparkSession
-    out_schema = T.StructType(
-        list(distinct.schema.fields) + [T.StructField("rank", T.LongType(), False)]
+    """Globally dense-rank distinct keys: range-partitioned sort + a
+    two-pass partition-offset assignment (the distributed zipWithIndex
+    pattern), Arrow-native end to end — no single-partition window and no
+    per-row Python objects. Returns key_cols + rank."""
+    sorted_keys = (
+        keys.select(*key_cols)
+        .distinct()
+        .orderBy(*key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
-    ranked = distinct.rdd.zipWithIndex().map(lambda kv: (*kv[0], kv[1]))
-    return spark.createDataFrame(ranked, schema=out_schema)
+    counts = {
+        r._pid: r.n
+        for r in sorted_keys.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in keys.select(*key_cols).schema.fields
+    )
+
+    def assign(batches):
+        import pandas as pd  # noqa: F811 (executor-side)
+
+        local = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            base = offsets.get(pid, 0) + local
+            out = pdf.drop(columns=["_pid"])
+            out["rank"] = range(base, base + len(pdf))
+            local += len(pdf)
+            yield out
+
+    ranked = sorted_keys.mapInPandas(
+        assign, schema=f"{out_fields}, rank long"
+    )
+    return ranked
 
 
 def suffix_ranks(
@@ -73,6 +106,13 @@ def suffix_ranks(
     equality. ``len`` = doc length (carried for the >=L filter).
     """
     L = min_match_chars
+    # Direct mode: when ceil(L/2)-char sort keys are affordable (the common
+    # L<=1024 config), rank suffixes by their first ceil(L/2) chars in ONE
+    # distributed sort — the doubling loop then has nothing to do, and the
+    # whole pass is ~4 shuffles instead of ~3 per doubling round. Prefix
+    # doubling remains the path for large L (long-key sorts get expensive).
+    if k0 >= 8 and L <= 1024:
+        k0 = (L + 1) // 2
     k0 = min(k0, L)
     suffixes = docs.select(
         F.col(id_col).alias("doc_id"),

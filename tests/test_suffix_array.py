@@ -90,3 +90,42 @@ def test_planted_corpus_substring_class(spark, pages):
     assert len(expected) > 10
     missing = expected - got
     assert not missing, f"missed: {sorted(missing)[:5]}"
+
+
+def test_doubling_path_matches_direct(spark):
+    """Force small k0 (prefix-doubling path) and verify identical pairs to
+    the direct-sort path and the LCS oracle."""
+    rng = np.random.RandomState(7)
+    alpha = "abcd"
+    base = "".join(alpha[i] for i in rng.randint(0, 4, 50))
+    texts = []
+    for i in range(10):
+        t = "".join(alpha[i] for i in rng.randint(0, 4, 150))
+        if i % 2 == 0:
+            cut = rng.randint(0, 120)
+            t = t[:cut] + base + t[cut:]
+        texts.append(t)
+    L = 30
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    expect = substring_pairs(texts, L)
+
+    from deduplication_framework_spark.operators.suffix_array import (
+        substring_buckets,
+    )
+    from deduplication_framework_spark.operators.lsh import candidate_pairs
+
+    for k0 in (4, 8):  # 4 forces doubling rounds; 8 -> direct (k0=15)
+        bands = substring_buckets(docs, L, k0=k0)
+        pairs, _ = candidate_pairs(bands, bucket_cap=1)
+        # candidate cliques + CC-equivalence: compare transitive closures
+        from deduplication_framework_spark.oracle.numpy_oracle import (
+            clusters_to_pairs,
+            pairs_to_labels,
+        )
+        got_raw = {(r.src, r.dst) for r in pairs.collect()}
+        ids = list(range(10))
+        got = clusters_to_pairs(pairs_to_labels(ids, got_raw)) & {
+            (a, b) for a in ids for b in ids if a < b
+        }
+        expect_cc = clusters_to_pairs(pairs_to_labels(ids, expect))
+        assert got == expect_cc, f"k0={k0}"
