@@ -100,6 +100,11 @@ def run_pipeline(
     config hash matches (resumable restarts).
     """
     cfg = cfg or PipelineConfig()
+    unknown = set(detectors) - set(ALL_DETECTORS)
+    if unknown:
+        raise ValueError(
+            f"unknown detector(s) {sorted(unknown)}; valid: {ALL_DETECTORS}"
+        )
     chash = cfg.config_hash()
     metrics: Dict[str, float] = {}
 
