@@ -166,3 +166,27 @@ class TestGreedyEquivalence:
         cc = O.pairs_to_labels(len(feats), edges)
         cc_pairs = O.clusters_to_pairs(cc)
         assert O.dup_pair_recall(greedy_pairs, cc_pairs) == 1.0
+
+
+class TestAlternateConfigParity:
+    """The recall contract holds at non-default shingle/band configs too
+    (BASELINE.json: 'at identical shingle/band/row/bit-width configs')."""
+
+    def test_recall_theta09_perm64(self, spark, pages, texts):
+        txts, _ = texts
+        cfg = PipelineConfig()
+        cfg.dedup.threshold = 0.9
+        cfg.dedup.num_perm = 64
+        cfg.embedding.ngram_size = 4
+        res = run_pipeline(
+            spark, pages, cfg, detectors=["exact", "minhash"], verify=False
+        )
+        our_pairs, _ = _cluster_pairs(res.clusters)
+        b, r = K.optimal_band_param(0.9, 64)
+        oracle = O.minhash_lsh_sequential(
+            txts, ngram_size=4, num_perm=64, threshold=0.9, b=b, r=r
+        )
+        ref_pairs = O.clusters_to_pairs(oracle)
+        assert len(ref_pairs) > 20
+        recall = O.dup_pair_recall(ref_pairs, our_pairs)
+        assert recall >= 0.99, f"recall {recall:.4f} at theta=0.9/perm=64/n=4"
