@@ -128,16 +128,31 @@ def q_token_counts(spark, sf_dir):
 
 def q_length_band_candidates(spark, sf_dir):
     """P9: the reference's length-ratio candidate prefilter as a band join —
-    per doc, how many partners pass n_chars ratio ∈ [0.5, 2]."""
+    per doc, how many partners pass n_chars ratio ∈ [0.5, 2].
+
+    Plan: equi-join on floor(log2(n_chars)) buckets (a ratio in [0.5, 2]
+    spans at most one adjacent log-bucket, so each probe row explodes to 3
+    bucket keys), THEN the exact ratio predicate — a shuffle hash join
+    instead of the O(N²) BroadcastNestedLoopJoin a pure non-equi join plans
+    (VERDICT round 1, What's wrong #2)."""
     d = _docs(spark, sf_dir)
-    a = d.select(F.col("doc_id").alias("src"), F.col("n_chars").alias("ca"))
-    b = d.select(F.col("doc_id").alias("dst"), F.col("n_chars").alias("cb"))
+    lb = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast("int")
+    a = d.select(
+        F.col("doc_id").alias("src"),
+        F.col("n_chars").alias("ca"),
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("bucket"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("dst"),
+        F.col("n_chars").alias("cb"),
+        lb.alias("bucket"),
+    )
     return (
-        a.join(
-            b,
+        a.join(b, "bucket")
+        .filter(
             (F.col("src") < F.col("dst"))
             & (F.col("ca") >= 0.5 * F.col("cb"))
-            & (F.col("ca") <= 2.0 * F.col("cb")),
+            & (F.col("ca") <= 2.0 * F.col("cb"))
         )
         .groupBy("src")
         .agg(F.count("*").alias("n_candidates"))
@@ -208,23 +223,18 @@ def q_embedding_norms(spark, sf_dir):
 
 
 def q_cosine_neighbor_counts(spark, sf_dir):
-    """J13 analog: per vector, #others with cosine >= 0.2 (unit-norm corpus →
-    dot product). Brute-force baseline for ANN; integer output keeps the
-    cross-engine hash stable."""
-    e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    """J13 analog: per vector, #others with raw dot >= 0.2 (unit-norm
+    corpus → dot = cosine). Computed with the broadcast-GEMM operator
+    (operators/ann.py) in float64 without re-normalization — same exact
+    counts as the per-pair SQL oracle at ~100x less compute than the
+    round-1 O(N²) join with a per-pair Catalyst aggregate (VERDICT round 1,
+    What's wrong #3)."""
+    from deduplication_framework_spark.operators.ann import (
+        neighbor_counts_bruteforce,
     )
-    return (
-        a.join(b, F.col("vec_id") != F.col("vid_b"))
-        .withColumn("dot", dot)
-        .filter(F.col("dot") >= 0.2)
-        .groupBy("vec_id")
-        .agg(F.count("*").alias("n_neighbors"))
+
+    return neighbor_counts_bruteforce(
+        _emb(spark, sf_dir), threshold=0.2, normalize=False
     )
 
 
@@ -572,12 +582,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "doc_stats_by_lang": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    round(avg(n_chars), 2) AS avg_chars
             FROM documents GROUP BY 1
         """,
         "source_rollup": """
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    count(DISTINCT lang) AS n_langs
             FROM documents GROUP BY 1
         """,
@@ -671,7 +683,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "props_json_stats": """
             SELECT event_type,
-                   count(k_val) AS n_with_k, sum(k_val) AS sum_k,
+                   count(k_val) AS n_with_k,
+                   CAST(sum(k_val) AS BIGINT) AS sum_k,
                    min(k_val) AS min_k, max(k_val) AS max_k
             FROM (
                 SELECT event_type,
@@ -689,7 +702,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_cube": """
             SELECT coalesce(lang, 'ALL') AS lang,
                    coalesce(source, 'ALL') AS source,
-                   count(*) AS n_docs, sum(n_chars) AS sum_chars
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY CUBE (lang, source)
         """,
         # minhash_clusters / simhash_clusters / substring_clusters /

@@ -86,6 +86,8 @@ def main():
     results["pages_simhash_e2e"] = round(sec, 3)
     sec, _ = _timed(bench_pages_pipeline(spark, pages, ["substring"]))
     results["pages_substring_e2e"] = round(sec, 3)
+    sec, _ = _timed(bench_pages_pipeline(spark, pages, ["suffix_array"]))
+    results["pages_suffix_array_e2e"] = round(sec, 3)
 
     import __spark_entry__ as entrymod
 

@@ -74,8 +74,9 @@ def main(argv=None) -> int:
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     res.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
 
+    elapsed = round(time.time() - t0, 2)
     summary = {
-        "elapsed_sec": round(time.time() - t0, 2),
+        "elapsed_sec": elapsed,
         "docs": res.docs.count(),
         "keepers": res.keepers.count(),
         "cc_rounds": res.cc_rounds,
@@ -85,6 +86,18 @@ def main(argv=None) -> int:
     print(json.dumps(summary))
     with open(f"{args.output}/summary.json", "w") as fh:
         json.dump(summary, fh, indent=2)
+
+    from deduplication_framework_spark.plans.report import render_report
+
+    report = render_report(
+        res,
+        detectors=[d.strip() for d in args.detectors.split(",") if d.strip()],
+        elapsed_sec=elapsed,
+        config_hash=cfg.config_hash(),
+        store=store,
+    )
+    with open(f"{args.output}/report.md", "w") as fh:
+        fh.write(report)
     return 0
 
 

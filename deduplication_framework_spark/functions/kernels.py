@@ -142,24 +142,37 @@ def minhash_permutations(num_perm: int, seed: int = 1) -> np.ndarray:
     return perms
 
 
-def minhash_signature(
-    feature_bytes: Sequence[bytes], permutations: np.ndarray
+def minhash_from_hashvalues(
+    hv: np.ndarray, permutations: np.ndarray
 ) -> np.ndarray:
-    """uint64[num_perm] signature. Empty feature list → all _MAX_HASH
-    (datasketch's initial hashvalues)."""
+    """uint64[num_perm] signature from precomputed 32-bit feature hashes —
+    lets callers that already hold the sha1 digests (the fused feature UDF
+    shares one digest between the 32-bit MinHash hash and the 64-bit shingle
+    id) skip re-hashing. Empty input → all _MAX_HASH (datasketch's initial
+    hashvalues)."""
     a, b = permutations
     num_perm = a.shape[0]
-    if not feature_bytes:
+    if hv.size == 0:
         return np.full(num_perm, _MAX_HASH, dtype=np.uint64)
-    hv = np.fromiter(
-        (sha1_hash32(f) for f in feature_bytes), dtype=np.uint64,
-        count=len(feature_bytes),
-    )
     # same uint64 wraparound semantics as the numpy expression in datasketch
     phv = np.bitwise_and(
         (hv[:, None] * a[None, :] + b[None, :]) % _MERSENNE_PRIME, _MAX_HASH
     )
     return phv.min(axis=0)
+
+
+def minhash_signature(
+    feature_bytes: Sequence[bytes], permutations: np.ndarray
+) -> np.ndarray:
+    """uint64[num_perm] signature. Empty feature list → all _MAX_HASH
+    (datasketch's initial hashvalues)."""
+    if not feature_bytes:
+        return np.full(permutations.shape[1], _MAX_HASH, dtype=np.uint64)
+    hv = np.fromiter(
+        (sha1_hash32(f) for f in feature_bytes), dtype=np.uint64,
+        count=len(feature_bytes),
+    )
+    return minhash_from_hashvalues(hv, permutations)
 
 
 def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -295,6 +308,9 @@ def simhash_band_layout(f: int = 64, dist: int = 10) -> List[tuple]:
 
 _KR_BASE = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd → invertible mod 2^64
 _KR_BASE_INV = np.uint64(pow(int(_KR_BASE), -1, 1 << 64))
+# independent second base for the 128-bit L-gram key (xorshift* multiplier)
+_KR_BASE2 = np.uint64(0x2545F4914F6CDD1D | 1)
+_KR_BASE2_INV = np.uint64(pow(int(_KR_BASE2), -1, 1 << 64))
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -306,7 +322,12 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def rolling_kgram_hashes(text: str, kgram: int) -> np.ndarray:
+def rolling_kgram_hashes(
+    text: str,
+    kgram: int,
+    base: np.uint64 = _KR_BASE,
+    base_inv: np.uint64 = _KR_BASE_INV,
+) -> np.ndarray:
     """All k-gram hashes of `text`, vectorized: Karp-Rabin over the exact
     ring Z/2^64 (position factored out via modular inverse powers), then a
     splitmix64 finalizer. ~20x faster than per-substring sha1 — this is the
@@ -320,11 +341,11 @@ def rolling_kgram_hashes(text: str, kgram: int) -> np.ndarray:
             text.encode("utf-32-le"), dtype=np.uint32
         ).astype(np.uint64)
         inv_pows = np.cumprod(
-            np.concatenate(([np.uint64(1)], np.full(n - 1, _KR_BASE_INV))),
+            np.concatenate(([np.uint64(1)], np.full(n - 1, base_inv))),
             dtype=np.uint64,
         )
         pows = np.cumprod(
-            np.concatenate(([np.uint64(1)], np.full(m - 1, _KR_BASE))),
+            np.concatenate(([np.uint64(1)], np.full(m - 1, base))),
             dtype=np.uint64,
         )
         q = np.zeros(n + 1, dtype=np.uint64)
@@ -332,6 +353,20 @@ def rolling_kgram_hashes(text: str, kgram: int) -> np.ndarray:
         # H[i] = (Q[i+k] - Q[i]) * B^i  — position-independent k-gram hash
         h = (q[kgram : kgram + m] - q[:m]) * pows
         return _splitmix64(h)
+
+
+def lgram_hashes128(text: str, lgram: int) -> tuple:
+    """(h1, h2) uint64 arrays — the distinct L-gram 128-bit rolling-hash
+    keys of `text` (two independent Karp-Rabin bases, deduplicated as
+    pairs). 128 bits keeps the spurious-bucket birthday bound negligible at
+    corpus scale (~10^14 positions → ~2^93 headroom), where a single 64-bit
+    key would manufacture ~10^8 false pairs."""
+    h1 = rolling_kgram_hashes(text, lgram)
+    if h1.size == 0:
+        return h1, h1
+    h2 = rolling_kgram_hashes(text, lgram, _KR_BASE2, _KR_BASE2_INV)
+    both = np.unique(np.stack([h1, h2], axis=1), axis=0)
+    return both[:, 0], both[:, 1]
 
 
 def sliding_min(values: np.ndarray, window: int) -> np.ndarray:

@@ -237,6 +237,127 @@ def make_winnow_udf(kgram: int, window: int):
 
 
 # ---------------------------------------------------------------------------
+# UDF family 6: fused per-doc featurization — ONE Arrow pass for every
+# detector (round-2 perf headline; VERDICT.md round 1 "Next round" #2)
+# ---------------------------------------------------------------------------
+
+
+def make_fused_features_udf(
+    emb: TextEmbeddingConfig,
+    ded: TextDedupConfig,
+    *,
+    with_minhash: bool = False,
+    with_lsh_feats: bool = False,
+    with_simhash: bool = False,
+    with_winnow: bool = False,
+    kgram: int = 0,
+    window: int = 0,
+    include_words: bool = True,
+):
+    """text → struct of every enabled detector's per-doc features in ONE
+    Arrow pass over the corpus.
+
+    Replaces the separate minhash / lsh-features / simhash / winnow UDF
+    stages: normalization runs once per doc (it was repeated per detector),
+    and the MinHash 32-bit feature hash and the 64-bit shingle id are sliced
+    from the SAME sha1 digest (datasketch's low-4-bytes vs our low-8-bytes —
+    one digest per distinct feature instead of two). A per-batch digest cache
+    dedups repeated features across docs. Output values are bit-identical to
+    the single-purpose UDFs (pinned by tests/test_kernels.py).
+    """
+    n = max(1, emb.ngram_size)
+    lc, strip, collapse, mode = (
+        emb.lowercase,
+        emb.strip_non_alnum,
+        emb.collapse_whitespace,
+        emb.strip_mode,
+    )
+    num_perm, max_words, max_grams = ded.num_perm, ded.max_words, ded.max_char_grams
+    perms = K.minhash_permutations(num_perm) if with_minhash else None
+    need_feats = with_minhash or with_lsh_feats
+    need_norm = need_feats or with_simhash
+
+    fields = []
+    if with_minhash:
+        fields.append(T.StructField("sig", T.ArrayType(T.LongType())))
+    if with_lsh_feats:
+        fields.append(T.StructField("shingles", T.ArrayType(T.IntegerType())))
+    if with_simhash:
+        fields.append(T.StructField("simhash", T.LongType()))
+    if with_winnow:
+        fields.append(T.StructField("winnow", T.ArrayType(T.LongType())))
+    if not fields:
+        raise ValueError("make_fused_features_udf: no feature family enabled")
+    out_type = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    @pandas_udf(out_type)
+    def fused_features(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+        import struct as _struct
+
+        cols: dict = {name: [] for name in names}
+        digest_cache: dict = {}
+
+        def digest(feat: str) -> bytes:
+            d = digest_cache.get(feat)
+            if d is None:
+                d = hashlib.sha1(feat.encode("utf-8")).digest()
+                digest_cache[feat] = d
+            return d
+
+        for t in texts:
+            raw = t or ""
+            norm = (
+                K.normalize_text(raw, lc, strip, collapse, mode)
+                if need_norm
+                else ""
+            )
+            digs: list = []
+            if need_feats:
+                feats = []
+                if include_words:
+                    feats.extend(K.lsh_word_tokens(norm, max_words))
+                feats.extend(K.lsh_char_grams(norm, n, max_grams))
+                digs = [digest(f) for f in feats]
+            if with_minhash:
+                hv = np.fromiter(
+                    (_struct.unpack("<I", d[:4])[0] for d in digs),
+                    dtype=np.uint64,
+                    count=len(digs),
+                )
+                sig = K.minhash_from_hashvalues(hv, perms)
+                cols["sig"].append(sig.astype(np.int64).tolist())
+            if with_lsh_feats:
+                if digs:
+                    u64 = np.fromiter(
+                        (_struct.unpack("<Q", d[:8])[0] for d in digs),
+                        dtype=np.uint64,
+                        count=len(digs),
+                    )
+                    cols["shingles"].append(
+                        np.unique(u64.astype(np.uint32)).view(np.int32).tolist()
+                    )
+                else:
+                    cols["shingles"].append([])
+            if with_simhash:
+                s = K.simhash64(norm)
+                cols["simhash"].append(s - (1 << 64) if s >= (1 << 63) else s)
+            if with_winnow:
+                if raw:
+                    fps = K.winnow_fingerprints(raw, kgram, window)
+                    hashed = np.unique(
+                        np.array([h for h, _ in fps], dtype=np.uint64)
+                    )
+                    cols["winnow"].append(_u64_to_i64(hashed).tolist())
+                else:
+                    cols["winnow"].append([])
+        return pd.DataFrame(cols, columns=names)
+
+    return fused_features
+
+
+# ---------------------------------------------------------------------------
 # JVM-side verification expressions (no Python)
 # ---------------------------------------------------------------------------
 

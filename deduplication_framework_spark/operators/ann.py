@@ -27,13 +27,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str,
+                    normalize: bool = True):
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return ids, mat / norms
+    if normalize:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+    return ids, mat
 
 
 def knn_bruteforce(
@@ -78,10 +81,14 @@ def neighbor_counts_bruteforce(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
-    """→ (vec_id, n_neighbors): #others with cosine >= threshold (GEMM)."""
+    """→ (vec_id, n_neighbors): #others with cosine >= threshold (GEMM).
+    ``normalize=False`` skips unit-norming and compares RAW float64 dot
+    products — use when the corpus is already unit-norm and bit-stable
+    parity with a plain dot-product oracle matters."""
     spark = df.sparkSession
-    ids, mat = _collect_matrix(df, id_col, vec_col)
+    ids, mat = _collect_matrix(df, id_col, vec_col, normalize=normalize)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
@@ -89,9 +96,11 @@ def neighbor_counts_bruteforce(
         M, I = b_mat.value, b_ids.value
         for pdf in batches:
             q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            qn[qn == 0] = 1.0
-            sims = (q / qn) @ M.T
+            if normalize:
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                qn[qn == 0] = 1.0
+                q = q / qn
+            sims = q @ M.T
             qids = pdf[id_col].to_numpy()
             counts = []
             for bi, qid in enumerate(qids):

@@ -158,6 +158,23 @@ def simhash_candidate_edges(
         .select("src", "dst", ham.alias("hamming"))
     )
 
+    # hot buckets: mirror candidate_pairs' skew handling — SALT into
+    # ceil(size/cap) sub-groups with the fused inline Hamming filter within
+    # each salt group (restores pigeonhole recall that star+chain alone
+    # loses for non-adjacent pairs whose only shared block is hot), PLUS
+    # star+chain edges across the whole bucket for global connectivity.
+    n_salts = F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int")
+    salted = hot.withColumn("salt", F.pmod(F.xxhash64(F.col("doc_id")), n_salts))
+    sa = salted.select("band_idx", "band_key", "salt",
+                       F.col("doc_id").alias("src"), F.col("fp").alias("fp_a"))
+    sb = salted.select("band_idx", "band_key", "salt",
+                       F.col("doc_id").alias("dst"), F.col("fp").alias("fp_b"))
+    salt_edges = (
+        sa.join(sb, ["band_idx", "band_key", "salt"])
+        .filter((F.col("src") < F.col("dst")) & (ham <= dist))
+        .select("src", "dst", ham.alias("hamming"))
+    )
+
     w = Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
     hot_ranked = hot.select(
         "band_idx",
@@ -195,7 +212,7 @@ def simhash_candidate_edges(
     )
 
     edges = (
-        small_edges.unionByName(hot_edges)
+        small_edges.unionByName(salt_edges).unionByName(hot_edges)
         .groupBy("src", "dst")
         .agg(F.min("hamming").alias("hamming"))
         .select("src", "dst", ((F.lit(64) - F.col("hamming")) / 64.0).alias("sim"))
@@ -254,19 +271,25 @@ def candidate_pairs(
     # (all-pairs within each salt group → local precision preserved, pair
     # volume bounded by ~size*cap/2) PLUS star+chain edges across the whole
     # bucket (global connectivity to the bucket minimum survives salting).
-    n_salts = F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int")
-    salted = hot.withColumn(
-        "salt", F.pmod(F.xxhash64(F.col(id_col)), n_salts)
-    )
-    sa = salted.select(
-        "band_idx", "band_key", "salt", F.col(id_col).alias("src")
-    )
-    sb = salted.select(
-        "band_idx", "band_key", "salt", F.col(id_col).alias("dst")
-    )
-    salt_pairs = sa.join(sb, ["band_idx", "band_key", "salt"]).filter(
-        F.col("src") < F.col("dst")
-    )
+    # bucket_cap=1 (true-clique callers: substring/suffix-array) skips the
+    # salt self-join entirely — every salt group would hold ~1 row and emit
+    # nothing, but the join itself still shuffles the full band table.
+    if bucket_cap > 1:
+        n_salts = F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int")
+        salted = hot.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col(id_col)), n_salts)
+        )
+        sa = salted.select(
+            "band_idx", "band_key", "salt", F.col(id_col).alias("src")
+        )
+        sb = salted.select(
+            "band_idx", "band_key", "salt", F.col(id_col).alias("dst")
+        )
+        salt_pairs = sa.join(sb, ["band_idx", "band_key", "salt"]).filter(
+            F.col("src") < F.col("dst")
+        )
+    else:
+        salt_pairs = small_pairs.limit(0)
 
     w = Window.partitionBy("band_idx", "band_key").orderBy(F.col(id_col))
     hot_ranked = hot.select(

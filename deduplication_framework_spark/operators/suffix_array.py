@@ -1,12 +1,38 @@
-"""Distributed suffix-array exact-substring detector (SURVEY.md J17).
+"""Distributed exact-substring detector (SURVEY.md J17).
 
 Absent from the reference; required by the north rule ("a distributed
 suffix-array pass for exact substring duplication"). Semantics per Lee et
 al. 2022 ("Deduplicating Training Data Makes Language Models Better",
 public): two docs are substring-duplicates when they share a contiguous
-span of >= L characters.
+span of >= L characters — equivalently, when they share any exact L-gram.
 
-Algorithm — prefix doubling over per-document suffixes, bounded at L:
+Two modes (``substring_edges_suffix_array(mode=...)``):
+
+* ``hash`` (default, the 100-TB path) — bucket positions by the 128-bit
+  double-Karp-Rabin rolling hash of their L-gram
+  (:func:`kernels.lgram_hashes128`): ONE vectorized Arrow pass per doc, no
+  suffix-row explosion, no string sort, no join-back. The (h1, h2) pair is
+  carried as the (band_idx, band_key) bucket key, so the spurious-bucket
+  probability is the 128-bit birthday bound (~2^-93 headroom at 10^14
+  corpus positions — a single 64-bit key would manufacture ~10^8 false
+  pairs at that scale). Exact recall: equal L-grams always hash equal.
+
+* ``rank`` — the hash-free exact path: prefix doubling over per-document
+  suffix rows. Round-2 hardening (VERDICT round 1, Next round #4):
+
+  - singleton rank classes are PRUNED from re-ranking between doubling
+    rounds (a suffix whose first-k-chars class is a singleton can never
+    pair at any longer length; its rank is frozen and it keeps serving
+    shifted-rank lookups so short-vs-pruned ``-1`` sentinels can't falsely
+    equate) — the per-round sort shrinks to the still-ambiguous rows;
+  - the round-1 "direct mode" that sorted ceil(L/2)-char string keys (and
+    joined them back) is gone — ranking always doubles from short k0 keys.
+
+  Ranks are only used for EQUALITY (bucketing), never order, so each
+  round's fresh dense ranks live in a disjoint namespace
+  (``rank*64 + round``) and frozen ranks stay valid forever.
+
+Algorithm (rank mode):
 
   1. Explode each doc into suffix rows (doc_id, pos), one per character
      position. Suffixes never cross document boundaries — the row model IS
@@ -24,25 +50,32 @@ Algorithm — prefix doubling over per-document suffixes, bounded at L:
      first L characters are identical (the two k-windows cover [0, L)).
      Only positions with >= L remaining characters participate.
   5. Bucket by that pair: every bucket holding >= 2 distinct docs certifies
-     an exact L-char shared substring — rank comparison is exact, no hashing
-     or verification involved. Pair generation reuses the LSH candidate
-     machinery (hot-bucket capping for boilerplate spans).
+     an exact L-char shared substring. Pair generation reuses the LSH
+     candidate machinery (bucket_cap=1 — buckets are true cliques).
 
-Cost model: |rows| = total corpus characters — the inherent suffix-array
-price (cf. Lee et al. running suffix arrays over full corpora); every round
-is one sort + one join shuffle of those rows, and the round count is
-ceil(log2(L/k0/2)) + 1 ≈ 5 for L=200 — bounded by the MATCH length, not the
-corpus length, which is what keeps the pass tractable at 10^12 docs. The
-winnowing detector (functions.text.make_winnow_udf) is the cheaper
-probabilistic-positioning alternative; this pass is the exact one.
+Cost model: hash mode ~ one Arrow scan + |distinct L-grams| long rows
+through one groupBy — the same shape as the winnowing detector with window
+= 1. Rank mode rows = total corpus characters; every round is one sort of
+the still-ambiguous rows + one join, round count = ceil(log2(L/k0/2)) + 1 —
+bounded by the MATCH length, not the corpus length.
 """
 
 from __future__ import annotations
 
 from typing import Tuple
 
-from pyspark.sql import DataFrame
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from deduplication_framework_spark.functions import kernels as K
+
+# rank-namespace stride: round r's dense ranks become rank*_NS + r, so
+# frozen (pruned-singleton) ranks can never collide with later rounds'.
+_NS = 64
 
 
 def _dense_rank(keys: DataFrame, key_cols) -> DataFrame:
@@ -73,8 +106,6 @@ def _dense_rank(keys: DataFrame, key_cols) -> DataFrame:
     )
 
     def assign(batches):
-        import pandas as pd  # noqa: F811 (executor-side)
-
         local = 0
         for pdf in batches:
             if pdf.empty:
@@ -86,9 +117,13 @@ def _dense_rank(keys: DataFrame, key_cols) -> DataFrame:
             local += len(pdf)
             yield out
 
+    # materialize the ranked keys, then release the sorted-keys cache —
+    # suffix rows are |corpus chars|, so leaking one persisted DF per
+    # doubling round would pin substantial storage memory for the session
     ranked = sorted_keys.mapInPandas(
         assign, schema=f"{out_fields}, rank long"
-    )
+    ).localCheckpoint(eager=True)
+    sorted_keys.unpersist()
     return ranked
 
 
@@ -98,21 +133,17 @@ def suffix_ranks(
     k0: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prune_singletons: bool = True,
 ) -> Tuple[DataFrame, int, int]:
     """→ (suffixes(doc_id, pos, len, rank), depth_k, rounds).
 
-    rank equality ⇔ equal prefix of min(depth_k*2-ish, remaining) chars;
-    the caller combines (rank[pos], rank[pos+L-depth_k]) for exact-L
-    equality. ``len`` = doc length (carried for the >=L filter).
+    rank equality ⇔ equal prefix of min(depth, remaining) chars; the caller
+    combines (rank[pos], rank[pos+L-depth_k]) for exact-L equality. ``len``
+    = doc length (carried for the >=L filter). Ranks are equality labels,
+    NOT lexicographic order (pruned-singleton namespacing — see module
+    docstring).
     """
     L = min_match_chars
-    # Direct mode: when ceil(L/2)-char sort keys are affordable (the common
-    # L<=1024 config), rank suffixes by their first ceil(L/2) chars in ONE
-    # distributed sort — the doubling loop then has nothing to do, and the
-    # whole pass is ~4 shuffles instead of ~3 per doubling round. Prefix
-    # doubling remains the path for large L (long-key sorts get expensive).
-    if k0 >= 8 and L <= 1024:
-        k0 = (L + 1) // 2
     k0 = min(k0, L)
     suffixes = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -127,18 +158,36 @@ def suffix_ranks(
     )
 
     ranks0 = _dense_rank(suffixes, ["key0"])
-    s = suffixes.join(ranks0, "key0").select("doc_id", "len", "pos", "rank")
+    active = suffixes.join(ranks0, "key0").select(
+        "doc_id", "len", "pos", (F.col("rank") * _NS).alias("rank")
+    )
+    resolved = None  # frozen singleton-class rows (final ranks)
 
     k = k0
     rounds = 0
     while 2 * k < L:
-        s = s.localCheckpoint(eager=True)
-        shifted = s.select(
+        rounds += 1
+        active = active.localCheckpoint(eager=True)
+        if prune_singletons:
+            w = Window.partitionBy("rank")
+            sized = active.withColumn("_csz", F.count("*").over(w))
+            newly = sized.filter(F.col("_csz") == 1).drop("_csz")
+            active = sized.filter(F.col("_csz") > 1).drop("_csz")
+            resolved = (
+                newly if resolved is None else resolved.unionByName(newly)
+            )
+        # shifted-rank lookups must see EVERY position (a pruned pos+k must
+        # answer with its frozen rank, not fall to the -1 short-suffix
+        # sentinel — that sentinel collision would falsely equate classes)
+        lookup = (
+            active if resolved is None else active.unionByName(resolved)
+        )
+        shifted = lookup.select(
             F.col("doc_id").alias("s_doc"),
             (F.col("pos") - k).alias("s_pos"),
             F.col("rank").alias("rank2"),
         )
-        paired = s.join(
+        paired = active.join(
             shifted,
             (F.col("doc_id") == F.col("s_doc")) & (F.col("pos") == F.col("s_pos")),
             "left",
@@ -150,9 +199,14 @@ def suffix_ranks(
             F.coalesce(F.col("rank2"), F.lit(-1)).alias("r2"),
         )
         ranks = _dense_rank(paired, ["r1", "r2"])
-        s = paired.join(ranks, ["r1", "r2"]).select("doc_id", "len", "pos", "rank")
+        active = paired.join(ranks, ["r1", "r2"]).select(
+            "doc_id",
+            "len",
+            "pos",
+            (F.col("rank") * _NS + rounds).alias("rank"),
+        )
         k *= 2
-        rounds += 1
+    s = active if resolved is None else active.unionByName(resolved)
     return s.localCheckpoint(eager=True), k, rounds
 
 
@@ -163,8 +217,8 @@ def substring_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """→ (doc_id, band_idx=0, band_key) — one row per (doc, exact L-char
-    prefix class), ready for ``candidate_pairs``."""
+    """Rank-mode buckets → (doc_id, band_idx=0, band_key) — one row per
+    (doc, exact L-char prefix class), ready for ``candidate_pairs``."""
     L = min_match_chars
     s, k, _ = suffix_ranks(docs, L, k0=k0, id_col=id_col, text_col=text_col)
 
@@ -195,20 +249,84 @@ def substring_buckets(
     ).distinct()
 
 
+def _make_lgram_udf(lgram: int):
+    """text → struct(h1: array<long>, h2: array<long>): the distinct
+    128-bit double-Karp-Rabin L-gram keys (aligned arrays)."""
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("h1", T.ArrayType(T.LongType())),
+                T.StructField("h2", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def lgram_keys(texts: pd.Series) -> pd.DataFrame:
+        c1, c2 = [], []
+        for t in texts:
+            h1, h2 = K.lgram_hashes128(t or "", lgram)
+            c1.append(np.ascontiguousarray(h1).view(np.int64).tolist())
+            c2.append(np.ascontiguousarray(h2).view(np.int64).tolist())
+        return pd.DataFrame({"h1": c1, "h2": c2})
+
+    return lgram_keys
+
+
+def substring_buckets_lgram(
+    docs: DataFrame,
+    min_match_chars: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hash-mode buckets → (doc_id, band_idx=h1, band_key=h2): one row per
+    distinct L-gram per doc. The two hash halves ride the two bucket-key
+    columns, so candidate_pairs groups on the full 128-bit key."""
+    udf = _make_lgram_udf(min_match_chars)
+    z = docs.select(
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("g")
+    ).select(
+        "doc_id", F.col("g.h1").alias("h1"), F.col("g.h2").alias("h2")
+    )
+    return z.select(
+        "doc_id", F.explode(F.arrays_zip("h1", "h2")).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.h1").alias("band_idx"),
+        F.col("p.h2").alias("band_key"),
+    )
+
+
 def substring_edges_suffix_array(
     docs: DataFrame,
     min_match_chars: int,
     bucket_cap: int = 2000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "hash",
+    cache_bands: bool = False,
 ) -> Tuple[DataFrame, DataFrame]:
     """→ (edges(src, dst, sim=1.0), bucket_stats): doc pairs sharing an
-    exact >= min_match_chars-char substring."""
+    exact >= min_match_chars-char substring. ``mode="hash"`` (default) is
+    the one-pass 128-bit L-gram path; ``mode="rank"`` is the hash-free
+    prefix-doubling path (both validated against the same LCS oracle in
+    tests/test_suffix_array.py). ``cache_bands`` persists the band table —
+    the band pass is the expensive one and both returned DataFrames consume
+    it, so callers that act on both (e.g. the pipeline's stats + edges
+    jobs) should pass True."""
     from deduplication_framework_spark.operators.lsh import candidate_pairs
 
-    bands = substring_buckets(
-        docs, min_match_chars, id_col=id_col, text_col=text_col
-    )
+    if mode == "hash":
+        bands = substring_buckets_lgram(
+            docs, min_match_chars, id_col=id_col, text_col=text_col
+        )
+    elif mode == "rank":
+        bands = substring_buckets(
+            docs, min_match_chars, id_col=id_col, text_col=text_col
+        )
+    else:
+        raise ValueError(f"unknown substring mode {mode!r}")
+    if cache_bands:
+        bands = bands.persist()
     pairs, stats = candidate_pairs(bands, bucket_cap=bucket_cap)
     edges = pairs.select("src", "dst", F.lit(1.0).alias("sim"))
     return edges, stats

@@ -14,6 +14,9 @@ is the Spark task, and resumability is the table store's config-hash commit
 
 from __future__ import annotations
 
+import hashlib
+import json
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -23,6 +26,7 @@ from pyspark.sql import functions as F
 from deduplication_framework_spark.config import PipelineConfig
 from deduplication_framework_spark.functions import kernels as K
 from deduplication_framework_spark.functions.text import (
+    make_fused_features_udf,
     make_lsh_features_udf,
     make_minhash_udf,
     make_shingles_udf,
@@ -47,6 +51,21 @@ from deduplication_framework_spark.operators.verify import (
 from deduplication_framework_spark.plans.checkpoint import ParquetTableStore
 
 ALL_DETECTORS = ("exact", "minhash", "simhash", "substring", "suffix_array")
+
+
+def effective_config_hash(
+    cfg: PipelineConfig, detectors: List[str], verify: bool
+) -> str:
+    """Stage-resume key. ``detectors`` and ``verify`` are run_pipeline
+    arguments, not PipelineConfig fields — folding them in prevents a re-run
+    against the same checkpoint dir with a different --detectors list or
+    --no-verify flag from silently reusing stale edges/clusters/keepers."""
+    payload = (
+        cfg.config_hash()
+        + json.dumps(sorted(set(detectors)))
+        + str(bool(verify))
+    )
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
 
 
 @dataclass
@@ -105,7 +124,7 @@ def run_pipeline(
         raise ValueError(
             f"unknown detector(s) {sorted(unknown)}; valid: {ALL_DETECTORS}"
         )
-    chash = cfg.config_hash()
+    chash = effective_config_hash(cfg, detectors, verify)
     metrics: Dict[str, float] = {}
 
     def stage(name: str, make: "callable", lineage: List[str], m: Dict = None,
@@ -135,112 +154,95 @@ def run_pipeline(
 
     edge_parts: List[DataFrame] = [exact_edges]
 
-    # ---- verification feature table: the capped LSH feature universe
-    # (words<=max_words + chargrams<=max_char_grams, hashed) — the exact set
-    # ours_lsh MinHashes, ~4.5x smaller than the full multi-granularity
-    # shingle set (verify join went 36.8s -> 2.3s at 20k docs)
-    lsh_feats = None
-    if verify and ("minhash" in detectors):
-        fe_udf = make_lsh_features_udf(cfg.embedding, cfg.dedup)
-        lsh_feats = stage(
-            "features_lsh",
-            lambda: uniq_docs.select("doc_id", fe_udf("text").alias("shingles")),
+    # ---- fused featurization: ONE Arrow pass over docs_uniq computes every
+    # enabled detector's per-doc features (minhash sig + LSH verification
+    # shingles + simhash fingerprint + winnowing fingerprints). Round 1 ran
+    # 3 separate UDF stages over the same texts, re-normalizing per stage and
+    # sha1-hashing the same features twice — fusing them shares the
+    # normalization and the sha1 digests (VERDICT round 1, Next round #2).
+    need_sig = "minhash" in detectors
+    need_feats = verify and need_sig
+    need_simhash = "simhash" in detectors
+    need_winnow = "substring" in detectors
+    feats = None
+    if need_sig or need_simhash or need_winnow:
+        fused_udf = make_fused_features_udf(
+            cfg.embedding,
+            cfg.dedup,
+            with_minhash=need_sig,
+            with_lsh_feats=need_feats,
+            with_simhash=need_simhash,
+            with_winnow=need_winnow,
+            kgram=cfg.suffix.kgram_size,
+            window=cfg.suffix.min_match_chars - cfg.suffix.kgram_size + 1,
+        )
+        feats = stage(
+            "features",
+            lambda: uniq_docs.select(
+                "doc_id", fused_udf("text").alias("f")
+            ).select("doc_id", "f.*"),
             ["docs_uniq"],
             persist=True,
         )
+    lsh_feats = feats.select("doc_id", "shingles") if need_feats else None
 
-    # ---- detector: MinHash + LSH banding
-    if "minhash" in detectors:
+    # ---- detector branches: each returns (edges, stats-with-detector-col).
+    # Stats are NOT collected here — they are unioned into ONE deferred job
+    # after all branches are declared, so detector DAGs run concurrently
+    # (round 1 ran an eager 1-row collect() per detector, serializing them).
+    def _minhash_branch():
+        name = "edges_minhash"
+        if store is not None and store.is_valid(name, chash):
+            return stage(name, None, []), None
         b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
-        mh_udf = make_minhash_udf(cfg.embedding, cfg.dedup, include_words=True)
-        sigs = stage(
-            "signatures_minhash",
-            lambda: uniq_docs.select("doc_id", mh_udf("text").alias("sig")),
-            ["docs_uniq"],
-        )
-        # bands feed both the stats job and pair-gen — cache to avoid
-        # recomputing the signature UDF per consumer
+        sigs = feats.select("doc_id", "sig")
         bands = minhash_bands(sigs, b, r)
         if store is None:
+            # bands feed both the stats job and pair-gen — cache so the
+            # banding shuffle input is computed once
             bands = bands.persist()
         pairs, bstats = candidate_pairs(bands, bucket_cap=cfg.spark.bucket_cap)
-        stats_row = bstats.collect() if collect_stats else []
-        if stats_row:
-            s = stats_row[0]
-            metrics["minhash.n_buckets"] = float(s["n_buckets"] or 0)
-            metrics["minhash.capped_band_rows"] = float(s["n_capped_band_rows"] or 0)
-            metrics["minhash.max_bucket_size"] = float(s["max_bucket_size"] or 0)
         if verify:
             mh_edges = verify_jaccard(pairs, lsh_feats, cfg.dedup.threshold)
         else:
             mh_edges = pairs.withColumn("sim", F.lit(None).cast("double"))
-        mh_edges = stage(
-            "edges_minhash", lambda: mh_edges, ["signatures_minhash", "features_lsh"]
-        )
-        edge_parts.append(mh_edges)
+        mh_edges = stage(name, lambda: mh_edges, ["features"])
+        return mh_edges, bstats.withColumn("detector", F.lit("minhash"))
 
-    # ---- detector: SimHash + Hamming-ball bucketing
-    if "simhash" in detectors:
-        sh64_udf = make_simhash_udf(cfg.embedding)
-        fps = stage(
-            "fingerprints_simhash",
-            lambda: uniq_docs.select("doc_id", sh64_udf("text").alias("simhash")),
-            ["docs_uniq"],
-            persist=True,
-        )
+    def _simhash_branch():
+        name = "edges_simhash"
+        if store is not None and store.is_valid(name, chash):
+            return stage(name, None, []), None
+        fps = feats.select("doc_id", "simhash")
         sh_edges, sbstats = simhash_candidate_edges(
             fps, dist=cfg.dedup.simhash_dist, bucket_cap=cfg.spark.bucket_cap
         )
-        srow = sbstats.collect() if collect_stats else []
-        if srow:
-            s = srow[0]
-            metrics["simhash.n_buckets"] = float(s["n_buckets"] or 0)
-            metrics["simhash.capped_band_rows"] = float(s["n_capped_band_rows"] or 0)
-            metrics["simhash.max_bucket_size"] = float(s["max_bucket_size"] or 0)
-        sh_edges = stage(
-            "edges_simhash", lambda: sh_edges, ["fingerprints_simhash"]
-        )
-        edge_parts.append(sh_edges)
+        sh_edges = stage(name, lambda: sh_edges, ["features"])
+        return sh_edges, sbstats.withColumn("detector", F.lit("simhash"))
 
-    # ---- detector: exact-substring (winnowing scale path; see also
-    # operators.suffix_array for the prefix-doubling suffix-array pass)
-    if "substring" in detectors:
-        window = cfg.suffix.min_match_chars - cfg.suffix.kgram_size + 1
-        wn_udf = make_winnow_udf(cfg.suffix.kgram_size, window)
-        fprints = stage(
-            "fingerprints_substring",
-            lambda: uniq_docs.select(
-                "doc_id", F.explode(wn_udf("text")).alias("fp")
-            ),
-            ["docs_uniq"],
+    def _substring_branch():
+        name = "edges_substring"
+        if store is not None and store.is_valid(name, chash):
+            return stage(name, None, []), None
+        # docs sharing any winnowing fingerprint share a k-gram (exact
+        # substring); bucket_cap=1 because a fingerprint bucket is a TRUE
+        # clique (every member provably shares the same k-gram) — star+chain
+        # connectivity is exactly equivalent to all-pairs after connected
+        # components, linear pair volume with zero recall loss
+        sub_bands = feats.select(
+            "doc_id",
+            F.lit(0).alias("band_idx"),
+            F.explode("winnow").alias("band_key"),
         )
-        # docs sharing any fingerprint share a k-gram (exact substring);
-        # boilerplate spans make hot fingerprints → same star+chain capping
-        # as the LSH buckets
-        sub_bands = fprints.select(
-            "doc_id", F.lit(0).alias("band_idx"), F.col("fp").alias("band_key")
-        )
-        # bucket_cap=1: a fingerprint bucket is a TRUE clique (every member
-        # provably shares the same k-gram), so star+chain connectivity is
-        # exactly equivalent to all-pairs after connected components —
-        # linear pair volume with zero recall loss
         sub_pairs, substats = candidate_pairs(sub_bands, bucket_cap=1)
-        subrow = substats.collect() if collect_stats else []
-        if subrow:
-            s = subrow[0]
-            metrics["substring.n_buckets"] = float(s["n_buckets"] or 0)
-            metrics["substring.capped_band_rows"] = float(
-                s["n_capped_band_rows"] or 0
-            )
-            metrics["substring.max_bucket_size"] = float(s["max_bucket_size"] or 0)
         sub_edges = sub_pairs.select("src", "dst", F.lit(1.0).alias("sim"))
-        sub_edges = stage(
-            "edges_substring", lambda: sub_edges, ["fingerprints_substring"]
-        )
-        edge_parts.append(sub_edges)
+        sub_edges = stage(name, lambda: sub_edges, ["features"])
+        return sub_edges, substats.withColumn("detector", F.lit("substring"))
 
-    # ---- detector: exact-substring via distributed suffix array (exact path)
-    if "suffix_array" in detectors:
+    def _suffix_array_branch():
+        name = "edges_suffix_array"
+        if store is not None and store.is_valid(name, chash):
+            return stage(name, None, []), None
         from deduplication_framework_spark.operators.suffix_array import (
             substring_edges_suffix_array,
         )
@@ -251,17 +253,44 @@ def run_pipeline(
             uniq_docs,
             cfg.suffix.min_match_chars,
             bucket_cap=1,
+            cache_bands=store is None,
         )
-        sarow = sa_stats.collect() if collect_stats else []
-        if sarow:
-            s = sarow[0]
-            metrics["suffix_array.n_buckets"] = float(s["n_buckets"] or 0)
-            metrics["suffix_array.capped_band_rows"] = float(
-                s["n_capped_band_rows"] or 0
+        sa_edges = stage(name, lambda: sa_edges, ["docs_uniq"])
+        return sa_edges, sa_stats.withColumn("detector", F.lit("suffix_array"))
+
+    branch_fns = {
+        "minhash": _minhash_branch,
+        "simhash": _simhash_branch,
+        "substring": _substring_branch,
+        "suffix_array": _suffix_array_branch,
+    }
+    branches = [branch_fns[d] for d in detectors if d in branch_fns]
+    if store is not None and len(branches) > 1:
+        # O4 parallel detector dispatch (reference orchestrator.py:1412-1440
+        # analog): with a store each branch ends in an independent parquet
+        # write — submit them as concurrent Spark jobs. The shared features
+        # stage is already committed above, so branches only read it.
+        with ThreadPoolExecutor(max_workers=len(branches)) as ex:
+            outs = [f.result() for f in [ex.submit(b) for b in branches]]
+    else:
+        # without a store everything is lazy; the single stats job below (or
+        # the caller's first action) schedules all detector stages in one
+        # Spark job, which runs independent stages concurrently by itself
+        outs = [b() for b in branches]
+    edge_parts.extend(o[0] for o in outs)
+    stats_parts = [o[1] for o in outs if o[1] is not None]
+
+    if collect_stats and stats_parts:
+        allstats = stats_parts[0]
+        for s in stats_parts[1:]:
+            allstats = allstats.unionByName(s)
+        for row in allstats.collect():
+            det = row["detector"]
+            metrics[f"{det}.n_buckets"] = float(row["n_buckets"] or 0)
+            metrics[f"{det}.capped_band_rows"] = float(
+                row["n_capped_band_rows"] or 0
             )
-            metrics["suffix_array.max_bucket_size"] = float(s["max_bucket_size"] or 0)
-        sa_edges = stage("edges_suffix_array", lambda: sa_edges, ["docs_uniq"])
-        edge_parts.append(sa_edges)
+            metrics[f"{det}.max_bucket_size"] = float(row["max_bucket_size"] or 0)
 
     edges = edge_parts[0]
     for e in edge_parts[1:]:

@@ -1,22 +1,82 @@
 """Threshold-sweep harness (reference analog:
 /root/reference/text/method/clean_batch_dataset.py:49-109 — dedup the corpus
-at a grid of thresholds and persist each cleaned set; downstream model
-training on each is the reference's quality metric, out of scope here).
+at a grid of thresholds and persist each cleaned set; the reference then
+judges each threshold by training a classifier per cleaned set and comparing
+accuracy — text/method/classification_batch.py:15-111 and
+classification_comparison.py:191-340).
 
 Spark form: one pipeline run per θ (config-hash keeps re-runs cheap when a
 store is attached; the signature stage is θ-independent and resumes), with a
 summary DataFrame of dedup rates per threshold (the reference's
-`README.md:26-30` dedup-rate table shape)."""
+`README.md:26-30` dedup-rate table shape). ``evaluate=True`` adds the
+downstream-quality proxy per θ: a seeded MLlib logistic probe (hashed token
+features → the corpus ``lang`` label) trained on that θ's keepers and scored
+on a fixed held-out slice of the ORIGINAL corpus, plus distinct-vocabulary
+size and the total-variation shift of the label distribution keepers-vs-
+original — the sandbox stand-in for the reference's train-a-model-per-
+cleaned-set loop."""
 
 from __future__ import annotations
 
 from dataclasses import replace
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from deduplication_framework_spark.config import PipelineConfig
 from deduplication_framework_spark.plans.pipeline import run_pipeline
+
+
+def downstream_probe(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    label_col: str = "lang",
+    num_features: int = 4096,
+    seed: int = 42,
+) -> float:
+    """Train a logistic probe (whitespace tokens → HashingTF → LR) on
+    ``train_docs`` and return accuracy on ``eval_docs``. Deterministic for
+    fixed inputs; the metric is comparative across thresholds, not an
+    absolute benchmark."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, StringIndexer, Tokenizer
+
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="_toks"),
+            HashingTF(
+                inputCol="_toks", outputCol="features", numFeatures=num_features
+            ),
+            StringIndexer(
+                inputCol=label_col, outputCol="label", handleInvalid="skip"
+            ),
+            LogisticRegression(maxIter=20, regParam=0.01),
+        ]
+    )
+    model = pipe.fit(train_docs.select("text", label_col))
+    pred = model.transform(eval_docs.select("text", label_col))
+    n = pred.count()
+    if not n:
+        return 0.0
+    hits = pred.filter(F.col("prediction") == F.col("label")).count()
+    return hits / n
+
+
+def _label_dist(df: DataFrame, label_col: str) -> Dict[str, float]:
+    rows = df.groupBy(label_col).count().collect()
+    tot = sum(r["count"] for r in rows) or 1
+    return {r[0]: r["count"] / tot for r in rows}
+
+
+def _vocab_size(df: DataFrame) -> int:
+    return (
+        df.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .count()
+    )
 
 
 def threshold_sweep(
@@ -27,15 +87,23 @@ def threshold_sweep(
     base_cfg: Optional[PipelineConfig] = None,
     store_root: Optional[str] = None,
     keepers_out: Optional[str] = None,
+    evaluate: bool = False,
+    label_col: str = "lang",
 ) -> DataFrame:
-    """→ DataFrame(threshold, n_docs, n_keepers, n_duplicates, dedup_rate).
+    """→ DataFrame(threshold, n_docs, n_keepers, n_duplicates, dedup_rate
+    [, probe_accuracy, vocab_size, label_tv_shift]).
 
     When ``keepers_out`` is set, each threshold's keeper set is persisted to
     ``<keepers_out>/theta=<t>`` (the reference writes one cleaned dataset
-    per threshold for downstream training)."""
+    per threshold for downstream training). ``evaluate=True`` adds the
+    downstream proxy columns: probe accuracy on a fixed held-out slice
+    (doc_id % 5 == 0, never trained on), keeper distinct-vocab size, and
+    the TV distance between keeper and original label distributions."""
     base_cfg = base_cfg or PipelineConfig()
     rows = []
     n_docs = None
+    eval_docs = None
+    orig_dist = None
     for theta in thresholds:
         cfg = PipelineConfig(
             embedding=replace(base_cfg.embedding),
@@ -56,22 +124,42 @@ def threshold_sweep(
         )
         if n_docs is None:
             n_docs = res.docs.count()
+            if evaluate:
+                eval_docs = res.docs.filter(
+                    F.col("doc_id") % 5 == 0
+                ).persist()
+                eval_docs.count()
+                orig_dist = _label_dist(res.docs, label_col)
         n_keep = res.keepers.count()
         if keepers_out:
             res.keepers.write.mode("overwrite").parquet(
                 f"{keepers_out}/theta={theta}"
             )
-        rows.append(
-            (
-                float(theta),
-                n_docs,
-                n_keep,
-                n_docs - n_keep,
-                round((n_docs - n_keep) / n_docs, 6) if n_docs else 0.0,
-            )
+        row = (
+            float(theta),
+            n_docs,
+            n_keep,
+            n_docs - n_keep,
+            round((n_docs - n_keep) / n_docs, 6) if n_docs else 0.0,
         )
-    return spark.createDataFrame(
-        rows,
+        if evaluate:
+            keep = res.keepers.persist()
+            train = keep.filter(F.col("doc_id") % 5 != 0)
+            acc = downstream_probe(train, eval_docs, label_col=label_col)
+            keep_dist = _label_dist(keep, label_col)
+            tv = 0.5 * sum(
+                abs(keep_dist.get(k, 0.0) - orig_dist.get(k, 0.0))
+                for k in set(keep_dist) | set(orig_dist)
+            )
+            row = row + (round(acc, 6), _vocab_size(keep), round(tv, 6))
+            keep.unpersist()
+        rows.append(row)
+    if eval_docs is not None:
+        eval_docs.unpersist()
+    schema = (
         "threshold double, n_docs long, n_keepers long, n_duplicates long, "
-        "dedup_rate double",
+        "dedup_rate double"
     )
+    if evaluate:
+        schema += ", probe_accuracy double, vocab_size long, label_tv_shift double"
+    return spark.createDataFrame(rows, schema)

@@ -79,11 +79,16 @@ def stream_ingest_stats(
 class IncrementalExactDedup:
     """foreachBatch handler maintaining a persistent seen-hash state table.
 
-    State layout: ``<state_dir>/seen`` parquet of (text_hash: long). Each
-    batch: dedupe within batch (first by ``url`` order for determinism),
-    anti-join against seen, append survivors to ``<state_dir>/keepers`` and
-    their hashes to seen. Batch boundaries give exactly-once appends when
-    driven by a checkpointed streaming query.
+    State layout: ``<state_dir>/seen/batch=<id>`` and
+    ``<state_dir>/keepers/batch=<id>`` parquet subdirectories, one pair per
+    micro-batch. foreachBatch is AT-LEAST-ONCE (a crash between the two
+    writes and the checkpoint commit replays the batch), so the handler is
+    idempotent per ``batch_id``: each replay OVERWRITES its own batch
+    subdirectories (never appends to a shared table), and the anti-join
+    against ``seen`` excludes the current batch's own partition so a replay
+    after a partial seen-write recomputes the same survivors rather than an
+    empty set. This is the streaming analog of the reference's
+    first-seen-wins md5 dedup (pipeline_api.py:340-370).
     """
 
     def __init__(self, spark: SparkSession, state_dir: str):
@@ -93,13 +98,25 @@ class IncrementalExactDedup:
         self.keepers_path = os.path.join(state_dir, "keepers")
         os.makedirs(state_dir, exist_ok=True)
 
-    def _seen(self) -> DataFrame:
+    def _seen(self, exclude_batch: Optional[int] = None) -> DataFrame:
         try:
-            return self.spark.read.parquet(self.seen_path)
+            seen = self.spark.read.parquet(self.seen_path)
         except Exception:
             return self.spark.createDataFrame([], "text_hash long")
+        if exclude_batch is not None and "batch" in seen.columns:
+            seen = seen.filter(F.col("batch") != exclude_batch)
+        return seen.select("text_hash")
+
+    def _done(self, batch_id: int) -> bool:
+        return os.path.exists(
+            os.path.join(self.keepers_path, f"batch={batch_id}", "_SUCCESS")
+        ) and os.path.exists(
+            os.path.join(self.seen_path, f"batch={batch_id}", "_SUCCESS")
+        )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._done(batch_id):
+            return  # replayed batch, both writes already committed
         hashed = batch_df.withColumn("text_hash", F.xxhash64("text"))
         # within-batch first-seen (min url as the deterministic tiebreak)
         from pyspark.sql import Window
@@ -110,16 +127,20 @@ class IncrementalExactDedup:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        seen = self._seen()
+        seen = self._seen(exclude_batch=batch_id)
         fresh = firsts.join(seen, "text_hash", "left_anti").persist()
-        fresh_count = fresh.count()
-        if fresh_count:
-            fresh.drop("text_hash").write.mode("append").parquet(self.keepers_path)
-            fresh.select("text_hash").write.mode("append").parquet(self.seen_path)
+        fresh.count()
+        # overwrite (not append) the batch-scoped subdirs: replay-safe
+        fresh.drop("text_hash").write.mode("overwrite").parquet(
+            os.path.join(self.keepers_path, f"batch={batch_id}")
+        )
+        fresh.select("text_hash").write.mode("overwrite").parquet(
+            os.path.join(self.seen_path, f"batch={batch_id}")
+        )
         fresh.unpersist()
 
     def keepers(self) -> DataFrame:
-        return self.spark.read.parquet(self.keepers_path)
+        return self.spark.read.parquet(self.keepers_path).drop("batch")
 
 
 def run_incremental_exact_dedup(

@@ -20,7 +20,7 @@ def test_stage_resume_and_invalidation(spark, pages, tmp_path):
     # second run: every stage must be resumed from the store
     r2 = run_pipeline(spark, pages, cfg, detectors=["exact", "minhash"], store=store)
     resumed = [k for k in r2.metrics if k.endswith(".resumed")]
-    for stage in ["docs", "docs_uniq", "features_lsh", "signatures_minhash",
+    for stage in ["docs", "docs_uniq", "features",
                   "edges_minhash", "edges", "clusters", "keepers"]:
         assert f"{stage}.resumed" in resumed, f"{stage} was recomputed"
     assert sorted(r.doc_id for r in r2.keepers.collect()) == k1
@@ -32,14 +32,38 @@ def test_stage_resume_and_invalidation(spark, pages, tmp_path):
     assert not any(k.endswith(".resumed") for k in r3.metrics)
 
 
+def test_resume_invalidated_by_run_shape(spark, pages, tmp_path):
+    """detectors/verify are run arguments, not config fields — changing them
+    against the same checkpoint dir must NOT reuse stale edges/clusters
+    (round-1 ADVICE: silent stale-resume bug)."""
+    cfg = PipelineConfig()
+    store = ParquetTableStore(spark, str(tmp_path / "ckpt4"))
+    run_pipeline(spark, pages, cfg, detectors=["exact"], store=store)
+
+    r2 = run_pipeline(
+        spark, pages, cfg, detectors=["exact", "minhash"], store=store
+    )
+    assert not any(k.endswith(".resumed") for k in r2.metrics)
+
+    r3 = run_pipeline(
+        spark, pages, cfg, detectors=["exact", "minhash"], verify=False,
+        store=store,
+    )
+    assert not any(k.endswith(".resumed") for k in r3.metrics)
+
+
 def test_commit_metadata(spark, pages, tmp_path):
     cfg = PipelineConfig()
     store = ParquetTableStore(spark, str(tmp_path / "ckpt2"))
     run_pipeline(spark, pages, cfg, detectors=["exact"], store=store)
 
+    from deduplication_framework_spark.plans.pipeline import (
+        effective_config_hash,
+    )
+
     c = store.read_commit("docs")
     assert c is not None
-    assert c.config_hash == cfg.config_hash()
+    assert c.config_hash == effective_config_hash(cfg, ["exact"], True)
     assert c.rows == pages.count()
     assert sum(c.partition_rows) == c.rows and c.partitions >= 1
     assert c.lineage == ["pages"]

@@ -55,6 +55,50 @@ def test_incremental_exact_dedup(spark, pages, tmp_path):
     )
 
 
+def test_incremental_dedup_replay_idempotent(spark, pages, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch_id (crash between
+    the keeper write and the checkpoint commit) must not duplicate keeper
+    rows, including after a PARTIAL failure where the batch's seen-hashes
+    were written but keepers were not."""
+    from deduplication_framework_spark.streaming.incremental import (
+        IncrementalExactDedup,
+    )
+
+    state = str(tmp_path / "replay_state")
+    b0 = pages.filter(F.col("doc_order") < 200).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    b1 = pages.filter(
+        (F.col("doc_order") >= 200) & (F.col("doc_order") < 400)
+    ).select("url", "warc_ts", "html", "text", "lang")
+
+    h = IncrementalExactDedup(spark, state)
+    h.process_batch(b0, 0)
+    h.process_batch(b1, 1)
+    expect = h.keepers().count()
+
+    # full replays (handler restart, same batch ids) are no-ops
+    h2 = IncrementalExactDedup(spark, state)
+    h2.process_batch(b0, 0)
+    h2.process_batch(b1, 1)
+    assert h2.keepers().count() == expect
+
+    # partial-failure replay: wipe batch 1's keeper dir but keep its seen
+    # hashes (the crash-after-first-write window) — replay must restore the
+    # same keeper rows, not compute an empty fresh set against its own seen
+    import shutil
+
+    shutil.rmtree(os.path.join(state, "keepers", "batch=1"))
+    h3 = IncrementalExactDedup(spark, state)
+    h3.process_batch(b1, 1)
+    assert h3.keepers().count() == expect
+    kdf = h3.keepers()
+    assert (
+        kdf.select(F.xxhash64("text").alias("h")).distinct().count()
+        == kdf.count()
+    )
+
+
 def test_stream_signatures_matches_batch(spark, pages, tmp_path):
     src = str(tmp_path / "sig_src")
     _write_batch(spark, pages, 0, 50, src)

@@ -1,35 +1,63 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 on Spark AND its oracle_sql() on DuckDB at sf0.01, compare row count, column
 names, and order-insensitive values. Usage: python tools/check_contract.py
-[sf_dir] [query ...]"""
+[sf_dir] [query ...]
+
+Both sides are fetched THROUGH PANDAS (Spark ``toPandas()``, DuckDB
+``.df()``) to mirror the driver's hashing path: round-1 used ``fetchall()``,
+which turned DuckDB HUGEINT into Python int and masked the driver-visible
+``30.0 != 30`` float64 artifact on integer ``sum()`` columns (VERDICT.md
+round 1, What's wrong #1)."""
 
 from __future__ import annotations
 
+import datetime
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 import __spark_entry__ as entrymod
 from deduplication_framework_spark.session import get_spark
 from deduplication_framework_spark.sources.pages import TESTDATA_TABLES
 
 
-def normalize_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in idx:
-            v = row[i]
-            if isinstance(v, float):
-                v = round(v, 6)
-            vals.append(repr(v))
-        out.append("|".join(vals))
+def _canon(v):
+    """Canonical repr of one pandas cell — keeps the int-vs-float distinction
+    (the artifact the gate must catch) while normalizing numpy wrappers and
+    date/timestamp representation differences between the two engines."""
+    if isinstance(v, np.integer):
+        v = int(v)
+    elif isinstance(v, np.floating):
+        v = float(v)
+    elif isinstance(v, np.bool_):
+        v = bool(v)
+    elif isinstance(v, np.ndarray):
+        v = [_canon(x) for x in v.tolist()]
+    if v is None or (isinstance(v, float) and v != v):
+        return "NULL"
+    if isinstance(v, float):
+        return repr(round(v, 6))
+    if isinstance(v, (pd.Timestamp, datetime.date, datetime.datetime)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, list):
+        return repr([_canon(x) for x in v])
+    return repr(v)
+
+
+def normalize_pdf(pdf):
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    out = [
+        "|".join(_canon(v) for v in tup)
+        for tup in pdf.itertuples(index=False, name=None)
+    ]
     out.sort()
-    return [cols[i] for i in idx], out
+    return cols, out
 
 
 def main():
@@ -59,27 +87,23 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error {e}")
             continue
         if name not in oracles:
-            print(f"ok(rows-only) {name}: {len(srows)} rows "
+            print(f"ok(rows-only) {name}: {len(spdf)} rows "
                   f"({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {e}")
             continue
-        sc, sn = normalize_rows(scols, srows)
-        dc, dn = normalize_rows(dcols, drows)
+        sc, sn = normalize_pdf(spdf)
+        dc, dn = normalize_pdf(dpdf)
         status = []
         if sc != dc:
             status.append(f"cols {sc} != {dc}")
