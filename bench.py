@@ -88,6 +88,14 @@ def main():
     results["pages_substring_e2e"] = round(sec, 3)
     sec, _ = _timed(bench_pages_pipeline(spark, pages, ["suffix_array"]))
     results["pages_suffix_array_e2e"] = round(sec, 3)
+    # the production shape: all text detectors in ONE pipeline — the fused
+    # featurization pass + concurrent detector DAGs amortize across them
+    sec, _ = _timed(
+        bench_pages_pipeline(
+            spark, pages, ["exact", "minhash", "simhash", "substring"]
+        )
+    )
+    results["pages_all_detectors_e2e"] = round(sec, 3)
 
     import __spark_entry__ as entrymod
 
@@ -144,22 +152,33 @@ def _effective_cores(seconds: float = 1.0) -> float:
 
 
 def run_scaling():
-    """Same minhash job at local[8] and local[32] on the identical corpus.
+    """Same minhash job at N and 4N local cores on the identical corpus.
 
-    Uses a >=100k-doc corpus: below that the job is stage-scheduling-bound
-    (~10s wall) and parallelism scaling is unmeasurable; at 100k docs the
-    signature/banding compute dominates and the scaling signal is real."""
+    Default pair is local[2] vs local[8] (override BENCH_SCALE_CORES=
+    "8,32"): a local[k] UDF job runs k JVM task threads PLUS k Python
+    workers concurrently, so local[32] demands 64 runnable threads from a
+    host that supplies only ~25 effective cores — local[8]→local[32]
+    measures host oversubscription, not the plan's scaling. 2→8 keeps BOTH
+    configs (4 and 16 runnable threads) within the host's real silicon.
+
+    Uses a >=200k-doc corpus: after the round-2 fusion the 100k job fell to
+    ~23 s wall, mostly fixed stage-wave latency — scaling is unmeasurable
+    there; at 200k the signature/banding compute dominates again."""
     from pyspark.sql import SparkSession
 
-    n = int(os.environ.get("BENCH_SCALE_PAGES", str(max(100_000, N_PAGES))))
+    n = int(os.environ.get("BENCH_SCALE_PAGES", str(max(200_000, N_PAGES))))
     reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
+    lo, hi = (
+        int(x)
+        for x in os.environ.get("BENCH_SCALE_CORES", "2,8").split(",")
+    )
     # interleave configs and keep the per-config MINIMUM: the sandbox host's
     # throughput fluctuates (shared machine), and min-of-interleaved is the
     # standard defense — a slow phase then penalizes both configs equally
-    times = {8: [], 32: []}
-    supply = {8: [], 32: []}
+    times = {lo: [], hi: []}
+    supply = {lo: [], hi: []}
     for _rep in range(reps):
-        for cores in (8, 32):
+        for cores in (lo, hi):
             active = SparkSession.getActiveSession()
             if active:
                 active.stop()
@@ -180,7 +199,7 @@ def run_scaling():
             pages.unpersist()
             spark.stop()
     out = {}
-    for cores in (8, 32):
+    for cores in (lo, hi):
         best = min(times[cores])
         out[f"local[{cores}]"] = {
             "sec": round(best, 3),
@@ -188,15 +207,17 @@ def run_scaling():
             "all_runs_sec": [round(t, 1) for t in times[cores]],
             "host_effective_cores_before_runs": supply[cores],
         }
-    t8, t32 = out["local[8]"]["sec"], out["local[32]"]["sec"]
-    eff = (t8 / t32) / 4.0
-    out["speedup_8_to_32"] = round(t8 / t32, 3)
-    out["scaling_efficiency"] = round(eff, 3)
-    _write_bench_md(out, n)
+    tlo, thi = out[f"local[{lo}]"]["sec"], out[f"local[{hi}]"]["sec"]
+    ratio = hi / lo
+    out["cores"] = [lo, hi]
+    out[f"speedup_{lo}_to_{hi}"] = round(tlo / thi, 3)
+    out["scaling_efficiency"] = round((tlo / thi) / ratio, 3)
+    _write_bench_md(out, n, lo, hi)
     return out
 
 
-def _write_bench_md(out, n):
+def _write_bench_md(out, n, lo, hi):
+    ratio = hi // lo
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_last_run.md", "w") as fh:
         fh.write(
@@ -205,25 +226,27 @@ def _write_bench_md(out, n):
 North-rule criterion: >=0.8 throughput scaling efficiency from N to 4N
 executors. No real cluster exists in this sandbox, so the evidence is the
 same MinHash+exact dedup job on the identical {n}-doc synthetic pages corpus
-at two local parallelism levels (8 vs 32 cores, same machine, same input).
+at two local parallelism levels ({lo} vs {hi} cores, same machine, same
+input — a local[k] UDF job runs k JVM threads + k Python workers, so the
+upper config must stay within the host's ~25 effective cores).
 Runs are interleaved and the per-config minimum is reported — the sandbox
 host's throughput fluctuates several-fold between runs (co-tenancy), so
 single measurements are unreliable:
 
 | cores | best wall sec | docs/sec | all reps (sec) |
 |---|---|---|---|
-| local[8]  | {out['local[8]']['sec']} | {out['local[8]']['docs_per_sec']} | {out['local[8]']['all_runs_sec']} |
-| local[32] | {out['local[32]']['sec']} | {out['local[32]']['docs_per_sec']} | {out['local[32]']['all_runs_sec']} |
+| local[{lo}]  | {out[f'local[{lo}]']['sec']} | {out[f'local[{lo}]']['docs_per_sec']} | {out[f'local[{lo}]']['all_runs_sec']} |
+| local[{hi}] | {out[f'local[{hi}]']['sec']} | {out[f'local[{hi}]']['docs_per_sec']} | {out[f'local[{hi}]']['all_runs_sec']} |
 
-speedup 8→32 (4x cores): **{out['speedup_8_to_32']}x**
-scaling efficiency (speedup/4): **{out['scaling_efficiency']}**
+speedup {lo}→{hi} ({ratio}x cores): **{out[f'speedup_{lo}_to_{hi}']}x**
+scaling efficiency (speedup/{ratio}): **{out['scaling_efficiency']}**
 
 Caveats: single-JVM local mode shares one driver, one disk-backed shuffle
 and fixed per-stage scheduling costs, so this is a lower bound on the
-efficiency a real 4x executor scale-out would show for this embarrassingly
-parallel signature+bucket workload. Reference single-node numbers for
-context: BASELINE.md (4.25K files/s sorter; text dedup +14% vs standard
-MinHash).
+efficiency a real {ratio}x executor scale-out would show for this
+embarrassingly parallel signature+bucket workload. Reference single-node
+numbers for context: BASELINE.md (4.25K files/s sorter; text dedup +14% vs
+standard MinHash).
 """
         )
 

@@ -250,6 +250,51 @@ def candidate_pairs(
     LSH uses 1).
     """
     order = order_col or id_col
+
+    # bucket_cap=1 fast path — for callers whose buckets are TRUE cliques
+    # (substring/suffix-array: every member provably shares the bucket's
+    # k-gram), star edges to the bucket minimum alone reproduce the clique's
+    # connected component; no chain, no salting. ONE shuffle of the band
+    # table (unordered window frames: min + count over the bucket key — the
+    # per-bucket minimum never joins back), then only rows inside multi-
+    # member buckets survive to the persisted frame that feeds both the
+    # edges and the stats jobs.
+    if bucket_cap <= 1:
+        w_b = Window.partitionBy("band_idx", "band_key")
+        annotated = (
+            bands.select(
+                F.col(id_col).alias("_m"),
+                F.min(id_col).over(w_b).alias("_star"),
+                F.count("*").over(w_b).alias("bucket_size"),
+            )
+            .filter(F.col("bucket_size") > 1)
+            .persist()
+        )
+        star_pairs = annotated.filter(F.col("_m") != F.col("_star")).select(
+            F.col("_star").alias("src"), F.col("_m").alias("dst")
+        )
+        if collision_threshold > 1:
+            pairs = (
+                star_pairs.groupBy("src", "dst")
+                .count()
+                .filter(F.col("count") >= collision_threshold)
+                .drop("count")
+            )
+        else:
+            pairs = star_pairs.distinct()
+        bucket_stats = (
+            annotated.filter(F.col("_m") == F.col("_star"))
+            .groupBy()
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.sum(
+                    F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)
+                ).alias("n_capped_band_rows"),
+                F.max("bucket_size").alias("max_bucket_size"),
+            )
+        )
+        return pairs, bucket_stats
+
     sized = bands.withColumn(
         "bucket_size", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
     )
@@ -271,25 +316,19 @@ def candidate_pairs(
     # (all-pairs within each salt group → local precision preserved, pair
     # volume bounded by ~size*cap/2) PLUS star+chain edges across the whole
     # bucket (global connectivity to the bucket minimum survives salting).
-    # bucket_cap=1 (true-clique callers: substring/suffix-array) skips the
-    # salt self-join entirely — every salt group would hold ~1 row and emit
-    # nothing, but the join itself still shuffles the full band table.
-    if bucket_cap > 1:
-        n_salts = F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int")
-        salted = hot.withColumn(
-            "salt", F.pmod(F.xxhash64(F.col(id_col)), n_salts)
-        )
-        sa = salted.select(
-            "band_idx", "band_key", "salt", F.col(id_col).alias("src")
-        )
-        sb = salted.select(
-            "band_idx", "band_key", "salt", F.col(id_col).alias("dst")
-        )
-        salt_pairs = sa.join(sb, ["band_idx", "band_key", "salt"]).filter(
-            F.col("src") < F.col("dst")
-        )
-    else:
-        salt_pairs = small_pairs.limit(0)
+    n_salts = F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int")
+    salted = hot.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), n_salts)
+    )
+    sa = salted.select(
+        "band_idx", "band_key", "salt", F.col(id_col).alias("src")
+    )
+    sb = salted.select(
+        "band_idx", "band_key", "salt", F.col(id_col).alias("dst")
+    )
+    salt_pairs = sa.join(sb, ["band_idx", "band_key", "salt"]).filter(
+        F.col("src") < F.col("dst")
+    )
 
     w = Window.partitionBy("band_idx", "band_key").orderBy(F.col(id_col))
     hot_ranked = hot.select(

@@ -265,8 +265,9 @@ def _make_lgram_udf(lgram: int):
         c1, c2 = [], []
         for t in texts:
             h1, h2 = K.lgram_hashes128(t or "", lgram)
-            c1.append(np.ascontiguousarray(h1).view(np.int64).tolist())
-            c2.append(np.ascontiguousarray(h2).view(np.int64).tolist())
+            # hand Arrow the numpy buffers directly (no Python-int lists)
+            c1.append(np.ascontiguousarray(h1).view(np.int64))
+            c2.append(np.ascontiguousarray(h2).view(np.int64))
         return pd.DataFrame({"h1": c1, "h2": c2})
 
     return lgram_keys

@@ -67,8 +67,14 @@ class ParquetTableStore:
         p = self._commit_path(name)
         if not os.path.exists(p) or not os.path.exists(self._path(name)):
             return None
-        with open(p) as fh:
-            return StageCommit(**json.load(fh))
+        # fail closed on a torn/garbage record: "not committed" → recompute,
+        # never a raise into the pipeline (commit json writes are
+        # temp+os.replace, but the filesystem owes us nothing after a crash)
+        try:
+            with open(p) as fh:
+                return StageCommit(**json.load(fh))
+        except (json.JSONDecodeError, TypeError, KeyError, ValueError):
+            return None
 
     def is_valid(self, name: str, config_hash: str) -> bool:
         c = self.read_commit(name)

@@ -184,6 +184,16 @@ def run_pipeline(
             ["docs_uniq"],
             persist=True,
         )
+        if store is None:
+            # materialize the fused UDF pass ONCE before the detector DAGs
+            # fan out. persist() alone does NOT prevent duplicate work here:
+            # a single downstream job contains several independent shuffle-
+            # map stages over feats (banding, verify join, simhash bands,
+            # winnow explode), the scheduler runs them CONCURRENTLY, and
+            # they race to fill the cache — each recomputing the whole
+            # Arrow pass (measured 4x wall-time blowup at 200k docs). One
+            # cheap count() turns the race into one compute + N cache reads.
+            feats.count()
     lsh_feats = feats.select("doc_id", "shingles") if need_feats else None
 
     # ---- detector branches: each returns (edges, stats-with-detector-col).
@@ -249,11 +259,13 @@ def run_pipeline(
 
         # bucket_cap=1: rank buckets are true cliques (identical L-char
         # prefix), star+chain is exactly equivalent after CC
+        # no cache_bands: with bucket_cap=1 the band table has exactly one
+        # consumer (the fused window census inside candidate_pairs, which
+        # persists its own multi-member-bucket frame for the stats job)
         sa_edges, sa_stats = substring_edges_suffix_array(
             uniq_docs,
             cfg.suffix.min_match_chars,
             bucket_cap=1,
-            cache_bands=store is None,
         )
         sa_edges = stage(name, lambda: sa_edges, ["docs_uniq"])
         return sa_edges, sa_stats.withColumn("detector", F.lit("suffix_array"))

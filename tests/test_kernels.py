@@ -182,3 +182,28 @@ class TestWinnowing:
         assert K.longest_common_substring_len("xxabcdefyy", "zzabcdefqq") == 6
         assert K.longest_common_substring_len("", "abc") == 0
         assert K.longest_common_substring_len("same", "same") == 4
+
+
+class TestLgramHashes128:
+    def test_shared_lgram_intersects(self):
+        """Equal L-grams (at any offsets) must yield equal (h1, h2) keys —
+        the exact-recall property the hash-mode substring detector rides."""
+        span = "qwertyuiopasdfghjklzxcvbnm0123"  # 30 chars
+        a = "AAAA" + span + "BBBBBBB"
+        b = "CCCCCCCCCCCC" + span + "D"
+        L = 30
+        ka = set(zip(*(x.tolist() for x in K.lgram_hashes128(a, L))))
+        kb = set(zip(*(x.tolist() for x in K.lgram_hashes128(b, L))))
+        assert ka & kb  # the shared 30-gram collides exactly
+
+    def test_distinct_lgrams_distinct_keys(self):
+        text = "abcdefghij" * 20  # periodic: only 10 distinct 10-grams
+        h1, h2 = K.lgram_hashes128(text, 10)
+        assert len(h1) == len(h2) == 10  # deduplicated as pairs
+        # second base is genuinely independent of the first
+        o1, o2 = K.lgram_hashes128("zyxwvutsrq" * 20, 10)
+        assert set(h1.tolist()).isdisjoint(set(o1.tolist()))
+
+    def test_short_text_empty(self):
+        h1, h2 = K.lgram_hashes128("abc", 10)
+        assert h1.size == 0 and h2.size == 0
