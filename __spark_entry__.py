@@ -331,6 +331,16 @@ def q_substring_clusters(spark, sf_dir):
     return res.clusters.select("doc_id", "cluster_id")
 
 
+def q_suffix_array_clusters(spark, sf_dir):
+    """J17 exact path: suffix-array-mode substring clusters (128-bit
+    double-Karp-Rabin L-gram equivalence classes — operators/suffix_array).
+    Rows-only; cross-validated against the LCS oracle and the rank-mode
+    prefix-doubling path in tests/test_suffix_array.py."""
+    pages = _docs_as_pages(_docs(spark, sf_dir))
+    res = run_pipeline(spark, pages, PipelineConfig(), detectors=["suffix_array"])
+    return res.clusters.select("doc_id", "cluster_id")
+
+
 def q_events_sessions(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user (lag + cumsum windows)."""
     ev = _read(spark, sf_dir, "events")
@@ -522,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "simhash_clusters": q_simhash_clusters,
         "substring_clusters": q_substring_clusters,
+        "suffix_array_clusters": q_suffix_array_clusters,
         "semdedup_decisions": q_semdedup_decisions,
         "sorter_categories": q_sorter_categories,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,

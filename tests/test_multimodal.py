@@ -24,6 +24,31 @@ def _fake_clip(seed, n=65536, noise=0.0):
     return np.clip(sig, -32000, 32000).astype(np.int16)
 
 
+def _two_tone_frames(rng, n, w, h):
+    """Structured frames (top half one color, bottom another): iid-noise
+    frames would all share mean≈0.5 / std≈0.29 per channel and the
+    quantized frame hash would degenerate — real frames differ in their
+    color statistics, which is exactly what the fingerprint keys on."""
+    frames = np.zeros((n, h, w, 3), dtype=np.uint8)
+    for i in range(n):
+        top = rng.randint(0, 256, 3)
+        bot = rng.randint(0, 256, 3)
+        frames[i, : h // 2] = top
+        frames[i, h // 2 :] = bot
+    return frames
+
+
+def _fake_video(seed, n=24, w=16, h=12, replace=()):
+    """Deterministic frame stack; ``replace`` = frame indices overwritten
+    with frames from a different seed (partial near-dup construction)."""
+    frames = _two_tone_frames(np.random.RandomState(seed), n, w, h)
+    if replace:
+        alt = _two_tone_frames(np.random.RandomState(seed + 1000), n, w, h)
+        for i in replace:
+            frames[i] = alt[i]
+    return frames
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = []
@@ -37,6 +62,13 @@ def media(spark):
     rows.append((12, "audio", bytearray(M.encode_fake_audio(_fake_clip(0))), (None, None, 16000)))
     for i, s in enumerate((1, 2, 3)):
         rows.append((13 + i, "audio", bytearray(M.encode_fake_audio(_fake_clip(s))), (None, None, 16000)))
+    # video: 20 base, 21 exact copy, 22 same video with 2 frames swapped
+    # (partial near-dup), 23-24 unrelated
+    rows.append((20, "video", bytearray(M.encode_fake_video(_fake_video(7))), (16, 12, None)))
+    rows.append((21, "video", bytearray(M.encode_fake_video(_fake_video(7))), (16, 12, None)))
+    rows.append((22, "video", bytearray(M.encode_fake_video(_fake_video(7, replace=(0, 23)))), (16, 12, None)))
+    rows.append((23, "video", bytearray(M.encode_fake_video(_fake_video(8))), (16, 12, None)))
+    rows.append((24, "video", bytearray(M.encode_fake_video(_fake_video(9))), (16, 12, None)))
     return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
 
 
@@ -103,3 +135,42 @@ class TestAudioDedup:
         got = {(r.src, r.dst) for r in edges.collect()}
         assert got == {(10, 12)}
         assert {r.doc_id for r in keep.collect()} == {10, 11, 13, 14, 15}
+
+
+class TestVideoOps:
+    def test_video_roundtrip(self):
+        frames = _fake_video(3, n=5)
+        out, fps = M.decode_video_bytes(M.encode_fake_video(frames, fps=24.0))
+        assert fps == 24.0
+        assert np.array_equal(out, frames)
+        with pytest.raises(NotImplementedError):
+            M.decode_video_bytes(b"\x00\x00\x00\x18ftypmp42xxxx")
+
+    def test_frame_sampling_shape(self, spark, media):
+        rows = M.sample_video_frames(media, n_frames=8).collect()
+        by_vid = {}
+        for r in rows:
+            by_vid.setdefault(r.media_id, []).append(r)
+        assert set(by_vid) == {20, 21, 22, 23, 24}
+        for vid, frs in by_vid.items():
+            assert len(frs) == 8  # 24 source frames → 8 distinct samples
+            assert len({f.frame_idx for f in frs}) == 8
+            for f in frs:
+                assert len(f.embedding) == 6
+                assert f.ts_sec == pytest.approx(f.frame_idx / 12.0)
+        # identical videos sample identical embeddings
+        e20 = sorted((f.frame_idx, tuple(f.embedding)) for f in by_vid[20])
+        e21 = sorted((f.frame_idx, tuple(f.embedding)) for f in by_vid[21])
+        assert e20 == e21
+
+    def test_video_near_dup_edges(self, spark, media):
+        edges = {
+            (r.src, r.dst): r.sim
+            for r in M.video_near_dup_edges(media, threshold=0.5).collect()
+        }
+        assert (20, 21) in edges and edges[(20, 21)] == 1.0  # exact copy
+        # 22 shares 7 of 8 sampled frame positions with 20/21 (frame 0 and
+        # 23 are both sampled; both were replaced) → Jaccard 6/10 = 0.6
+        assert (20, 22) in edges and 0.5 <= edges[(20, 22)] < 1.0
+        for (s, d) in edges:
+            assert {s, d} <= {20, 21, 22}, f"false video edge {(s, d)}"
