@@ -37,6 +37,14 @@ def main(argv=None) -> int:
                    help="table-store root for resumable stage commits")
     p.add_argument("--no-verify", action="store_true",
                    help="reference ours_lsh parity mode (band collision = duplicate)")
+    p.add_argument("--sweep", default=None,
+                   help="comma list of thresholds: run the threshold sweep "
+                        "(reference clean_batch_dataset analog) instead of a "
+                        "single pipeline; writes <output>/sweep.json + one "
+                        "keeper set per theta")
+    p.add_argument("--sweep-eval", action="store_true",
+                   help="with --sweep: add the downstream-probe metrics "
+                        "(probe accuracy / vocab size / label shift) per theta")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -55,6 +63,30 @@ def main(argv=None) -> int:
         pages = spark.read.parquet(args.input)
     else:
         p.error("one of --input / --synthetic is required")
+
+    detectors = [d.strip() for d in args.detectors.split(",") if d.strip()]
+
+    if args.sweep:
+        import os
+
+        from deduplication_framework_spark.plans.sweep import threshold_sweep
+
+        thetas = [float(x) for x in args.sweep.split(",") if x.strip()]
+        out = threshold_sweep(
+            spark,
+            pages,
+            thresholds=thetas,
+            detectors=detectors,
+            store_root=args.checkpoint_dir,
+            keepers_out=f"{args.output}/sweep_keepers",
+            evaluate=args.sweep_eval,
+        )
+        rows = [r.asDict() for r in out.collect()]
+        os.makedirs(args.output, exist_ok=True)
+        with open(f"{args.output}/sweep.json", "w") as fh:
+            json.dump(rows, fh, indent=2)
+        print(json.dumps({"sweep": rows}))
+        return 0
 
     store = (
         ParquetTableStore(spark, args.checkpoint_dir)

@@ -312,10 +312,24 @@ def run_pipeline(
         persist=True,
     )
 
+    # with a store, CC rounds checkpoint through it (atomic commits a real
+    # cluster can resume/inspect — the Iceberg analog of localCheckpoint;
+    # reference _SUCCESS-per-stage contract extended to loop state)
+    cc_ckpt = None
+    if store is not None:
+        _round = [0]
+
+        def cc_ckpt(df):
+            _round[0] += 1
+            return store.write(
+                df, f"cc_state_{_round[0]}", chash, lineage=["edges"]
+            )
+
     clusters, cc_rounds = clusters_from_edges(
         docs,
         edges.select("src", "dst"),
         driver_threshold=cfg.spark.cc_broadcast_threshold,
+        checkpoint=cc_ckpt,
     )
     clusters = stage("clusters", lambda: clusters, ["edges"], {"cc_rounds": cc_rounds})
     metrics["cc_rounds"] = float(cc_rounds)

@@ -31,3 +31,27 @@ def test_cli_end_to_end_with_report(spark, tmp_path):
     assert "## Detector metrics" in report
     assert "## Stages (checkpoint store)" in report
     assert "edges_minhash" in report
+
+
+def test_cli_sweep(spark, tmp_path):
+    out = str(tmp_path / "sweep_out")
+    rc = main(
+        [
+            "--synthetic", "150",
+            "--output", out,
+            "--detectors", "exact,minhash",
+            "--sweep", "0.5,0.9",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "sweep.json")) as fh:
+        rows = json.load(fh)
+    by_theta = {r["threshold"]: r for r in rows}
+    assert set(by_theta) == {0.5, 0.9}
+    for r in rows:
+        assert r["n_docs"] == 150
+        assert r["n_keepers"] + r["n_duplicates"] == 150
+    assert by_theta[0.5]["n_keepers"] <= by_theta[0.9]["n_keepers"]
+    # one persisted keeper set per theta
+    assert os.path.isdir(os.path.join(out, "sweep_keepers", "theta=0.5"))
+    assert os.path.isdir(os.path.join(out, "sweep_keepers", "theta=0.9"))

@@ -81,6 +81,34 @@ def test_recommit_same_stage_is_atomic_for_readers(spark, tmp_path):
     assert c.rows == 40 and sum(c.partition_rows) == 40
 
 
+def test_cc_rounds_checkpoint_through_store(spark, pages, tmp_path):
+    """Forcing the distributed CC loop (driver_threshold=0) with a store
+    attached must route per-round state through store commits and still
+    produce the same keepers as the driver union-find fast path."""
+    from deduplication_framework_spark.config import PipelineConfig
+    from deduplication_framework_spark.plans.pipeline import run_pipeline
+
+    small = pages.limit(200)
+    cfg = PipelineConfig()
+    cfg.spark.cc_broadcast_threshold = 0  # force the distributed loop
+    root = str(tmp_path / "ccstore")
+    store = ParquetTableStore(spark, root)
+    res = run_pipeline(
+        spark, small, cfg, detectors=["exact", "minhash"], store=store
+    )
+    k_dist = sorted(r.doc_id for r in res.keepers.collect())
+    assert res.cc_rounds >= 1
+    cc_commits = [
+        c for c in (store.read_commit(f"cc_state_{i}") for i in range(1, 20))
+        if c is not None
+    ]
+    assert cc_commits, "no cc_state_* commits recorded"
+
+    cfg2 = PipelineConfig()  # default threshold → driver union-find
+    res2 = run_pipeline(spark, small, cfg2, detectors=["exact", "minhash"])
+    assert sorted(r.doc_id for r in res2.keepers.collect()) == k_dist
+
+
 def test_corrupt_commit_json_fails_closed(spark, tmp_path):
     """A truncated/garbage commit record must read as 'not committed'
     rather than raising into the pipeline."""
