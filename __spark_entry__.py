@@ -238,6 +238,20 @@ def q_cosine_neighbor_counts(spark, sf_dir):
     )
 
 
+def q_embedding_dup_edges(spark, sf_dir):
+    """Embedding-cosine near-dup edges (unit-norm corpus → raw dot): all
+    (src < dst) pairs with dot >= 0.3, via the broadcast-GEMM operator.
+    Integer-only output; the nearest pair sits 7e-5 from the threshold, so
+    float summation order cannot flip membership vs the SQL oracle."""
+    from deduplication_framework_spark.operators.ann import (
+        cosine_edges_bruteforce,
+    )
+
+    return cosine_edges_bruteforce(
+        _emb(spark, sf_dir), threshold=0.3, normalize=False
+    )
+
+
 def q_label_sizes(spark, sf_dir):
     """C1 analog surface: cluster-label rollup of the embedding corpus."""
     return (
@@ -524,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_hits": q_stopword_hits,
         "embedding_norms": q_embedding_norms,
         "cosine_neighbor_counts": q_cosine_neighbor_counts,
+        "embedding_dup_edges": q_embedding_dup_edges,
         "label_sizes": q_label_sizes,
         "events_by_type_day": q_events_by_type_day,
         "user_activity": q_user_activity,
@@ -632,6 +647,13 @@ def oracle_sql() -> dict[str, str]:
                       list_zip(a.embedding, b.embedding),
                       p -> p[1]::DOUBLE * p[2]::DOUBLE)) >= 0.2
             GROUP BY 1
+        """,
+        "embedding_dup_edges": """
+            SELECT a.vec_id AS src, b.vec_id AS dst
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(
+                      list_zip(a.embedding, b.embedding),
+                      p -> p[1]::DOUBLE * p[2]::DOUBLE)) >= 0.3
         """,
         "label_sizes": """
             SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1

@@ -114,6 +114,45 @@ def neighbor_counts_bruteforce(
     return out.filter(F.col("n_neighbors") > 0)
 
 
+def cosine_edges_bruteforce(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """→ (src, dst) with src < dst and cosine (or raw dot when
+    ``normalize=False``) >= threshold — embedding near-dup edges, GEMM
+    against the broadcast matrix. Integer-only output keeps cross-engine
+    comparisons bit-stable."""
+    spark = df.sparkSession
+    ids, mat = _collect_matrix(df, id_col, vec_col, normalize=normalize)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M, I = b_mat.value, b_ids.value
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if normalize:
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                qn[qn == 0] = 1.0
+                q = q / qn
+            sims = q @ M.T
+            qids = pdf[id_col].to_numpy()
+            out_src, out_dst = [], []
+            for bi, qid in enumerate(qids):
+                mask = (I > qid) & (sims[bi] >= threshold)
+                js = np.nonzero(mask)[0]
+                out_src.extend([int(qid)] * len(js))
+                out_dst.extend(int(I[j]) for j in js)
+            yield pd.DataFrame({"src": out_src, "dst": out_dst})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        op, schema="src long, dst long"
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 10,

@@ -84,3 +84,26 @@ def test_ivf_recall(spark, ann_df):
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.9, f"IVF recall@{k} = {mean_recall:.3f}"
     blocked.unpersist()
+
+
+def test_cosine_edges_bruteforce_exact(spark, ann_df):
+    from deduplication_framework_spark.operators.ann import (
+        cosine_edges_bruteforce,
+    )
+
+    rows = ann_df.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    expect = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= 0.3
+    }
+    got = {
+        (r.src, r.dst)
+        for r in cosine_edges_bruteforce(ann_df, threshold=0.3).collect()
+    }
+    assert got == expect and len(expect) > 100
