@@ -77,9 +77,11 @@ def main(argv=None) -> int:
             pages,
             thresholds=thetas,
             detectors=detectors,
+            base_cfg=cfg,
             store_root=args.checkpoint_dir,
             keepers_out=f"{args.output}/sweep_keepers",
             evaluate=args.sweep_eval,
+            verify=not args.no_verify,
         )
         rows = [r.asDict() for r in out.collect()]
         os.makedirs(args.output, exist_ok=True)
@@ -98,7 +100,7 @@ def main(argv=None) -> int:
         spark,
         pages,
         cfg,
-        detectors=[d.strip() for d in args.detectors.split(",") if d.strip()],
+        detectors=detectors,
         verify=not args.no_verify,
         store=store,
     )
@@ -107,10 +109,12 @@ def main(argv=None) -> int:
     res.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
 
     elapsed = round(time.time() - t0, 2)
+    n_docs = res.docs.count()
+    n_keep = res.keepers.count()
     summary = {
         "elapsed_sec": elapsed,
-        "docs": res.docs.count(),
-        "keepers": res.keepers.count(),
+        "docs": n_docs,
+        "keepers": n_keep,
         "cc_rounds": res.cc_rounds,
         "metrics": res.metrics,
         "config_hash": cfg.config_hash(),
@@ -123,10 +127,12 @@ def main(argv=None) -> int:
 
     report = render_report(
         res,
-        detectors=[d.strip() for d in args.detectors.split(",") if d.strip()],
+        detectors=detectors,
         elapsed_sec=elapsed,
         config_hash=cfg.config_hash(),
         store=store,
+        n_docs=n_docs,
+        n_keep=n_keep,
     )
     with open(f"{args.output}/report.md", "w") as fh:
         fh.write(report)

@@ -258,8 +258,10 @@ def candidate_pairs(
     # table (unordered window frames: min + count over the bucket key — the
     # per-bucket minimum never joins back), then only rows inside multi-
     # member buckets survive to the persisted frame that feeds both the
-    # edges and the stats jobs.
-    if bucket_cap <= 1:
+    # edges and the stats jobs. collision_threshold > 1 keeps the general
+    # path: its semantics count bucket CO-OCCURRENCE of a pair, which
+    # star-only edges cannot express.
+    if bucket_cap <= 1 and collision_threshold <= 1:
         w_b = Window.partitionBy("band_idx", "band_key")
         annotated = (
             bands.select(
@@ -273,25 +275,18 @@ def candidate_pairs(
         star_pairs = annotated.filter(F.col("_m") != F.col("_star")).select(
             F.col("_star").alias("src"), F.col("_m").alias("dst")
         )
-        if collision_threshold > 1:
-            pairs = (
-                star_pairs.groupBy("src", "dst")
-                .count()
-                .filter(F.col("count") >= collision_threshold)
-                .drop("count")
-            )
-        else:
-            pairs = star_pairs.distinct()
-        bucket_stats = (
-            annotated.filter(F.col("_m") == F.col("_star"))
-            .groupBy()
-            .agg(
-                F.count("*").alias("n_buckets"),
-                F.sum(
-                    F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)
-                ).alias("n_capped_band_rows"),
-                F.max("bucket_size").alias("max_bucket_size"),
-            )
+        pairs = star_pairs.distinct()
+        # n_capped_band_rows keeps the general path's semantics: band ROWS
+        # inside over-cap buckets (here: every surviving row), not a bucket
+        # count — round-over-round metric comparisons depend on it
+        bucket_stats = annotated.groupBy().agg(
+            F.sum(
+                F.when(F.col("_m") == F.col("_star"), 1).otherwise(0)
+            ).alias("n_buckets"),
+            F.sum(
+                F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)
+            ).alias("n_capped_band_rows"),
+            F.max("bucket_size").alias("max_bucket_size"),
         )
         return pairs, bucket_stats
 

@@ -242,10 +242,13 @@ def substring_buckets(
             "doc_id", F.col("rank").alias("rank_a"), F.lit(0).alias("rank_b")
         )
 
+    # carry the exact class pair on the two bucket-key columns (like hash
+    # mode's h1/h2) — collapsing it through one 64-bit xxhash64 would
+    # reintroduce the birthday-bound false buckets this mode exists to avoid
     return combined.select(
         "doc_id",
-        F.lit(0).alias("band_idx"),
-        F.xxhash64("rank_a", "rank_b").alias("band_key"),
+        F.col("rank_a").alias("band_idx"),
+        F.col("rank_b").alias("band_key"),
     ).distinct()
 
 

@@ -122,6 +122,20 @@ class ParquetTableStore:
         os.replace(tmp_commit, self._commit_path(name))
         return self.spark.read.parquet(final)
 
+    def update_metrics(self, name: str, metrics: Dict[str, float]) -> None:
+        """Merge detector/stage metrics into an existing commit record —
+        used by the pipeline's DEFERRED stats job, which collects bucket
+        metrics after the stage write so resumed runs can read them back
+        instead of recomputing the banding jobs."""
+        c = self.read_commit(name)
+        if c is None:
+            return
+        c.metrics.update({k: float(v) for k, v in metrics.items()})
+        tmp = self._commit_path(name) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(c.to_json())
+        os.replace(tmp, self._commit_path(name))
+
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(name))
 

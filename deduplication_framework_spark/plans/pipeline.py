@@ -200,10 +200,20 @@ def run_pipeline(
     # Stats are NOT collected here — they are unioned into ONE deferred job
     # after all branches are declared, so detector DAGs run concurrently
     # (round 1 ran an eager 1-row collect() per detector, serializing them).
+    def _resume_branch(name: str, det: str):
+        """Resumed detector: reuse the committed edges AND its recorded
+        bucket metrics (the deferred stats job wrote them into the commit)
+        instead of re-running the banding jobs."""
+        c = store.read_commit(name)
+        if c is not None:
+            for k, v in c.metrics.items():
+                metrics[f"{det}.{k}"] = float(v)
+        return stage(name, None, []), None
+
     def _minhash_branch():
         name = "edges_minhash"
         if store is not None and store.is_valid(name, chash):
-            return stage(name, None, []), None
+            return _resume_branch(name, "minhash")
         b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
         sigs = feats.select("doc_id", "sig")
         bands = minhash_bands(sigs, b, r)
@@ -222,7 +232,7 @@ def run_pipeline(
     def _simhash_branch():
         name = "edges_simhash"
         if store is not None and store.is_valid(name, chash):
-            return stage(name, None, []), None
+            return _resume_branch(name, "simhash")
         fps = feats.select("doc_id", "simhash")
         sh_edges, sbstats = simhash_candidate_edges(
             fps, dist=cfg.dedup.simhash_dist, bucket_cap=cfg.spark.bucket_cap
@@ -233,7 +243,7 @@ def run_pipeline(
     def _substring_branch():
         name = "edges_substring"
         if store is not None and store.is_valid(name, chash):
-            return stage(name, None, []), None
+            return _resume_branch(name, "substring")
         # docs sharing any winnowing fingerprint share a k-gram (exact
         # substring); bucket_cap=1 because a fingerprint bucket is a TRUE
         # clique (every member provably shares the same k-gram) — star+chain
@@ -252,7 +262,7 @@ def run_pipeline(
     def _suffix_array_branch():
         name = "edges_suffix_array"
         if store is not None and store.is_valid(name, chash):
-            return stage(name, None, []), None
+            return _resume_branch(name, "suffix_array")
         from deduplication_framework_spark.operators.suffix_array import (
             substring_edges_suffix_array,
         )
@@ -298,11 +308,17 @@ def run_pipeline(
             allstats = allstats.unionByName(s)
         for row in allstats.collect():
             det = row["detector"]
-            metrics[f"{det}.n_buckets"] = float(row["n_buckets"] or 0)
-            metrics[f"{det}.capped_band_rows"] = float(
-                row["n_capped_band_rows"] or 0
-            )
-            metrics[f"{det}.max_bucket_size"] = float(row["max_bucket_size"] or 0)
+            det_stats = {
+                "n_buckets": float(row["n_buckets"] or 0),
+                "capped_band_rows": float(row["n_capped_band_rows"] or 0),
+                "max_bucket_size": float(row["max_bucket_size"] or 0),
+            }
+            for k, v in det_stats.items():
+                metrics[f"{det}.{k}"] = v
+            if store is not None:
+                # record onto the edges commit so resumed runs read the
+                # metrics back instead of re-running the banding jobs
+                store.update_metrics(f"edges_{det}", det_stats)
 
     edges = edge_parts[0]
     for e in edge_parts[1:]:

@@ -22,10 +22,14 @@ def render_report(
     elapsed_sec: float,
     config_hash: str,
     store=None,
+    n_docs: Optional[int] = None,
+    n_keep: Optional[int] = None,
 ) -> str:
-    """PipelineResult → markdown report string."""
-    n_docs = res.docs.count()
-    n_keep = res.keepers.count()
+    """PipelineResult → markdown report string. Pass ``n_docs``/``n_keep``
+    when the caller already counted them (the CLI does for summary.json) —
+    recounting re-runs the keeper join."""
+    n_docs = res.docs.count() if n_docs is None else n_docs
+    n_keep = res.keepers.count() if n_keep is None else n_keep
     sizes = (
         res.clusters.groupBy("cluster_id")
         .agg(F.count("*").alias("n"))

@@ -89,6 +89,7 @@ def threshold_sweep(
     keepers_out: Optional[str] = None,
     evaluate: bool = False,
     label_col: str = "lang",
+    verify: bool = True,
 ) -> DataFrame:
     """→ DataFrame(threshold, n_docs, n_keepers, n_duplicates, dedup_rate
     [, probe_accuracy, vocab_size, label_tv_shift]).
@@ -120,7 +121,7 @@ def threshold_sweep(
             store = ParquetTableStore(spark, f"{store_root}/theta_{theta}")
         res = run_pipeline(
             spark, pages, cfg, detectors=list(detectors), store=store,
-            collect_stats=False,
+            verify=verify, collect_stats=False,
         )
         if n_docs is None:
             n_docs = res.docs.count()

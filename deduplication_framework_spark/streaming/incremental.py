@@ -98,14 +98,28 @@ class IncrementalExactDedup:
         self.keepers_path = os.path.join(state_dir, "keepers")
         os.makedirs(state_dir, exist_ok=True)
 
+    def _committed_batch_dirs(self, root: str, exclude: Optional[int] = None):
+        """Only batch subdirs with a _SUCCESS marker — a torn dir from a
+        crash mid-write must be INVISIBLE (its batch will be replayed and
+        overwritten), never silently read as partial/empty state."""
+        out = []
+        if os.path.isdir(root):
+            for d in sorted(os.listdir(root)):
+                if not d.startswith("batch="):
+                    continue
+                bid = int(d.split("=", 1)[1])
+                if exclude is not None and bid == exclude:
+                    continue
+                sub = os.path.join(root, d)
+                if os.path.exists(os.path.join(sub, "_SUCCESS")):
+                    out.append(sub)
+        return out
+
     def _seen(self, exclude_batch: Optional[int] = None) -> DataFrame:
-        try:
-            seen = self.spark.read.parquet(self.seen_path)
-        except Exception:
+        dirs = self._committed_batch_dirs(self.seen_path, exclude_batch)
+        if not dirs:
             return self.spark.createDataFrame([], "text_hash long")
-        if exclude_batch is not None and "batch" in seen.columns:
-            seen = seen.filter(F.col("batch") != exclude_batch)
-        return seen.select("text_hash")
+        return self.spark.read.parquet(*dirs).select("text_hash")
 
     def _done(self, batch_id: int) -> bool:
         return os.path.exists(
@@ -140,7 +154,8 @@ class IncrementalExactDedup:
         fresh.unpersist()
 
     def keepers(self) -> DataFrame:
-        return self.spark.read.parquet(self.keepers_path).drop("batch")
+        dirs = self._committed_batch_dirs(self.keepers_path)
+        return self.spark.read.parquet(*dirs)
 
 
 def run_incremental_exact_dedup(

@@ -24,6 +24,12 @@ def test_stage_resume_and_invalidation(spark, pages, tmp_path):
                   "edges_minhash", "edges", "clusters", "keepers"]:
         assert f"{stage}.resumed" in resumed, f"{stage} was recomputed"
     assert sorted(r.doc_id for r in r2.keepers.collect()) == k1
+    # detector bucket metrics come back from the commit record on resume
+    # (without re-running the banding jobs)
+    assert r2.metrics.get("minhash.n_buckets") == r1.metrics.get(
+        "minhash.n_buckets"
+    )
+    assert "minhash.max_bucket_size" in r2.metrics
 
     # config change invalidates the hash → stages recompute
     cfg2 = PipelineConfig()
