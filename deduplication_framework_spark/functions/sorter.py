@@ -20,6 +20,7 @@ import json
 from collections import Counter
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -54,11 +55,19 @@ def _is_image_url(u) -> bool:
     return any(ext in u for ext in [".jpg", ".jpeg", ".png", ".gif", ".bmp", ".webp"])
 
 
+# 256-entry lookup for (chr(b).isprintable() or chr(b).isspace()) —
+# precomputed once so the per-byte check is a vectorized table gather
+_PRINTABLE_LUT = np.array(
+    [(chr(b).isprintable() or chr(b).isspace()) for b in range(256)],
+    dtype=bool,
+)
+
+
 def is_mostly_printable(data: bytes) -> bool:
     if not data:
         return False
-    printable = sum((chr(b).isprintable() or chr(b).isspace()) for b in data)
-    return printable / len(data) >= PRINTABLE_THRESHOLD
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return _PRINTABLE_LUT[arr].mean() >= PRINTABLE_THRESHOLD
 
 
 def sniff_magic(header: bytes) -> Optional[str]:
