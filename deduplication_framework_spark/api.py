@@ -50,6 +50,24 @@ from deduplication_framework_spark.plans.pipeline import (
 METHODS = ("jaccard", "md5", "simhash", "minhash_lsh", "ours_lsh")
 
 
+def _finalize(
+    docs, edges, clusters, keep, rounds, cfg, method, store
+) -> PipelineResult:
+    """Shared tail for the facade-assembled paths: adaptive CC already ran;
+    commit the durable outputs through the store when one is attached (the
+    run_pipeline-delegating paths get full stage resume instead)."""
+    if store is not None:
+        import hashlib
+
+        chash = hashlib.sha256(
+            (cfg.config_hash() + "|api|" + method).encode("utf-8")
+        ).hexdigest()
+        edges = store.write(edges, "edges", chash, lineage=["docs"])
+        clusters = store.write(clusters, "clusters", chash, lineage=["edges"])
+        keep = store.write(keep, "keepers", chash, lineage=["clusters"])
+    return PipelineResult(docs, edges, clusters, keep, rounds, {})
+
+
 def dedup_texts(
     spark: SparkSession,
     pages: DataFrame,
@@ -59,18 +77,22 @@ def dedup_texts(
 ) -> PipelineResult:
     """Run the reference method by name over a pages/docs DataFrame."""
     cfg = cfg or PipelineConfig()
-    method = (method or "jaccard").lower()
+    # None/empty → the signature default (ours_lsh), not a divergent one
+    method = (method or "ours_lsh").lower()
+    cc_thresh = cfg.spark.cc_broadcast_threshold
 
     if method == "md5":
         # reference md5 hashes the NORMALIZED text (pipeline_api.py:350)
-        docs = prepare_docs(pages)
+        docs = prepare_docs(pages).persist()
         from deduplication_framework_spark.functions.text import normalize_col
 
         norm_docs = docs.withColumn("text", normalize_col(F.col("text"), cfg.embedding))
         uniq, edges = exact_dedup(norm_docs, hash_fn="md5")
-        clusters, rounds = clusters_from_edges(docs, edges.select("src", "dst"))
+        clusters, rounds = clusters_from_edges(
+            docs, edges.select("src", "dst"), driver_threshold=cc_thresh
+        )
         keep = keepers_op(docs, clusters)
-        return PipelineResult(docs, edges, clusters, keep, rounds, {})
+        return _finalize(docs, edges, clusters, keep, rounds, cfg, method, store)
 
     if method == "simhash":
         return run_pipeline(spark, pages, cfg, detectors=["simhash"], store=store)
@@ -84,19 +106,21 @@ def dedup_texts(
             )
         # char-grams-only variant assembled here (the pipeline default is
         # ours_lsh); shares every operator
-        docs = prepare_docs(pages)
+        docs = prepare_docs(pages).persist()
         b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
         mh = make_minhash_udf(cfg.embedding, cfg.dedup, include_words=False)
         sigs = docs.select("doc_id", mh("text").alias("sig"))
         bands = minhash_bands(sigs, b, r)
         pairs, _ = candidate_pairs(bands, bucket_cap=cfg.spark.bucket_cap)
         edges = pairs.withColumn("sim", F.lit(None).cast("double"))
-        clusters, rounds = clusters_from_edges(docs, edges.select("src", "dst"))
+        clusters, rounds = clusters_from_edges(
+            docs, edges.select("src", "dst"), driver_threshold=cc_thresh
+        )
         keep = keepers_op(docs, clusters)
-        return PipelineResult(docs, edges, clusters, keep, rounds, {})
+        return _finalize(docs, edges, clusters, keep, rounds, cfg, method, store)
 
     if method == "jaccard":
-        docs = prepare_docs(pages)
+        docs = prepare_docs(pages).persist()
         n_docs = docs.count()
         if n_docs > cfg.dedup.max_candidates:
             # reference fallback: rolling-window quick dedup
@@ -115,9 +139,13 @@ def dedup_texts(
                 F.col("doc_id").alias("dst"),
                 F.lit(None).cast("double").alias("sim"),
             )
-            clusters, rounds = clusters_from_edges(docs, edges.select("src", "dst"))
+            clusters, rounds = clusters_from_edges(
+                docs, edges.select("src", "dst"), driver_threshold=cc_thresh
+            )
             keep = keepers_op(docs, clusters)
-            return PipelineResult(docs, edges, clusters, keep, rounds, {})
+            return _finalize(
+                docs, edges, clusters, keep, rounds, cfg, method, store
+            )
 
         # exact path: MinHash candidate gen (recall-complete at theta via the
         # S-curve) + FULL multi-granularity-shingle Jaccard verification —
@@ -130,8 +158,10 @@ def dedup_texts(
         bands = minhash_bands(sigs, b, r)
         pairs, _ = candidate_pairs(bands, bucket_cap=cfg.spark.bucket_cap)
         edges = verify_jaccard(pairs, shingles, cfg.dedup.threshold)
-        clusters, rounds = clusters_from_edges(docs, edges.select("src", "dst"))
+        clusters, rounds = clusters_from_edges(
+            docs, edges.select("src", "dst"), driver_threshold=cc_thresh
+        )
         keep = keepers_op(docs, clusters)
-        return PipelineResult(docs, edges, clusters, keep, rounds, {})
+        return _finalize(docs, edges, clusters, keep, rounds, cfg, method, store)
 
     raise ValueError(f"Unknown text deduplication method: {method}")

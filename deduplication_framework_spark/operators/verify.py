@@ -52,8 +52,10 @@ def make_sorted_jaccard_udf():
         for i, (xs, ys) in enumerate(zip(a, b)):
             nx = 0 if xs is None else len(xs)
             ny = 0 if ys is None else len(ys)
-            if nx == 0 and ny == 0:
-                out[i] = 1.0
+            if nx == 0 or ny == 0:
+                # both empty/null → 1.0 (reference rule); one-sided → 0.0
+                # (and never hand None to np.intersect1d)
+                out[i] = 1.0 if nx == ny else 0.0
                 continue
             inter = np.intersect1d(xs, ys, assume_unique=True).size
             out[i] = inter / (nx + ny - inter)
@@ -76,10 +78,13 @@ def verify_jaccard(
     ``use_sorted_udf`` (default): linear-merge Jaccard via Arrow UDF —
     requires the feature arrays to be sorted-distinct (all our feature UDFs
     emit np.unique output). Set False for arbitrary arrays (JVM
-    array_intersect path)."""
+    array_intersect path) — that mode also disables the size prefilter,
+    whose |A| >= θ|B| necessity argument only holds when array length =
+    SET size (a duplicate-laden array can pass set-Jaccard yet fail the
+    raw-length ratio)."""
     joined = _attach(pairs, features, id_col, [feat_col])
     a, b = F.col(f"{feat_col}_a"), F.col(f"{feat_col}_b")
-    if size_prefilter and threshold > 0:
+    if size_prefilter and threshold > 0 and use_sorted_udf:
         # |A| >= θ|B| and |B| >= θ|A| are necessary for J >= θ
         sa, sb = F.size(a), F.size(b)
         joined = joined.filter(

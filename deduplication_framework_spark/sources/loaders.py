@@ -54,8 +54,21 @@ def join_precomputed(
     how: str = "left",
 ) -> DataFrame:
     """S17: attach precomputed features via broadcast join on the fuzzy
-    normalized key (replaces the reference's driver-side dict probing)."""
+    normalized key (replaces the reference's driver-side dict probing).
+
+    Multiple precomputed rows can normalize to the SAME fuzzy key
+    ('Track_01.wav' and 'track-01.npy' → 'track01'); a dict keeps one
+    value per key, so the join side is deduplicated first (deterministic:
+    min original key wins) — otherwise item rows silently multiply."""
+    from pyspark.sql import Window
+
     pre = precomputed.withColumn("_nkey", normalize_join_key(F.col(pre_key)))
+    w = Window.partitionBy("_nkey").orderBy(F.col(pre_key))
+    pre = (
+        pre.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     it = items.withColumn("_nkey", normalize_join_key(F.col(item_key)))
     return it.join(F.broadcast(pre.drop(pre_key)), "_nkey", how).drop("_nkey")
 
@@ -67,9 +80,12 @@ def sample_subset(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     if total <= n:
         return df
     frac = min(1.0, (n * 1.3) / total)
+    # hash EVERY column into the order key: a non-unique leading column
+    # would leave tie order partition-dependent and the limit() cut
+    # nondeterministic across parallelism levels
     return (
         df.sample(fraction=frac, seed=seed)
-        .orderBy(F.xxhash64(*df.columns[:1], F.lit(seed)))
+        .orderBy(F.xxhash64(*df.columns, F.lit(seed)))
         .limit(n)
     )
 

@@ -186,13 +186,40 @@ def _make_text(i: int, n_docs: int, seed: int) -> Tuple[str, str, str, int, int]
         return " ".join(toks), lang, dup_class, group_id, variant
 
     if dup_class == "substring":
+        # the class contract is a GUARANTEED >=200-char shared contiguous
+        # span; short bases (e.g. 50-token zh docs ≈ 150 chars) could not
+        # hold one, so extend the group's base deterministically first —
+        # variant 0 is " ".join(base), so host and base stay consistent
+        chars = sum(len(t) + 1 for t in base)
+        if chars < 400:
+            ext = _rng_for(seed, 5050, gkey)
+            words, cjk = _vocab(seed)
+            while chars < 400:
+                if lang == "zh":
+                    t = "".join(
+                        cjk[j]
+                        for j in ext.randint(0, len(cjk), ext.randint(1, 4))
+                    )
+                else:
+                    t = words[ext.randint(len(words))]
+                base.append(t)
+                chars += len(t) + 1
         rng = _rng_for(seed, 5005, gkey, variant)
         if variant == 0:
             return " ".join(base), lang, dup_class, group_id, variant
-        # host doc embeds a >=200-char contiguous span of the base doc
+        # host doc embeds a >=260-char contiguous span of the base doc;
+        # start is drawn only from positions whose suffix still holds >=270
+        # chars so the span never runs out of base
+        tail = 0
+        max_start = 0
+        for s in range(len(base) - 1, -1, -1):
+            tail += len(base[s]) + 1
+            if tail >= 270:
+                max_start = s
+                break
+        start = rng.randint(0, max_start + 1)
         span_toks = []
         span_len = 0
-        start = rng.randint(0, max(1, len(base) // 2))
         for t in base[start:]:
             span_toks.append(t)
             span_len += len(t) + 1
