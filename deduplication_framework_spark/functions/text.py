@@ -48,7 +48,9 @@ def normalize_col(col: Column, cfg: Optional[TextEmbeddingConfig] = None) -> Col
         out = F.regexp_replace(out, _JAVA_NON_ALNUM, repl)
     if cfg.collapse_whitespace:
         out = F.regexp_replace(out, _JAVA_WS, " ")
-    return F.trim(out)
+    # Python str.strip() (the kernel) strips ALL whitespace; F.trim only
+    # ASCII spaces — regex-trim keeps parity when collapse_whitespace=False
+    return F.regexp_replace(out, r"(?U)^\s+|\s+$", "")
 
 
 def _u64_to_i64(arr: np.ndarray) -> np.ndarray:
@@ -288,6 +290,11 @@ def make_fused_features_udf(
         fields.append(T.StructField("winnow", T.ArrayType(T.LongType())))
     if not fields:
         raise ValueError("make_fused_features_udf: no feature family enabled")
+    if with_winnow and (kgram <= 0 or window <= 0):
+        raise ValueError(
+            "make_fused_features_udf: with_winnow requires kgram > 0 and "
+            f"window > 0 (got kgram={kgram}, window={window})"
+        )
     out_type = T.StructType(fields)
     names = [f.name for f in fields]
 
@@ -302,6 +309,11 @@ def make_fused_features_udf(
         def digest(feat: str) -> bytes:
             d = digest_cache.get(feat)
             if d is None:
+                # bound the cache: a distinct-feature-heavy batch (diverse
+                # multilingual word tokens) would otherwise grow it to
+                # millions of entries per concurrent python worker
+                if len(digest_cache) >= 1_000_000:
+                    digest_cache.clear()
                 d = hashlib.sha1(feat.encode("utf-8")).digest()
                 digest_cache[feat] = d
             return d

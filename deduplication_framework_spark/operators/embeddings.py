@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot_expr(a, b):
@@ -34,11 +35,14 @@ def _dot_expr(a, b):
 
 def l2_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Reference L2-normalizes before any similarity
-    (image/method/pipeline_api.py:442-445)."""
+    (image/method/pipeline_api.py:442-445). Zero-norm vectors (padding
+    rows, failed encoders) divide by 1 instead of producing all-NULL
+    arrays that crash MLlib KMeans and silently drop bruteforce pairs."""
     norm = F.sqrt(_dot_expr(F.col(vec_col), F.col(vec_col)))
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
     return df.withColumn(
         vec_col,
-        F.transform(F.col(vec_col), lambda x: (x.cast("double") / norm).cast("float")),
+        F.transform(F.col(vec_col), lambda x: (x.cast("double") / safe).cast("float")),
     )
 
 
@@ -166,7 +170,21 @@ def semdedup_within_blocks(
 
     Returns (vec_id, block_id, max_prior_sim, keep). Blocks are the
     parallelism unit — identical math to the reference per block, with
-    blocks distributed."""
+    blocks distributed.
+
+    Two documented quirks, both inherited from the reference's np.triu
+    implementation: (a) ``max_prior_sim`` is floored at 0.0 (the triangular
+    zero fill wins when every prior cosine is negative — keep decisions are
+    unaffected for eps < 1); (b) the output id column is typed ``long``, so
+    ``id_col`` must be an integer column."""
+    if not isinstance(
+        blocked.schema[id_col].dataType, (T.LongType, T.IntegerType)
+    ):
+        raise TypeError(
+            f"semdedup id_col {id_col!r} must be an integer column (output "
+            f"schema is 'vec_id long'); got "
+            f"{blocked.schema[id_col].dataType.simpleString()}"
+        )
     ranked = rank_within_blocks(blocked, keep_hard=True, id_col=id_col)
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -210,8 +228,10 @@ def kmeans_semdedup(
     normalized = l2_normalize(df, vec_col)
     blocked = kmeans_block(normalized, n_clusters=n_clusters, seed=seed,
                            id_col=id_col, vec_col=vec_col)
+    # decisions feed BOTH returned frames (keepers derives from them) —
+    # persist so the quadratic per-block pass runs once per action set
     decisions = semdedup_within_blocks(blocked, eps=eps, id_col=id_col,
-                                       vec_col=vec_col)
+                                       vec_col=vec_col).persist()
     keep_ids = decisions.filter(F.col("keep")).select(
         F.col("vec_id").alias("_keep_id")
     )

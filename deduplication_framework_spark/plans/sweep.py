@@ -5,8 +5,11 @@ judges each threshold by training a classifier per cleaned set and comparing
 accuracy — text/method/classification_batch.py:15-111 and
 classification_comparison.py:191-340).
 
-Spark form: one pipeline run per θ (config-hash keeps re-runs cheap when a
-store is attached; the signature stage is θ-independent and resumes), with a
+Spark form: one pipeline run per θ (each θ gets its own store dir when a
+store root is attached — the resume hash folds in the θ-dependent config,
+so RE-runs of the same sweep resume per θ, but featurization is NOT shared
+across θ within one sweep; sharing the θ-independent fused feature stage
+across thresholds is a known round-3 optimization), with a
 summary DataFrame of dedup rates per threshold (the reference's
 `README.md:26-30` dedup-rate table shape). ``evaluate=True`` adds the
 downstream-quality proxy per θ: a seeded MLlib logistic probe (hashed token
@@ -36,12 +39,32 @@ def downstream_probe(
     seed: int = 42,
 ) -> float:
     """Train a logistic probe (whitespace tokens → HashingTF → LR) on
-    ``train_docs`` and return accuracy on ``eval_docs``. Deterministic for
-    fixed inputs; the metric is comparative across thresholds, not an
-    absolute benchmark."""
+    ``train_docs`` and return accuracy on the FULL ``eval_docs`` slice.
+
+    Labels are indexed by a FIXED mapping over train ∪ eval (sorted label
+    order), never a per-train StringIndexer with handleInvalid="skip": a
+    threshold whose keepers lose a whole label class would otherwise have
+    those eval rows silently dropped, making destructive thresholds score
+    HIGHER — the exact comparison the sweep exists to make. An eval row
+    whose label the probe never saw simply counts as wrong.
+
+    Deterministic for fixed inputs; the metric is comparative across
+    thresholds, not an absolute benchmark."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import HashingTF, StringIndexer, Tokenizer
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    spark = train_docs.sparkSession
+    labels = sorted(
+        {r[0] for r in train_docs.select(label_col).distinct().collect()}
+        | {r[0] for r in eval_docs.select(label_col).distinct().collect()}
+    )
+    mapping = spark.createDataFrame(
+        [(l, float(i)) for i, l in enumerate(labels)],
+        f"{label_col} string, label double",
+    )
+    train = train_docs.select("text", label_col).join(mapping, label_col)
+    evald = eval_docs.select("text", label_col).join(mapping, label_col)
 
     pipe = Pipeline(
         stages=[
@@ -49,14 +72,11 @@ def downstream_probe(
             HashingTF(
                 inputCol="_toks", outputCol="features", numFeatures=num_features
             ),
-            StringIndexer(
-                inputCol=label_col, outputCol="label", handleInvalid="skip"
-            ),
             LogisticRegression(maxIter=20, regParam=0.01),
         ]
     )
-    model = pipe.fit(train_docs.select("text", label_col))
-    pred = model.transform(eval_docs.select("text", label_col))
+    model = pipe.fit(train)
+    pred = model.transform(evald)
     n = pred.count()
     if not n:
         return 0.0
@@ -131,9 +151,10 @@ def threshold_sweep(
                 ).persist()
                 eval_docs.count()
                 orig_dist = _label_dist(res.docs, label_col)
-        n_keep = res.keepers.count()
+        keep = res.keepers.persist()  # count + write + eval reuse one pass
+        n_keep = keep.count()
         if keepers_out:
-            res.keepers.write.mode("overwrite").parquet(
+            keep.write.mode("overwrite").parquet(
                 f"{keepers_out}/theta={theta}"
             )
         row = (
@@ -144,7 +165,6 @@ def threshold_sweep(
             round((n_docs - n_keep) / n_docs, 6) if n_docs else 0.0,
         )
         if evaluate:
-            keep = res.keepers.persist()
             train = keep.filter(F.col("doc_id") % 5 != 0)
             acc = downstream_probe(train, eval_docs, label_col=label_col)
             keep_dist = _label_dist(keep, label_col)
@@ -153,7 +173,7 @@ def threshold_sweep(
                 for k in set(keep_dist) | set(orig_dist)
             )
             row = row + (round(acc, 6), _vocab_size(keep), round(tv, 6))
-            keep.unpersist()
+        keep.unpersist()
         rows.append(row)
     if eval_docs is not None:
         eval_docs.unpersist()
