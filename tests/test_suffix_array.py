@@ -151,3 +151,68 @@ def test_doubling_path_matches_direct(spark):
         }
         expect_cc = clusters_to_pairs(pairs_to_labels(ids, expect))
         assert got == expect_cc, f"k0={k0}"
+
+
+def test_left_extension_suppression_collapses_interior_buckets(spark):
+    """Round-3 shuffle-amplification fix: a shared span's INTERIOR L-gram
+    buckets must collapse to a single prev group (zero pairs emitted
+    there); divergence happens only at the span's left boundary. Also pins
+    exact pair-set parity between the suppressed and plain pair-gen paths
+    on the same bands."""
+    from deduplication_framework_spark.operators.lsh import candidate_pairs
+    from deduplication_framework_spark.operators.suffix_array import (
+        substring_buckets_lgram,
+    )
+
+    rng = np.random.RandomState(11)
+    alpha = "abcdefgh"
+    span = "".join(alpha[i] for i in rng.randint(0, 8, 300))
+    texts = []
+    for i in range(6):
+        t = "".join(alpha[i] for i in rng.randint(0, 8, 200))
+        cut = rng.randint(0, 150)
+        texts.append(t[:cut] + span + t[cut:])
+    L = 100
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    bands = substring_buckets_lgram(docs, L, with_prev=True).persist()
+
+    g = F.coalesce(F.col("prev"), F.xxhash64(F.lit("_noprev"), F.col("doc_id")))
+    census = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(
+            F.countDistinct(g).alias("n_groups"),
+            F.count("*").alias("sz"),
+        )
+        .filter(F.col("sz") > 1)
+    )
+    multi = census.count()
+    divergent = census.filter(F.col("n_groups") > 1).count()
+    # the span yields ~201 shared-gram buckets; all interior ones are a
+    # single prev group — only the leftmost (plus rare random-context
+    # collisions at the splice boundary) may diverge
+    assert multi >= 150
+    assert divergent <= 5, f"{divergent} of {multi} buckets diverged"
+
+    # exact pair-set parity: suppressed all-pairs == plain all-pairs
+    plain, _ = candidate_pairs(bands.drop("prev"), bucket_cap=2000)
+    supp, _ = candidate_pairs(bands, bucket_cap=2000, group_col="prev")
+    assert {(r.src, r.dst) for r in supp.collect()} == {
+        (r.src, r.dst) for r in plain.collect()
+    }
+
+    # clique path (bucket_cap=1): identical connected components
+    from deduplication_framework_spark.oracle.numpy_oracle import (
+        clusters_to_pairs,
+        pairs_to_labels,
+    )
+
+    p_plain, _ = candidate_pairs(bands.drop("prev"), bucket_cap=1)
+    p_supp, _ = candidate_pairs(bands, bucket_cap=1, group_col="prev")
+    ids = list(range(6))
+    cc = lambda pairs: clusters_to_pairs(  # noqa: E731
+        pairs_to_labels(ids, {(r.src, r.dst) for r in pairs.collect()})
+    )
+    assert cc(p_supp) == cc(p_plain)
+    bands.unpersist()
