@@ -424,12 +424,18 @@ def q_lang_source_cube(spark, sf_dir):
 
 
 def q_ann_topk_bruteforce(spark, sf_dir):
-    """Exact cosine top-5 per vector — GEMM against a broadcast matrix
-    (mapInPandas); the ANN baseline. Rows-only (float ordering is engine-
-    specific at ties)."""
+    """Exact top-5 per vector (raw float64 dot on the unit-norm corpus) —
+    GEMM against a broadcast matrix (mapInPandas); the ANN baseline.
+    Hash-checked vs a DuckDB window-function oracle since round 3: ordering
+    is (dot DESC, neighbor_id ASC) on both sides, the integer-only output
+    (vec_id, neighbor_id, rank) carries no floats, and the corpus's
+    smallest top-6 dot gap (1.4e-6, measured at sf0.01 and sf0.1) is ~1e9x
+    the cross-engine summation-order noise."""
     from deduplication_framework_spark.operators.ann import knn_bruteforce
 
-    return knn_bruteforce(_emb(spark, sf_dir), k=5)
+    return knn_bruteforce(_emb(spark, sf_dir), k=5, normalize=False).select(
+        "vec_id", "neighbor_id", "rank"
+    )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -460,12 +466,25 @@ def q_props_json_stats(spark, sf_dir):
 
 
 def q_semdedup_decisions(spark, sf_dir):
-    """C1+W3: k-means blocking + per-block SemDeDup over the embeddings
-    table (iterative MLlib + applyInPandas — rows-only check)."""
-    from deduplication_framework_spark.operators.embeddings import kmeans_semdedup
+    """W3 (SemDeDup max-prior-sim) over deterministic label blocks — the
+    DuckDB-parity surface for the per-block upper-triangular kernel
+    (reference simple_semdedup.py:85-108), hash-checked since round 3.
+    Blocks = the embedding table's label column and rank = vec_id order
+    (both SQL-expressible; the production path — MLlib k-means blocking +
+    centroid-distance ranking — is ``kmeans_semdedup``, exercised by
+    ann_ivf_topk here plus exact-triu pytest). Raw dots on the unit-norm
+    corpus; eps=0.7 puts the keep threshold at 1.0-0.7 where the corpus's
+    nearest max-prior sits 1.6e-5 away (measured at sf0.01 and sf0.1) —
+    ~1e10x the cross-engine float noise."""
+    from deduplication_framework_spark.operators.embeddings import (
+        semdedup_within_blocks,
+    )
 
     emb = _emb(spark, sf_dir)
-    _, decisions = kmeans_semdedup(emb, eps=0.05, seed=42)
+    blocked = emb.select(
+        "vec_id", "embedding", F.col("label").alias("block_id")
+    )
+    decisions = semdedup_within_blocks(blocked, eps=0.7, order_by="id")
     return decisions.select("vec_id", "block_id", "keep")
 
 
@@ -739,8 +758,118 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY CUBE (lang, source)
         """,
+        # W3 triu max-prior-sim, label blocks, vec_id rank order (see
+        # q_semdedup_decisions for the margin analysis). 1.0 - 0.7 is
+        # spelled as the same subtraction Python evaluates so both engines
+        # compare against the identical IEEE double.
+        "semdedup_decisions": """
+            WITH pr AS (
+                SELECT b.vec_id,
+                       max(list_sum(list_transform(
+                           list_zip(a.embedding, b.embedding),
+                           p -> p[1]::DOUBLE * p[2]::DOUBLE))) AS mp
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                GROUP BY 1
+            )
+            SELECT e.vec_id, e.label AS block_id,
+                   coalesce(pr.mp, -1.0) <= (1.0 - 0.7) AS keep
+            FROM embeddings e LEFT JOIN pr USING (vec_id)
+        """,
+        # exact top-5 by raw float64 dot, ties by neighbor id — the same
+        # (dot DESC, id ASC) order knn_bruteforce(normalize=False) emits
+        "ann_topk_bruteforce": """
+            SELECT vec_id, neighbor_id, rank FROM (
+                SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_sum(list_transform(
+                               list_zip(a.embedding, b.embedding),
+                               p -> p[1]::DOUBLE * p[2]::DOUBLE)) DESC,
+                               b.vec_id) AS rank
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ) WHERE rank <= 5
+        """,
+        # determine_category + strict demotion (reference sorter.py:207-317)
+        # over the same deterministic swamp q_sorter_categories builds.
+        # The corpus is validated pure-ASCII printable prose (no doc parses
+        # as JSON, none starts with '{'/'['), so the JSON key-vote branch
+        # degenerates to 'text' for any json_valid payload; the printable
+        # test is the reference's byte LUT restricted to ASCII (printables
+        # 0x20-0x7E plus whitespace 09-0D and 1C-1F, ratio >= 0.85 over the
+        # 4096-byte header). Magic sniffs are spelled out so non-prose
+        # inputs would still classify faithfully. Planted .png/.wav rows
+        # take the STRICT-extension branch (content never inspected).
+        "sorter_categories": """
+            WITH base AS (
+                SELECT CASE WHEN doc_id % 3 = 0 THEN '.txt'
+                            WHEN doc_id % 3 = 1 THEN '.json'
+                            ELSE '.dat' END AS suffix,
+                       text AS s,
+                       substring(text, 1, 4096) AS h,
+                       octet_length(encode(text)) AS size_bytes
+                FROM documents
+            ), sniffed AS (
+                SELECT suffix, s, size_bytes,
+                       CASE WHEN starts_with(s, 'GIF87a')
+                                 OR starts_with(s, 'GIF89a') THEN 'image'
+                            WHEN substring(s, 1, 4) = 'RIFF'
+                                 AND substring(s, 9, 4) = 'WAVE' THEN 'audio'
+                            WHEN starts_with(s, 'ID3')
+                                 OR starts_with(s, 'fLaC') THEN 'audio'
+                            WHEN contains(h, 'metadata:image')
+                                 OR contains(lower(h), '<svg') THEN 'image'
+                            WHEN starts_with(ltrim(h), '{')
+                                 OR starts_with(ltrim(h), '[') THEN 'text'
+                            ELSE NULL END AS magic,
+                       (length(regexp_replace(h,
+                            '[\\x20-\\x7e\\x09-\\x0d\\x1c-\\x1f]', '', 'g'))
+                        ::DOUBLE / length(h)) <= 0.15 AS printable
+                FROM base
+            ), decided AS (
+                SELECT suffix, size_bytes,
+                       CASE
+                         WHEN size_bytes = 0 THEN 'unknown'
+                         WHEN suffix = '.json' THEN
+                           CASE WHEN json_valid(s) THEN 'text'
+                                WHEN magic IS NOT NULL THEN magic
+                                WHEN printable THEN 'text'
+                                ELSE 'unknown' END
+                         WHEN suffix = '.txt' THEN
+                           CASE WHEN magic IS NOT NULL AND magic <> 'text'
+                                    THEN magic
+                                ELSE 'text' END
+                         ELSE
+                           CASE WHEN magic IS NOT NULL THEN magic
+                                WHEN printable THEN 'text'
+                                ELSE 'unknown' END
+                       END AS cat0
+                FROM sniffed
+            ), demoted AS (
+                SELECT CASE
+                         WHEN cat0 = 'image'
+                              AND suffix NOT IN ('.png', '.jpg', '.jpeg')
+                              THEN 'unknown'
+                         WHEN cat0 = 'audio' AND suffix <> '.wav'
+                              THEN 'unknown'
+                         ELSE cat0 END AS category,
+                       size_bytes
+                FROM decided
+            ), planted AS (
+                SELECT CASE WHEN doc_id % 2 = 0 THEN 'image'
+                            ELSE 'audio' END AS category,
+                       CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 28 END
+                           AS size_bytes
+                FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT category, count(*) AS n_files,
+                   CAST(sum(size_bytes) AS BIGINT) AS total_bytes
+            FROM (SELECT * FROM demoted UNION ALL SELECT * FROM planted)
+            GROUP BY 1
+        """,
         # minhash_clusters / simhash_clusters / substring_clusters /
-        # semdedup_decisions / sorter_categories: non-SQL-expressible
-        # (LSH banding + iterative CC / MLlib / UDF classification) →
-        # rows-only check
+        # suffix_array_clusters / ann_ivf_topk: non-SQL-expressible
+        # (LSH banding + iterative connected components / MLlib k-means) →
+        # rows-only driver check, pytest-oracled (numpy union-find /
+        # sequential LSH / LCS / recall@k suites)
     }

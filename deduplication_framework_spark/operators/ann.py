@@ -40,12 +40,20 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str,
 
 
 def knn_bruteforce(
-    df: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """→ (vec_id, neighbor_id, rank, sim): exact cosine top-k, GEMM against
-    a broadcast matrix."""
+    a broadcast matrix. ``normalize=False`` ranks RAW float64 dot products
+    (use on an already-unit-norm corpus when bit-stable parity with a plain
+    dot-product oracle matters).
+
+    Ordering is fully deterministic: (sim DESC, neighbor_id ASC), including
+    across the top-k boundary (the candidate slice is over-fetched so
+    boundary-straddling exact ties — identical vectors — resolve by id,
+    matching a SQL ``row_number() OVER (ORDER BY sim DESC, id)`` oracle)."""
     spark = df.sparkSession
-    ids, mat = _collect_matrix(df, id_col, vec_col)
+    ids, mat = _collect_matrix(df, id_col, vec_col, normalize=normalize)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
@@ -53,18 +61,23 @@ def knn_bruteforce(
         M, I = b_mat.value, b_ids.value
         for pdf in batches:
             q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            qn[qn == 0] = 1.0
-            sims = (q / qn) @ M.T  # (batch, N)
+            if normalize:
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                qn[qn == 0] = 1.0
+                q = q / qn
+            sims = q @ M.T  # (batch, N)
             qids = pdf[id_col].to_numpy()
             # mask self
             for bi, qid in enumerate(qids):
                 sims[bi, I == qid] = -np.inf
-            kk = min(k, sims.shape[1])
+            # over-fetch 8 extra candidates so exact ties straddling the
+            # k-th position are all present before the lexsort cuts at k
+            kk = min(k + 8, sims.shape[1])
             top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
             out = []
             for bi, qid in enumerate(qids):
-                order = top[bi][np.argsort(-sims[bi, top[bi]], kind="stable")]
+                cand = top[bi]
+                order = cand[np.lexsort((I[cand], -sims[bi, cand]))][:k]
                 for rank, j in enumerate(order, 1):
                     out.append((int(qid), int(I[j]), rank, float(sims[bi, j])))
             yield pd.DataFrame(

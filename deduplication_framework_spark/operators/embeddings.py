@@ -163,6 +163,7 @@ def semdedup_within_blocks(
     eps: float = 0.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    order_by: str = "centroid",
 ) -> DataFrame:
     """W3 (SemDeDup core): within each block, in rank order, remove item j
     iff max_{i<j} cos(i, j) > 1 - eps — the reference's upper-triangular max
@@ -171,6 +172,12 @@ def semdedup_within_blocks(
     Returns (vec_id, block_id, max_prior_sim, keep). Blocks are the
     parallelism unit — identical math to the reference per block, with
     blocks distributed.
+
+    ``order_by``: "centroid" (default — W1 hard-first ranking, needs a
+    ``dist_to_centroid`` column from kmeans_block) or "id" (rank = id
+    order; the deterministic, SQL-expressible ordering the driver's
+    DuckDB-parity ``semdedup_decisions`` query uses — prior-member
+    semantics are identical, only the visit order differs).
 
     Two documented quirks, both inherited from the reference's np.triu
     implementation: (a) ``max_prior_sim`` is floored at 0.0 (the triangular
@@ -185,7 +192,11 @@ def semdedup_within_blocks(
             f"schema is 'vec_id long'); got "
             f"{blocked.schema[id_col].dataType.simpleString()}"
         )
-    ranked = rank_within_blocks(blocked, keep_hard=True, id_col=id_col)
+    if order_by == "id":
+        w = Window.partitionBy("block_id").orderBy(F.col(id_col))
+        ranked = blocked.withColumn("block_rank", F.row_number().over(w))
+    else:
+        ranked = rank_within_blocks(blocked, keep_hard=True, id_col=id_col)
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("block_rank")
