@@ -275,9 +275,19 @@ def decode_video_bytes(data: bytes) -> Tuple[np.ndarray, float]:
     (not in this image → NotImplementedError); the fake codec keeps the
     Spark plumbing real."""
     if data[:8] == _FAKEVID_MAGIC:
+        if len(data) < 24:
+            raise ValueError(
+                f"truncated FAKEVID payload: {len(data)} bytes < 24-byte header"
+            )
         w, h, n, fps = struct.unpack("<IIIf", data[8:24])
+        expected = 24 + n * h * w * 3
+        if len(data) < expected:
+            raise ValueError(
+                f"truncated FAKEVID frame buffer: {len(data)} bytes < "
+                f"{expected} expected (w={w} h={h} n_frames={n})"
+            )
         frames = np.frombuffer(
-            data[24 : 24 + n * h * w * 3], dtype=np.uint8
+            data[24:expected], dtype=np.uint8
         ).reshape(n, h, w, 3)
         return frames, float(fps)
     raise NotImplementedError(

@@ -49,8 +49,10 @@ def normalize_col(col: Column, cfg: Optional[TextEmbeddingConfig] = None) -> Col
     if cfg.collapse_whitespace:
         out = F.regexp_replace(out, _JAVA_WS, " ")
     # Python str.strip() (the kernel) strips ALL whitespace; F.trim only
-    # ASCII spaces — regex-trim keeps parity when collapse_whitespace=False
-    return F.regexp_replace(out, r"(?U)^\s+|\s+$", "")
+    # ASCII spaces — regex-trim keeps parity when collapse_whitespace=False.
+    # \x1c-\x1f added explicitly: Java's Unicode \s (White_Space property)
+    # excludes the FS/GS/RS/US separators that Python's isspace() includes
+    return F.regexp_replace(out, r"(?U)^[\s\x1c-\x1f]+|[\s\x1c-\x1f]+$", "")
 
 
 def _u64_to_i64(arr: np.ndarray) -> np.ndarray:

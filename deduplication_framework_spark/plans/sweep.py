@@ -36,7 +36,6 @@ def downstream_probe(
     eval_docs: DataFrame,
     label_col: str = "lang",
     num_features: int = 4096,
-    seed: int = 42,
 ) -> float:
     """Train a logistic probe (whitespace tokens → HashingTF → LR) on
     ``train_docs`` and return accuracy on the FULL ``eval_docs`` slice.

@@ -80,14 +80,24 @@ def sample_subset(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     if total <= n:
         return df
     frac = min(1.0, (n * 1.3) / total)
-    # hash EVERY column into the order key: a non-unique leading column
-    # would leave tie order partition-dependent and the limit() cut
-    # nondeterministic across parallelism levels
-    return (
-        df.sample(fraction=frac, seed=seed)
-        .orderBy(F.xxhash64(*df.columns, F.lit(seed)))
-        .limit(n)
+    # hash every ATOMIC-typed column into the order key: a non-unique
+    # leading column would leave tie order partition-dependent and the
+    # limit() cut nondeterministic across parallelism levels, while
+    # complex types (MapType in particular) aren't xxhash64-able and would
+    # fail frames that used to load fine
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    hashable = [
+        f.name
+        for f in df.schema.fields
+        if not isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    key = (
+        F.xxhash64(*hashable, F.lit(seed))
+        if hashable
+        else F.xxhash64(F.lit(seed))
     )
+    return df.sample(fraction=frac, seed=seed).orderBy(key).limit(n)
 
 
 class InputGateError(RuntimeError):

@@ -144,6 +144,17 @@ class IncrementalExactDedup:
         seen = self._seen(exclude_batch=batch_id)
         fresh = firsts.join(seen, "text_hash", "left_anti").persist()
         fresh.count()
+        # record the keeper schema so keepers() can answer (empty) before
+        # any batch dir exists; tmp+rename keeps the write atomic under
+        # foreachBatch replay
+        sj = os.path.join(self.state_dir, "keeper_schema.json")
+        if not os.path.exists(sj):
+            import json
+
+            tmp = sj + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(fresh.drop("text_hash").schema.jsonValue(), fh)
+            os.replace(tmp, sj)
         # overwrite (not append) the batch-scoped subdirs: replay-safe
         fresh.drop("text_hash").write.mode("overwrite").parquet(
             os.path.join(self.keepers_path, f"batch={batch_id}")
@@ -155,6 +166,21 @@ class IncrementalExactDedup:
 
     def keepers(self) -> DataFrame:
         dirs = self._committed_batch_dirs(self.keepers_path)
+        if not dirs:
+            # no batch committed yet (or every dir is torn): an empty frame
+            # with the keeper schema, mirroring _seen()'s empty case —
+            # spark.read.parquet() with zero paths raises AnalysisException
+            sj = os.path.join(self.state_dir, "keeper_schema.json")
+            if os.path.exists(sj):
+                import json
+
+                from pyspark.sql.types import StructType
+
+                with open(sj) as fh:
+                    return self.spark.createDataFrame(
+                        [], StructType.fromJson(json.load(fh))
+                    )
+            return self.spark.createDataFrame([], "url string, text string")
         return self.spark.read.parquet(*dirs)
 
 

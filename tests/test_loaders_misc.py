@@ -140,3 +140,21 @@ class TestKeepPriorityW2:
         assert rows[0][1] == 1 and rows[1][1] == 3
         # singleton block: sim_norm=1, size_norm=0
         assert abs(rows[3][0] - 0.7) < 1e-9 and rows[3][1] == 1
+
+
+def test_sample_subset_with_map_column(spark):
+    """ADVICE r2: MapType columns aren't xxhash64-able — the order key must
+    hash only atomic columns, and stay deterministic across partitionings."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.sources import loaders as L
+
+    df = spark.range(500).select(
+        "id", F.create_map(F.lit("k"), F.col("id")).alias("props")
+    )
+    s1 = {r.id for r in L.sample_subset(df, 50).collect()}
+    s2 = {r.id for r in L.sample_subset(df, 50).collect()}
+    assert len(s1) == 50 and s1 == s2
+    # (sample() itself is partition-dependent by design; the fixed order
+    # key only removes the tie nondeterminism of the limit() cut)
+    assert L.sample_subset(df.repartition(7), 50).count() == 50

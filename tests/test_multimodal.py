@@ -174,3 +174,23 @@ class TestVideoOps:
         assert (20, 22) in edges and 0.5 <= edges[(20, 22)] < 1.0
         for (s, d) in edges:
             assert {s, d} <= {20, 21, 22}, f"false video edge {(s, d)}"
+
+
+def test_truncated_video_payload_raises_clear_error():
+    """ADVICE r2: a truncated FAKEVID blob must raise a descriptive
+    ValueError, not an opaque struct.error/reshape failure."""
+    import numpy as np
+    import pytest
+
+    from deduplication_framework_spark.functions.multimodal import (
+        decode_video_bytes,
+        encode_fake_video,
+    )
+
+    blob = encode_fake_video(
+        np.zeros((2, 4, 4, 3), dtype=np.uint8), fps=10.0
+    )
+    with pytest.raises(ValueError, match="truncated FAKEVID payload"):
+        decode_video_bytes(blob[:12])
+    with pytest.raises(ValueError, match="truncated FAKEVID frame buffer"):
+        decode_video_bytes(blob[:-5])

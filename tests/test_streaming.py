@@ -196,3 +196,24 @@ def test_stream_ingest_stats_watermarked(spark, pages, tmp_path):
         if k + datetime.timedelta(minutes=10) <= cutoff1
     }
     assert must_emit <= seen
+
+
+def test_keepers_empty_before_any_batch(spark, tmp_path):
+    """ADVICE r2: keepers() before any committed batch must return an empty
+    frame (zero parquet paths used to raise AnalysisException), and after a
+    batch it must carry the recorded keeper schema."""
+    from deduplication_framework_spark.streaming.incremental import (
+        IncrementalExactDedup,
+    )
+
+    h = IncrementalExactDedup(spark, str(tmp_path / "state"))
+    assert h.keepers().count() == 0
+    batch = spark.createDataFrame(
+        [("u1", "aa"), ("u2", "aa"), ("u3", "bb")], "url string, text string"
+    )
+    h.process_batch(batch, 0)
+    assert h.keepers().count() == 2
+    # fresh handler over the same state dir: schema file answers even when
+    # only torn dirs would be visible
+    h2 = IncrementalExactDedup(spark, str(tmp_path / "state"))
+    assert set(h2.keepers().columns) == {"url", "text"}
