@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     p.add_argument("--sweep-eval", action="store_true",
                    help="with --sweep: add the downstream-probe metrics "
                         "(probe accuracy / vocab size / label shift) per theta")
+    p.add_argument("--eval-recall", action="store_true",
+                   help="append dup-pair recall vs the sequential numpy "
+                        "oracle to summary metrics (collects texts to the "
+                        "driver — validation-scale runs only)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -111,6 +115,10 @@ def main(argv=None) -> int:
     elapsed = round(time.time() - t0, 2)
     n_docs = res.docs.count()
     n_keep = res.keepers.count()
+    if args.eval_recall and "minhash" in detectors:
+        res.metrics.update(
+            _recall_vs_oracle(res, cfg, verified=not args.no_verify)
+        )
     summary = {
         "elapsed_sec": elapsed,
         "docs": n_docs,
@@ -137,6 +145,52 @@ def main(argv=None) -> int:
     with open(f"{args.output}/report.md", "w") as fh:
         fh.write(report)
     return 0
+
+
+def _recall_vs_oracle(res, cfg, verified: bool) -> dict:
+    """Dup-pair recall of the pipeline's clusters vs the sequential numpy
+    oracle (BASELINE.json's >=0.99 criterion), surfaced into summary.json.
+    verify=True runs are judged against the exact "strong" J>=0.9 oracle
+    (the S-curve guarantees those collisions; the unverified LSH oracle
+    contains band-collision false positives a verified run rightly drops);
+    verify=False runs are judged against the sequential LSH oracle itself."""
+    from deduplication_framework_spark.oracle import numpy_oracle as O
+
+    rows = sorted(
+        res.docs.select("doc_id", "text").collect(), key=lambda r: r.doc_id
+    )
+    ids = [r.doc_id for r in rows]
+    txts = [r.text for r in rows]
+    pos = {d: i for i, d in enumerate(ids)}
+    labels = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    our_pairs = {
+        (min(pos[a], pos[b]), max(pos[a], pos[b]))
+        for a, b in O.clusters_to_pairs(labels)
+        if a in pos and b in pos
+    }
+    if verified:
+        ref_pairs = O.strong_jaccard_pairs(
+            txts, ngram_size=cfg.embedding.ngram_size, threshold=0.9
+        )
+        which = "strong_j09"
+    else:
+        ref = O.minhash_lsh_sequential(
+            txts,
+            ngram_size=cfg.embedding.ngram_size,
+            num_perm=cfg.dedup.num_perm,
+            threshold=cfg.dedup.threshold,
+            max_words=cfg.dedup.max_words,
+            max_char_grams=cfg.dedup.max_char_grams,
+            include_words=True,
+        )
+        ref_pairs = O.clusters_to_pairs(ref)
+        which = "sequential_lsh"
+    return {
+        f"minhash.recall_vs_{which}_oracle": round(
+            O.dup_pair_recall(ref_pairs, our_pairs), 4
+        ),
+        "minhash.oracle_pairs": float(len(ref_pairs)),
+    }
 
 
 if __name__ == "__main__":

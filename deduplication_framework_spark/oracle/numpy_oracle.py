@@ -275,3 +275,27 @@ def substring_pairs(
             if K.longest_common_substring_len(texts[i], texts[j]) >= min_match_chars:
                 out.add((i, j))
     return out
+
+
+def strong_jaccard_pairs(
+    texts: Sequence[str], ngram_size: int = 3, threshold: float = 0.9
+) -> Set[Tuple[int, int]]:
+    """Exact all-pairs multi-granularity Jaccard pairs with J >= threshold —
+    the "strong" oracle for VERIFIED pipelines: at J >= 0.9 the LSH S-curve
+    collides with P > 0.99, so a verify=True run must recover these pairs
+    (the unverified sequential-LSH oracle also contains band-collision
+    false positives a verified run rightly drops)."""
+    feats = shingle_sets(texts, n=ngram_size)
+    out: Set[Tuple[int, int]] = set()
+    for i in range(len(texts)):
+        a = feats[i]
+        for j in range(i + 1, len(texts)):
+            b = feats[j]
+            if not a and not b:
+                sim = 1.0
+            else:
+                u = a | b
+                sim = (len(a & b) / len(u)) if u else 0.0
+            if sim >= threshold:
+                out.add((i, j))
+    return out

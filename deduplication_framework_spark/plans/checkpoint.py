@@ -159,28 +159,92 @@ class ParquetTableStore:
         return self.spark.createDataFrame(commits)
 
 
-class IcebergTableStore:  # pragma: no cover - requires iceberg runtime jars
-    """Iceberg backend: same contract via atomic snapshot commits + table
-    properties. Requires spark configured with an Iceberg catalog
-    (org.apache.iceberg.spark.SparkCatalog) — not available in this image."""
+class IcebergTableStore:
+    """Iceberg backend: the full ParquetTableStore contract via atomic
+    snapshot commits + table properties. The StageCommit record rides the
+    ``dedup.commit`` table property as JSON (createOrReplace is an atomic
+    snapshot swap — the Iceberg analog of the parquet store's tmp+rename),
+    so ``is_valid``/``read_commit``/``update_metrics`` behave identically
+    to the parquet store. Requires a Spark session configured with an
+    Iceberg catalog (``spark.sql.catalog.<cat>`` =
+    org.apache.iceberg.spark.SparkCatalog); no Iceberg jars ship in this
+    sandbox image, so coverage here is the mocked-catalog contract-shape
+    test (tests/test_store_commit.py::TestIcebergStoreDryRun)."""
 
-    def __init__(self, spark: SparkSession, namespace: str):
+    PROP = "dedup.commit"
+
+    def __init__(self, spark: SparkSession, namespace: str,
+                 catalog: str = "spark_catalog"):
         try:
-            spark.sql("SELECT 1").collect()
-            spark.conf.get("spark.sql.catalog.spark_catalog")
+            spark.conf.get(f"spark.sql.catalog.{catalog}")
         except Exception as exc:
             raise RuntimeError(
                 "Iceberg catalog not configured; use ParquetTableStore"
             ) from exc
         self.spark = spark
         self.namespace = namespace
+        self.catalog = catalog
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _full(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def read_commit(self, name: str) -> Optional[StageCommit]:
+        # fail closed like the parquet store: missing table / missing
+        # property / garbage JSON all mean "not committed"
+        try:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {self._full(name)} ('{self.PROP}')"
+            ).collect()
+            payload = rows[0]["value"]
+            return StageCommit(**json.loads(payload))
+        except Exception:
+            return None
+
+    def is_valid(self, name: str, config_hash: str) -> bool:
+        c = self.read_commit(name)
+        return c is not None and c.config_hash == config_hash
+
+    def _set_commit(self, name: str, commit: StageCommit) -> None:
+        payload = commit.to_json().replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {self._full(name)} "
+            f"SET TBLPROPERTIES ('{self.PROP}' = '{payload}')"
+        )
 
     def write(self, df, name, config_hash, lineage=None, metrics=None):
-        full = f"{self.namespace}.{name}"
-        df.writeTo(full).using("iceberg").tableProperty(
-            "dedup.config_hash", config_hash
-        ).createOrReplace()
-        return self.spark.read.table(full)
+        full = self._full(name)
+        df.writeTo(full).using("iceberg").createOrReplace()
+        back = self.spark.read.table(full)
+        part_rows = [
+            r["n"]
+            for r in back.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        self._set_commit(
+            name,
+            StageCommit(
+                stage=name,
+                config_hash=config_hash,
+                rows=int(sum(part_rows)),
+                partitions=len(part_rows),
+                partition_rows=[int(x) for x in part_rows],
+                lineage=lineage or [],
+                metrics={k: float(v) for k, v in (metrics or {}).items()},
+            ),
+        )
+        return back
+
+    def update_metrics(self, name: str, metrics: Dict[str, float]) -> None:
+        c = self.read_commit(name)
+        if c is None:
+            return
+        c.metrics.update({k: float(v) for k, v in metrics.items()})
+        self._set_commit(name, c)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.table(self._full(name))
 
 
 def get_store(spark: SparkSession, root: str, catalog: str = "parquet"):

@@ -184,7 +184,7 @@ def run_pipeline(
             ["docs_uniq"],
             persist=True,
         )
-        if store is None:
+        if store is None and (need_sig or need_simhash):
             # materialize the fused UDF pass ONCE before the detector DAGs
             # fan out. persist() alone does NOT prevent duplicate work here:
             # a single downstream job contains several independent shuffle-
@@ -193,6 +193,11 @@ def run_pipeline(
             # they race to fill the cache — each recomputing the whole
             # Arrow pass (measured 4x wall-time blowup at 200k docs). One
             # cheap count() turns the race into one compute + N cache reads.
+            # The race needs >1 independent traversal: minhash (bands +
+            # verify) and simhash (small/salt/hot edge branches) both fan
+            # out over feats inside one job, but a substring-only run is a
+            # single stage chain — skip the extra materialization job there
+            # (one fewer full wave on short runs).
             feats.count()
     lsh_feats = feats.select("doc_id", "shingles") if need_feats else None
 

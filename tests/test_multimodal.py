@@ -194,3 +194,39 @@ def test_truncated_video_payload_raises_clear_error():
         decode_video_bytes(blob[:12])
     with pytest.raises(ValueError, match="truncated FAKEVID frame buffer"):
         decode_video_bytes(blob[:-5])
+
+
+def test_real_image_decoder_interface_stub(monkeypatch):
+    """VERDICT r2 #7: the real-decoder plug point. Install a stub PIL module
+    implementing the exact interface decode_image_bytes calls
+    (Image.open(BytesIO).convert('RGB') -> array-able) and prove a
+    non-FAKEIMG payload routes through it and comes back (h, w, 3) uint8."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from deduplication_framework_spark.functions import multimodal as MM
+
+    calls = {}
+
+    class _StubImg:
+        def convert(self, mode):
+            calls["mode"] = mode
+            return np.full((5, 7, 3), 9, dtype=np.uint8)
+
+    class _StubImageMod:
+        @staticmethod
+        def open(fh):
+            calls["payload"] = fh.read()
+            return _StubImg()
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _StubImageMod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _StubImageMod)
+
+    out = MM.decode_image_bytes(b"\x89PNG-not-really-but-not-fake")
+    assert out.shape == (5, 7, 3) and out.dtype == np.uint8
+    assert calls["mode"] == "RGB"
+    assert calls["payload"].startswith(b"\x89PNG")
