@@ -77,7 +77,10 @@ def knn_bruteforce(
             out = []
             for bi, qid in enumerate(qids):
                 cand = top[bi]
-                order = cand[np.lexsort((I[cand], -sims[bi, cand]))][:k]
+                order = cand[np.lexsort((I[cand], -sims[bi, cand]))]
+                # the -inf self row can enter the over-fetched slice when
+                # the corpus is barely larger than k — drop it before the cut
+                order = order[I[order] != qid][:k]
                 for rank, j in enumerate(order, 1):
                     out.append((int(qid), int(I[j]), rank, float(sims[bi, j])))
             yield pd.DataFrame(

@@ -107,3 +107,22 @@ def test_cosine_edges_bruteforce_exact(spark, ann_df):
         for r in cosine_edges_bruteforce(ann_df, threshold=0.3).collect()
     }
     assert got == expect and len(expect) > 100
+
+
+def test_knn_bruteforce_tiny_corpus_excludes_self(spark):
+    """k larger than the corpus: the over-fetched candidate slice must never
+    emit the masked self row, and ranks must stay dense from 1."""
+    import numpy as np
+
+    from deduplication_framework_spark.operators.ann import knn_bruteforce
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_bruteforce(df, k=10).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.vec_id
+        by_q.setdefault(r.vec_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == [1, 2, 3]  # 3 non-self neighbors
