@@ -56,12 +56,20 @@ def _timed(fn):
     return time.time() - t0, n
 
 
-def bench_pages_pipeline(spark, pages, detectors):
+def bench_pages_pipeline(spark, pages, detectors, cfg=None):
     def run():
-        res = run_pipeline(spark, pages, PipelineConfig(), detectors=detectors)
+        res = run_pipeline(
+            spark, pages, cfg or PipelineConfig(), detectors=detectors
+        )
         return res.keepers.count()
 
     return run
+
+
+def _kr32_cfg():
+    cfg = PipelineConfig()
+    cfg.dedup.hash_family = "kr32"
+    return cfg
 
 
 def materialized_pages(spark, n, parts):
@@ -136,6 +144,10 @@ def main():
     qs = entrymod.queries()
     workloads = [
         ("pages_minhash_e2e", bench_pages_pipeline(spark, pages, ["exact", "minhash"])),
+        # the 100-TB throughput path: same pipeline, vectorized kr32
+        # feature hashing instead of per-feature sha1 (datasketch parity)
+        ("pages_minhash_kr32_e2e", bench_pages_pipeline(
+            spark, pages, ["exact", "minhash"], cfg=_kr32_cfg())),
         ("pages_simhash_e2e", bench_pages_pipeline(spark, pages, ["simhash"])),
         ("pages_substring_e2e", bench_pages_pipeline(spark, pages, ["substring"])),
         ("pages_suffix_array_e2e", bench_pages_pipeline(spark, pages, ["suffix_array"])),

@@ -45,6 +45,16 @@ class TextDedupConfig:
     max_words: int = 200
     max_char_grams: int = 200
     window_size: int = 100
+    # Feature-hash family (Spark-only knob; not in the reference config):
+    #   "sha1" — datasketch-bit-parity path (one Python sha1 per distinct
+    #            feature; required when cluster assignments must match the
+    #            reference library bit-for-bit at identical configs);
+    #   "kr32" — vectorized Karp-Rabin char-grams + crc32 word tokens over
+    #            the SAME feature sets (identical exact Jaccard, identical
+    #            S-curve statistics, no per-feature Python) — the 100-TB
+    #            throughput path. Recall parity pinned in
+    #            tests/test_e2e_recall.py::TestFastHashFamily.
+    hash_family: str = "sha1"
 
 
 @dataclass

@@ -175,6 +175,53 @@ def minhash_signature(
     return minhash_from_hashvalues(hv, permutations)
 
 
+def fast_feature_hashes32(
+    norm: str,
+    ngram: int,
+    max_words: int,
+    max_char_grams: int,
+    include_words: bool = True,
+) -> np.ndarray:
+    """Vectorized 32-bit feature hashes for ``hash_family="kr32"`` — the
+    same feature definition as the sha1/datasketch path (first ``max_words``
+    whitespace tokens + first ``max_char_grams`` space-stripped char
+    n-grams of the normalized text), but hashed with the Karp-Rabin rolling
+    kernel (char-grams: ONE vectorized pass, no per-gram string slicing)
+    and zlib.crc32 (word tokens: C speed) instead of one Python sha1 per
+    feature. NOT datasketch-bit-parity, and the two sub-domains are hashed
+    separately: a string that is simultaneously a word token and a char
+    gram counts once per domain here, where the sha1 path merges it — a
+    Jaccard-neutral difference (the double-count lands symmetrically in
+    intersection and union), pinned with the recall-parity bounds in
+    tests/test_e2e_recall.py::TestFastHashFamily. Returns uint64 values in
+    the 32-bit domain (datasketch's feature-hash domain)."""
+    import zlib
+
+    parts = []
+    if include_words:
+        toks = norm.split()[:max_words]
+        if toks:
+            parts.append(
+                np.fromiter(
+                    (zlib.crc32(t.encode("utf-8")) for t in toks),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+            )
+    cleaned = norm.replace(" ", "")
+    if cleaned:
+        if len(cleaned) < ngram:
+            parts.append(
+                np.array([zlib.crc32(cleaned.encode("utf-8"))], dtype=np.uint64)
+            )
+        else:
+            h = rolling_kgram_hashes(cleaned, ngram)[:max_char_grams]
+            parts.append(h >> np.uint64(32))
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(parts)
+
+
 def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float(np.count_nonzero(sig_a == sig_b)) / float(sig_a.shape[0])
 

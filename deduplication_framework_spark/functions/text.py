@@ -277,6 +277,9 @@ def make_fused_features_udf(
         emb.strip_mode,
     )
     num_perm, max_words, max_grams = ded.num_perm, ded.max_words, ded.max_char_grams
+    hash_family = getattr(ded, "hash_family", "sha1")
+    if hash_family not in ("sha1", "kr32"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     perms = K.minhash_permutations(num_perm) if with_minhash else None
     need_feats = with_minhash or with_lsh_feats
     need_norm = need_feats or with_simhash
@@ -327,33 +330,45 @@ def make_fused_features_udf(
                 if need_norm
                 else ""
             )
-            digs: list = []
-            if need_feats:
+            if need_feats and hash_family == "kr32":
+                # fast family: one vectorized pass over the SAME feature
+                # sets, no per-feature Python sha1 (the 100-TB path)
+                hv = K.fast_feature_hashes32(
+                    norm, n, max_words, max_grams, include_words
+                )
+                if with_minhash:
+                    sig = K.minhash_from_hashvalues(hv, perms)
+                    cols["sig"].append(sig.astype(np.int64).tolist())
+                if with_lsh_feats:
+                    cols["shingles"].append(
+                        np.unique(hv.astype(np.uint32)).view(np.int32).tolist()
+                    )
+            elif need_feats:
                 feats = []
                 if include_words:
                     feats.extend(K.lsh_word_tokens(norm, max_words))
                 feats.extend(K.lsh_char_grams(norm, n, max_grams))
                 digs = [digest(f) for f in feats]
-            if with_minhash:
-                hv = np.fromiter(
-                    (_struct.unpack("<I", d[:4])[0] for d in digs),
-                    dtype=np.uint64,
-                    count=len(digs),
-                )
-                sig = K.minhash_from_hashvalues(hv, perms)
-                cols["sig"].append(sig.astype(np.int64).tolist())
-            if with_lsh_feats:
-                if digs:
-                    u64 = np.fromiter(
-                        (_struct.unpack("<Q", d[:8])[0] for d in digs),
+                if with_minhash:
+                    hv = np.fromiter(
+                        (_struct.unpack("<I", d[:4])[0] for d in digs),
                         dtype=np.uint64,
                         count=len(digs),
                     )
-                    cols["shingles"].append(
-                        np.unique(u64.astype(np.uint32)).view(np.int32).tolist()
-                    )
-                else:
-                    cols["shingles"].append([])
+                    sig = K.minhash_from_hashvalues(hv, perms)
+                    cols["sig"].append(sig.astype(np.int64).tolist())
+                if with_lsh_feats:
+                    if digs:
+                        u64 = np.fromiter(
+                            (_struct.unpack("<Q", d[:8])[0] for d in digs),
+                            dtype=np.uint64,
+                            count=len(digs),
+                        )
+                        cols["shingles"].append(
+                            np.unique(u64.astype(np.uint32)).view(np.int32).tolist()
+                        )
+                    else:
+                        cols["shingles"].append([])
             if with_simhash:
                 s = K.simhash64(norm)
                 cols["simhash"].append(s - (1 << 64) if s >= (1 << 63) else s)

@@ -190,3 +190,65 @@ class TestAlternateConfigParity:
         assert len(ref_pairs) > 20
         recall = O.dup_pair_recall(ref_pairs, our_pairs)
         assert recall >= 0.99, f"recall {recall:.4f} at theta=0.9/perm=64/n=4"
+
+
+class TestFastHashFamily:
+    def test_kr32_recall_vs_strong_oracle_and_sha1(self, spark, pages, texts):
+        """hash_family="kr32" hashes the same (capped) feature space with a
+        vectorized kernel. The guaranteed bound: pairs at J >= 0.95 IN THE
+        PIPELINE'S OWN banded feature space (first-200 word tokens ∪
+        first-200 char grams of the normalized text) collide with
+        P ~ 0.998 at the default (b=9, r=13) banding, for ANY hash family —
+        recall over those must be >= 0.99. (Uncapped-shingle oracles rate
+        long docs higher than the capped banded space actually sees; pairs
+        at capped-J ~ 0.91 collide with only ~0.93 probability and belong
+        to the S-curve, not the family.) Against the sha1 family's
+        clusters, only banding randomness near the 0.8 threshold differs —
+        mutual recall must stay >= 0.95."""
+        txts, _ = texts
+        base = PipelineConfig()
+        fast = PipelineConfig()
+        fast.dedup.hash_family = "kr32"
+        res_a = run_pipeline(spark, pages, base, detectors=["exact", "minhash"])
+        res_b = run_pipeline(spark, pages, fast, detectors=["exact", "minhash"])
+        pairs_a, _ = _cluster_pairs(res_a.clusters)
+        pairs_b, _ = _cluster_pairs(res_b.clusters)
+
+        norm = O.normalize_all(txts)
+        capped = [
+            set(K.lsh_word_tokens(t, base.dedup.max_words))
+            | set(K.lsh_char_grams(t, base.embedding.ngram_size,
+                                   base.dedup.max_char_grams))
+            for t in norm
+        ]
+        strong = set()
+        for i in range(len(capped)):
+            for j in range(i + 1, len(capped)):
+                u = capped[i] | capped[j]
+                if u and len(capped[i] & capped[j]) / len(u) >= 0.95:
+                    strong.add((i, j))
+        assert len(strong) > 30
+        assert O.dup_pair_recall(strong, pairs_b) >= 0.99
+        assert len(pairs_a) > 50
+        assert O.dup_pair_recall(pairs_a, pairs_b) >= 0.95
+        assert O.dup_pair_recall(pairs_b, pairs_a) >= 0.95
+
+    def test_kr32_feature_sets_distinct(self):
+        """The fast hashes must keep distinct features distinct (no
+        surprise collapse) and reuse the same cap/ordering semantics."""
+        import numpy as np
+
+        from deduplication_framework_spark.functions import kernels as K
+
+        norm = "the quick brown fox jumps over the lazy dog " * 30
+        hv = K.fast_feature_hashes32(norm, 3, 200, 200)
+        # kr32 domain-separates word tokens from char grams (crc32 vs KR):
+        # a string that is both a word and a gram counts once per domain,
+        # where the sha1 path merges them — a deliberate, Jaccard-neutral
+        # difference (the double-count lands symmetrically in intersection
+        # and union). Distinctness within the union must be exact.
+        words = set(K.lsh_word_tokens(norm, 200))
+        grams = set(K.lsh_char_grams(norm, 3, 200))
+        assert len(np.unique(hv)) == len(words) + len(grams)
+        # values live in the 32-bit datasketch feature domain
+        assert hv.max() < (1 << 32)
