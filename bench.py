@@ -84,10 +84,23 @@ def parquet_pages(spark, n, parts):
     """Write the corpus to parquet once and read it back: pipelines then
     scan a real columnar table (the Iceberg stand-in) instead of an
     in-memory cached plan, and the per-rep ``clearCache()`` (which
-    unpersists EVERYTHING) doesn't force a corpus regeneration."""
+    unpersists EVERYTHING) doesn't force a corpus regeneration. The cache
+    path is keyed on a hash of the GENERATOR SOURCE as well as (n, parts):
+    the synthetic corpus changed once already (round 2), and silently
+    benchmarking a stale corpus would compare timings across different
+    data while claiming the same input."""
+    import hashlib
+    import inspect
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), f"bench_pages_{n}_{parts}")
+    import deduplication_framework_spark.sources.pages as pages_mod
+
+    gen_tag = hashlib.sha1(
+        inspect.getsource(pages_mod).encode("utf-8")
+    ).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"bench_pages_{n}_{parts}_{gen_tag}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         generate_pages(spark, n, num_partitions=parts).write.mode(
             "overwrite"
@@ -113,21 +126,12 @@ def minhash_recall_evidence(spark, n_docs: int = 1000):
         r.text
         for r in pg.select("doc_order", "text").orderBy("doc_order").collect()
     ]
-    oracle_labels = O.minhash_lsh_sequential(
-        txts,
-        ngram_size=cfg.embedding.ngram_size,
-        num_perm=cfg.dedup.num_perm,
-        threshold=cfg.dedup.threshold,
-        max_words=cfg.dedup.max_words,
-        max_char_grams=cfg.dedup.max_char_grams,
-        include_words=True,
-    )
-    ref_pairs = O.clusters_to_pairs(oracle_labels)
+    ev = O.minhash_recall_evidence(txts, our_pairs, cfg, verified=False)
     spark.catalog.clearCache()
     return {
         "n_docs": n_docs,
-        "n_oracle_pairs": len(ref_pairs),
-        "recall": round(O.dup_pair_recall(ref_pairs, our_pairs), 4),
+        "n_oracle_pairs": int(ev["minhash.oracle_pairs"]),
+        "recall": ev["minhash.recall_vs_sequential_lsh_oracle"],
     }
 
 

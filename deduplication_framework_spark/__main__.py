@@ -148,49 +148,25 @@ def main(argv=None) -> int:
 
 
 def _recall_vs_oracle(res, cfg, verified: bool) -> dict:
-    """Dup-pair recall of the pipeline's clusters vs the sequential numpy
-    oracle (BASELINE.json's >=0.99 criterion), surfaced into summary.json.
-    verify=True runs are judged against the exact "strong" J>=0.9 oracle
-    (the S-curve guarantees those collisions; the unverified LSH oracle
-    contains band-collision false positives a verified run rightly drops);
-    verify=False runs are judged against the sequential LSH oracle itself."""
+    """Dup-pair recall of the pipeline's clusters vs the numpy oracle
+    (BASELINE.json's >=0.99 criterion), surfaced into summary.json. Oracle
+    choice and the honesty analysis live in
+    ``oracle.numpy_oracle.minhash_recall_evidence`` (shared with bench.py
+    so the two surfaced metrics cannot diverge)."""
     from deduplication_framework_spark.oracle import numpy_oracle as O
 
     rows = sorted(
         res.docs.select("doc_id", "text").collect(), key=lambda r: r.doc_id
     )
-    ids = [r.doc_id for r in rows]
     txts = [r.text for r in rows]
-    pos = {d: i for i, d in enumerate(ids)}
+    pos = {r.doc_id: i for i, r in enumerate(rows)}
     labels = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
     our_pairs = {
         (min(pos[a], pos[b]), max(pos[a], pos[b]))
         for a, b in O.clusters_to_pairs(labels)
         if a in pos and b in pos
     }
-    if verified:
-        ref_pairs = O.strong_jaccard_pairs(
-            txts, ngram_size=cfg.embedding.ngram_size, threshold=0.9
-        )
-        which = "strong_j09"
-    else:
-        ref = O.minhash_lsh_sequential(
-            txts,
-            ngram_size=cfg.embedding.ngram_size,
-            num_perm=cfg.dedup.num_perm,
-            threshold=cfg.dedup.threshold,
-            max_words=cfg.dedup.max_words,
-            max_char_grams=cfg.dedup.max_char_grams,
-            include_words=True,
-        )
-        ref_pairs = O.clusters_to_pairs(ref)
-        which = "sequential_lsh"
-    return {
-        f"minhash.recall_vs_{which}_oracle": round(
-            O.dup_pair_recall(ref_pairs, our_pairs), 4
-        ),
-        "minhash.oracle_pairs": float(len(ref_pairs)),
-    }
+    return O.minhash_recall_evidence(txts, our_pairs, cfg, verified)
 
 
 if __name__ == "__main__":

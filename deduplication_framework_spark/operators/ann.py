@@ -70,16 +70,19 @@ def knn_bruteforce(
             # mask self
             for bi, qid in enumerate(qids):
                 sims[bi, I == qid] = -np.inf
-            # over-fetch 8 extra candidates so exact ties straddling the
-            # k-th position are all present before the lexsort cuts at k
-            kk = min(k + 8, sims.shape[1])
+            kk = min(k + 1, sims.shape[1])  # +1 absorbs the -inf self row
             top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
             out = []
             for bi, qid in enumerate(qids):
-                cand = top[bi]
+                # expand the candidate slice to EVERY entry tying the k-th
+                # value: argpartition chooses arbitrarily among exact ties
+                # (identical vectors), and a fixed over-fetch can't bound
+                # the tie-group size — the id tie-break must see the whole
+                # group to match a SQL row_number() oracle
+                boundary = sims[bi, top[bi]].min()
+                cand = np.nonzero(sims[bi] >= boundary)[0]
                 order = cand[np.lexsort((I[cand], -sims[bi, cand]))]
-                # the -inf self row can enter the over-fetched slice when
-                # the corpus is barely larger than k — drop it before the cut
+                # drop the masked self row before the cut
                 order = order[I[order] != qid][:k]
                 for rank, j in enumerate(order, 1):
                     out.append((int(qid), int(I[j]), rank, float(sims[bi, j])))

@@ -294,11 +294,15 @@ def candidate_pairs(
     the clique star pairing drops edges whose member shares the STAR's
     group (connectivity through the prev bucket's edges replaces them —
     identical connected components, same single window shuffle as the
-    plain path); with larger caps the all-pairs self-joins gain
-    an inter-group filter (identical pair SET, since suppressed pairs
-    re-emerge in the ancestor bucket). Incompatible with
-    ``collision_threshold`` > 1 (suppression changes per-band collision
-    counts).
+    plain path); with larger caps the all-pairs self-joins gain an
+    inter-group filter — the pair SET is identical as long as the
+    ancestor (prev-gram) bucket where a suppressed pair re-emerges is not
+    itself hot-salted (salting may split the pair across salt groups; the
+    star/chain backbone still preserves CONNECTIVITY, which is what the
+    CC-consuming substring callers need — callers consuming raw pair sets
+    with finite caps should treat group_col as connectivity-preserving
+    only). Incompatible with ``collision_threshold`` > 1 (suppression
+    changes per-band collision counts).
     """
     order = order_col or id_col
     if group_col is not None and collision_threshold > 1:

@@ -299,3 +299,85 @@ def strong_jaccard_pairs(
             if sim >= threshold:
                 out.add((i, j))
     return out
+
+
+def capped_feature_sets(
+    texts: Sequence[str], ngram_size: int, max_words: int, max_char_grams: int
+) -> List[Set[str]]:
+    """The pipeline's OWN banded feature space: first max_words whitespace
+    tokens ∪ first max_char_grams space-stripped char n-grams of the
+    normalized text. Uncapped shingle oracles rate long docs higher than
+    the banded space actually sees — recall bounds must be stated against
+    THIS space to be guarantees rather than S-curve coin flips."""
+    from deduplication_framework_spark.functions import kernels as K
+
+    return [
+        set(K.lsh_word_tokens(t, max_words))
+        | set(K.lsh_char_grams(t, ngram_size, max_char_grams))
+        for t in normalize_all(texts)
+    ]
+
+
+def strong_capped_jaccard_pairs(
+    texts: Sequence[str],
+    ngram_size: int,
+    max_words: int,
+    max_char_grams: int,
+    threshold: float = 0.95,
+) -> Set[Tuple[int, int]]:
+    """All (i<j) pairs with capped-feature-space J >= threshold. At the
+    default (b=9, r=13) banding, J >= 0.95 collides with P ~ 0.998 — the
+    honest 'must recover' oracle for VERIFIED pipelines (J in [0.9, 0.95)
+    collides with only ~0.93 and belongs to the S-curve, not the engine)."""
+    feats = capped_feature_sets(texts, ngram_size, max_words, max_char_grams)
+    out: Set[Tuple[int, int]] = set()
+    for i in range(len(feats)):
+        a = feats[i]
+        for j in range(i + 1, len(feats)):
+            b = feats[j]
+            u = a | b
+            sim = 1.0 if (not a and not b) else (len(a & b) / len(u) if u else 0.0)
+            if sim >= threshold:
+                out.add((i, j))
+    return out
+
+
+def minhash_recall_evidence(
+    texts: Sequence[str],
+    our_pairs: Set[Tuple[int, int]],
+    cfg,
+    verified: bool,
+) -> dict:
+    """Shared recall-evidence computation for bench.py and the CLI's
+    --eval-recall (one implementation — the two surfaced metrics can't
+    silently diverge). ``texts`` in position order; ``our_pairs`` as
+    position pairs. Verified runs are judged against the capped-space
+    J>=0.95 oracle (guaranteed collisions); unverified runs against the
+    full sequential-LSH oracle (same candidate semantics)."""
+    if verified:
+        ref_pairs = strong_capped_jaccard_pairs(
+            texts,
+            ngram_size=cfg.embedding.ngram_size,
+            max_words=cfg.dedup.max_words,
+            max_char_grams=cfg.dedup.max_char_grams,
+            threshold=0.95,
+        )
+        which = "strong_capped_j095"
+    else:
+        ref = minhash_lsh_sequential(
+            texts,
+            ngram_size=cfg.embedding.ngram_size,
+            num_perm=cfg.dedup.num_perm,
+            threshold=cfg.dedup.threshold,
+            max_words=cfg.dedup.max_words,
+            max_char_grams=cfg.dedup.max_char_grams,
+            include_words=True,
+        )
+        ref_pairs = clusters_to_pairs(ref)
+        which = "sequential_lsh"
+    return {
+        f"minhash.recall_vs_{which}_oracle": round(
+            dup_pair_recall(ref_pairs, our_pairs), 4
+        ),
+        "minhash.oracle_pairs": float(len(ref_pairs)),
+    }

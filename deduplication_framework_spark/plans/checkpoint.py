@@ -49,6 +49,33 @@ class StageCommit:
         return json.dumps(self.__dict__, sort_keys=True)
 
 
+def _census_commit(
+    df: DataFrame,
+    name: str,
+    config_hash: str,
+    lineage: Optional[List[str]],
+    metrics: Optional[Dict[str, float]],
+) -> StageCommit:
+    """Per-partition row census over a MATERIALIZED frame + the StageCommit
+    record — shared by both store backends (the 'per-partition lineage +
+    row-count metrics' the north rule asks for)."""
+    part_rows = [
+        r["n"]
+        for r in df.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    return StageCommit(
+        stage=name,
+        config_hash=config_hash,
+        rows=int(sum(part_rows)),
+        partitions=len(part_rows),
+        partition_rows=[int(x) for x in part_rows],
+        lineage=lineage or [],
+        metrics={k: float(v) for k, v in (metrics or {}).items()},
+    )
+
+
 class ParquetTableStore:
     """Parquet-backed stage store with atomic rename commits."""
 
@@ -96,26 +123,12 @@ class ParquetTableStore:
         tmp = self._path(f"{name}.tmp-{uuid.uuid4().hex[:8]}")
         final = self._path(name)
         df.write.mode("overwrite").parquet(tmp)
-        part_rows = [
-            r["n"]
-            for r in self.spark.read.parquet(tmp)
-            .groupBy(F.spark_partition_id().alias("p"))
-            .agg(F.count("*").alias("n"))
-            .collect()
-        ]
-        rows = int(sum(part_rows))
+        commit = _census_commit(
+            self.spark.read.parquet(tmp), name, config_hash, lineage, metrics
+        )
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
-        commit = StageCommit(
-            stage=name,
-            config_hash=config_hash,
-            rows=rows,
-            partitions=len(part_rows),
-            partition_rows=[int(x) for x in part_rows],
-            lineage=lineage or [],
-            metrics={k: float(v) for k, v in (metrics or {}).items()},
-        )
         tmp_commit = self._commit_path(name) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp_commit, "w") as fh:
             fh.write(commit.to_json())
@@ -216,23 +229,8 @@ class IcebergTableStore:
         full = self._full(name)
         df.writeTo(full).using("iceberg").createOrReplace()
         back = self.spark.read.table(full)
-        part_rows = [
-            r["n"]
-            for r in back.groupBy(F.spark_partition_id().alias("p"))
-            .agg(F.count("*").alias("n"))
-            .collect()
-        ]
         self._set_commit(
-            name,
-            StageCommit(
-                stage=name,
-                config_hash=config_hash,
-                rows=int(sum(part_rows)),
-                partitions=len(part_rows),
-                partition_rows=[int(x) for x in part_rows],
-                lineage=lineage or [],
-                metrics={k: float(v) for k, v in (metrics or {}).items()},
-            ),
+            name, _census_commit(back, name, config_hash, lineage, metrics)
         )
         return back
 

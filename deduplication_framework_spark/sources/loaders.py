@@ -80,17 +80,25 @@ def sample_subset(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     if total <= n:
         return df
     frac = min(1.0, (n * 1.3) / total)
-    # hash every ATOMIC-typed column into the order key: a non-unique
-    # leading column would leave tie order partition-dependent and the
-    # limit() cut nondeterministic across parallelism levels, while
-    # complex types (MapType in particular) aren't xxhash64-able and would
-    # fail frames that used to load fine
+    # hash every hashable column into the order key: a non-unique key
+    # would leave tie order partition-dependent and the limit() cut
+    # nondeterministic across parallelism levels. Only MapType (at any
+    # nesting depth) is not xxhash64-able — arrays and structs hash fine,
+    # and excluding them would reintroduce the tie nondeterminism for
+    # frames distinguished only by a complex column.
     from pyspark.sql.types import ArrayType, MapType, StructType
 
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
     hashable = [
-        f.name
-        for f in df.schema.fields
-        if not isinstance(f.dataType, (ArrayType, MapType, StructType))
+        f.name for f in df.schema.fields if not _has_map(f.dataType)
     ]
     key = (
         F.xxhash64(*hashable, F.lit(seed))

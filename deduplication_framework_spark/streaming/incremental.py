@@ -91,9 +91,13 @@ class IncrementalExactDedup:
     first-seen-wins md5 dedup (pipeline_api.py:340-370).
     """
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str, schema=None):
         self.spark = spark
         self.state_dir = state_dir
+        # the stream's input schema (keepers() uses it to answer before any
+        # batch has committed; after the first commit the recorded
+        # keeper_schema.json takes over)
+        self.schema = schema
         self.seen_path = os.path.join(state_dir, "seen")
         self.keepers_path = os.path.join(state_dir, "keepers")
         os.makedirs(state_dir, exist_ok=True)
@@ -180,6 +184,8 @@ class IncrementalExactDedup:
                     return self.spark.createDataFrame(
                         [], StructType.fromJson(json.load(fh))
                     )
+            if self.schema is not None:
+                return self.spark.createDataFrame([], self.schema)
             return self.spark.createDataFrame([], "url string, text string")
         return self.spark.read.parquet(*dirs)
 
@@ -194,7 +200,7 @@ def run_incremental_exact_dedup(
     """readStream(parquet dir) → foreachBatch(IncrementalExactDedup).
     Returns the StreamingQuery (caller drives with processAllAvailable or
     awaitTermination)."""
-    handler = IncrementalExactDedup(spark, state_dir)
+    handler = IncrementalExactDedup(spark, state_dir, schema=schema)
     stream = spark.readStream.schema(schema).parquet(source_dir)
     q = (
         stream.writeStream.foreachBatch(handler.process_batch)

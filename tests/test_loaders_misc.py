@@ -158,3 +158,21 @@ def test_sample_subset_with_map_column(spark):
     # (sample() itself is partition-dependent by design; the fixed order
     # key only removes the tie nondeterminism of the limit() cut)
     assert L.sample_subset(df.repartition(7), 50).count() == 50
+
+    # arrays/structs ARE xxhash64-able and must stay in the order key
+    # (rows distinguished only by a complex column would otherwise all tie)
+    arr = spark.range(300).select(
+        F.lit("x").alias("c"),
+        F.array("id", F.lit(1)).alias("a"),
+        F.struct(F.col("id").alias("i")).alias("s"),
+    )
+    a1 = {r.a[0] for r in L.sample_subset(arr, 40).collect()}
+    a2 = {r.a[0] for r in L.sample_subset(arr, 40).collect()}
+    assert len(a1) == 40 and a1 == a2
+    # map nested inside an array is excluded too (would fail xxhash64)
+    nested = spark.range(400).select(
+        "id", F.array(F.create_map(F.lit("k"), F.col("id"))).alias("am")
+    )
+    # must not raise (map nested in array excluded from the hash key);
+    # sample() is fraction-approximate so allow the documented ~n
+    assert 0 < L.sample_subset(nested, 10).count() <= 10
