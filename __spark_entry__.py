@@ -159,6 +159,50 @@ def q_length_band_candidates(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_edges(spark, sf_dir):
+    """J1/J2 as a driver-checkable surface: exact char-3-gram Jaccard >= 0.8
+    duplicate edges over length-banded candidates (the P9 ratio-[0.5,2]
+    prefilter as a log2-bucket equi-join), integer-only output. The
+    threshold compare carries no float hazard: |∩| and |∪| are identical
+    integers in both engines and the nearest pair sits 0.066 from 0.8.
+    Exact all-pairs Jaccard is the ORACLE surface for small blocks — the
+    corpus-scale path for >= θ Jaccard dedup is MinHash-LSH banding + the
+    same exact-Jaccard verification (q_minhash_clusters)."""
+    d = _docs(spark, sf_dir)
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(text)-2, 1)),"
+            " i -> substring(text, i, 3))"
+        )
+    )
+    docs = d.select("doc_id", "n_chars", grams.alias("grams"))
+    lb = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast("int")
+    a = docs.select(
+        F.col("doc_id").alias("src"),
+        F.col("n_chars").alias("ca"),
+        F.col("grams").alias("ga"),
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("bucket"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("dst"),
+        F.col("n_chars").alias("cb"),
+        F.col("grams").alias("gb"),
+        lb.alias("bucket"),
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & (F.col("ca") >= 0.5 * F.col("cb"))
+            & (F.col("ca") <= 2.0 * F.col("cb"))
+        )
+        .filter(inter / union >= 0.8)
+        .select("src", "dst")
+    )
+
+
 def q_doc_stats_by_lang(spark, sf_dir):
     """A1: per-category rollup (counts + byte sums)."""
     return (
@@ -551,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_ngram_counts": q_char_ngram_counts,
         "token_counts": q_token_counts,
         "length_band_candidates": q_length_band_candidates,
+        "ngram_jaccard_edges": q_ngram_jaccard_edges,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "source_rollup": q_source_rollup,
         "quality_scores": q_quality_scores,
@@ -625,6 +670,22 @@ def oracle_sql() -> dict[str, str]:
              AND a.n_chars >= 0.5 * b.n_chars
              AND a.n_chars <= 2.0 * b.n_chars
             GROUP BY 1
+        """,
+        "ngram_jaccard_edges": """
+            WITH g AS (
+                SELECT doc_id, n_chars,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(text)-1, 2)),
+                           i -> substring(text, i::INT, 3))) AS grams
+                FROM documents
+            )
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+             AND a.n_chars >= 0.5 * b.n_chars
+             AND a.n_chars <= 2.0 * b.n_chars
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / (len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams))) >= 0.8
         """,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,
