@@ -819,6 +819,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY CUBE (lang, source)
         """,
+        # the suffix-array detector's semantics ARE SQL-expressible even
+        # though its implementation (128-bit L-gram bucketing + distributed
+        # CC) is not: two docs are substring-dups iff they share ANY exact
+        # 200-char gram (the 128-bit double-Karp-Rabin keys are collision-
+        # free at ~2^-93), and cluster_id = min doc of the connected
+        # component, computed here by a recursive min-label CTE over the
+        # symmetric gram-equality edge set.
+        "suffix_array_clusters": """
+            WITH RECURSIVE
+            grams AS (
+                SELECT doc_id, substring(text, i::INT, 200) AS g
+                FROM documents,
+                     LATERAL (SELECT unnest(range(1,
+                         greatest(length(text)-198, 1))) AS i)
+            ),
+            e AS (
+                SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM grams a JOIN grams b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            sym AS (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+            ),
+            reach(doc_id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.dst, r.lbl FROM reach r JOIN sym s
+                  ON s.src = r.doc_id
+            )
+            SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
+        """,
         # W3 triu max-prior-sim, label blocks, vec_id rank order (see
         # q_semdedup_decisions for the margin analysis). 1.0 - 0.7 is
         # spelled as the same subtraction Python evaluates so both engines
