@@ -54,6 +54,16 @@ def _docs_as_pages(docs: DataFrame) -> DataFrame:
 # (RE2): explicit ASCII alnum + underscore + whitespace + CJK
 _NORM_CLASS = r"[^a-z0-9_\s一-鿿]"
 
+# 64 per-bit SimHash vote aggregates (vote = 2*popcount_i - n_tokens > 0
+# sets bit i) — generated here because oracle_sql() is a string surface;
+# the `simhash` library's spec (md5 low-64, width-4 slide) is otherwise
+# expressed inline in the suffix of the simhash_clusters oracle below
+_SIMHASH_VOTE_TERMS = " + ".join(
+    f"(CASE WHEN sum(((h >> {i}) & 1)::BIGINT) * 2 - count(*) > 0 "
+    f"THEN {1 << i} ELSE 0 END)::UBIGINT"
+    for i in range(64)
+)
+
 
 def _normalize_expr(col):
     out = F.lower(col)
@@ -850,6 +860,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
         """,
+        # the SimHash detector's semantics are likewise SQL-expressible at
+        # oracle scale: the pigeonhole blocking is LOSSLESS (hamming <= 10
+        # implies an equal 11-block; no bucket exceeds the cap at sf0.01),
+        # so pipeline edges == all pairs with bit_count(xor) <= 10 over the
+        # `simhash` library's md5-low-64 fingerprints of the normalized
+        # text. The fingerprint is rebuilt bit-for-bit in SQL (width-4
+        # slide over concatenated [\w一-鿿]+ matches, per-bit majority
+        # votes), then clusters = recursive min-label CC.
+        "simhash_clusters": f"""
+            WITH RECURSIVE
+            d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9_\\s一-鿿]', ' ', 'g'), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       array_to_string(regexp_extract_all(lower(norm),
+                           '[\\w一-鿿]+'), '') AS cl
+                FROM d
+            ),
+            toks AS (
+                SELECT doc_id, substring(cl, i::INT, 4) AS t
+                FROM c, LATERAL (SELECT unnest(range(1,
+                     greatest(length(cl)-2, 2))) AS i)
+            ),
+            hashed AS (
+                SELECT doc_id, ('0x' || substr(md5(t), 17, 16))::UBIGINT AS h
+                FROM toks
+            ),
+            fp AS (
+                SELECT doc_id, ({_SIMHASH_VOTE_TERMS}) AS f
+                FROM hashed GROUP BY doc_id
+            ),
+            e AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.f, b.f)) <= 10
+            ),
+            sym AS (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+            ),
+            reach(doc_id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.dst, r.lbl FROM reach r JOIN sym s
+                  ON s.src = r.doc_id
+            )
+            SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
+        """,
         # W3 triu max-prior-sim, label blocks, vec_id rank order (see
         # q_semdedup_decisions for the margin analysis). 1.0 - 0.7 is
         # spelled as the same subtraction Python evaluates so both engines
@@ -959,9 +1021,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM demoted UNION ALL SELECT * FROM planted)
             GROUP BY 1
         """,
-        # minhash_clusters / simhash_clusters / substring_clusters /
-        # suffix_array_clusters / ann_ivf_topk: non-SQL-expressible
-        # (LSH banding + iterative connected components / MLlib k-means) →
-        # rows-only driver check, pytest-oracled (numpy union-find /
-        # sequential LSH / LCS / recall@k suites)
+        # Remaining rows-only queries, each for a concrete reason:
+        #   minhash_clusters — datasketch parity REQUIRES sha1 feature
+        #     hashes and DuckDB 1.0 has no sha1() (verified); pytest-
+        #     oracled (sequential-LSH recall=1.0) + recall surfaced in
+        #     bench JSON / --eval-recall.
+        #   substring_clusters — winnowing SELECTS fingerprints by
+        #     Karp-Rabin hash VALUE (window minima), not by content
+        #     semantics, so no SQL re-derivation exists; cross-validated
+        #     against the LCS oracle and the fully-oracled suffix-array
+        #     path (same >=L-span semantics).
+        #   ann_ivf_topk — MLlib k-means coarse quantizer (iterative,
+        #     seeded); recall@10 >= 0.9 vs the (oracled) brute-force path
+        #     in pytest.
     }
