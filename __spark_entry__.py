@@ -64,6 +64,22 @@ _SIMHASH_VOTE_TERMS = " + ".join(
     for i in range(64)
 )
 
+# recursive min-label connected components over an edge CTE named `e` —
+# shared tail of the two detector-pipeline cluster oracles (cluster_id =
+# component minimum, singletons label themselves)
+_RECURSIVE_CC_TAIL = """
+            sym AS (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+            ),
+            reach(doc_id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.dst, r.lbl FROM reach r JOIN sym s
+                  ON s.src = r.doc_id
+            )
+            SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
 
 def _normalize_expr(col):
     out = F.lower(col)
@@ -386,7 +402,10 @@ def q_minhash_clusters(spark, sf_dir):
 
 
 def q_simhash_clusters(spark, sf_dir):
-    """J4: SimHash Hamming-ball clusters over documents."""
+    """J4: SimHash Hamming-ball clusters over documents. Hash-checked since
+    round 3: the oracle rebuilds the simhash-library fingerprint bit-for-bit
+    in SQL and re-derives the clusters via all-pairs Hamming<=10 (pigeonhole
+    blocking is lossless) + recursive min-label connected components."""
     pages = _docs_as_pages(_docs(spark, sf_dir))
     res = run_pipeline(spark, pages, PipelineConfig(), detectors=["simhash"])
     return res.clusters.select("doc_id", "cluster_id")
@@ -402,8 +421,11 @@ def q_substring_clusters(spark, sf_dir):
 def q_suffix_array_clusters(spark, sf_dir):
     """J17 exact path: suffix-array-mode substring clusters (128-bit
     double-Karp-Rabin L-gram equivalence classes — operators/suffix_array).
-    Rows-only; cross-validated against the LCS oracle and the rank-mode
-    prefix-doubling path in tests/test_suffix_array.py."""
+    Hash-checked since round 3 against a DuckDB oracle that re-derives the
+    clusters independently (exact 200-gram equality edges + recursive
+    min-label connected components); also cross-validated against the LCS
+    oracle and the rank-mode prefix-doubling path in
+    tests/test_suffix_array.py."""
     pages = _docs_as_pages(_docs(spark, sf_dir))
     res = run_pipeline(spark, pages, PipelineConfig(), detectors=["suffix_array"])
     return res.clusters.select("doc_id", "cluster_id")
@@ -836,7 +858,7 @@ def oracle_sql() -> dict[str, str]:
         # free at ~2^-93), and cluster_id = min doc of the connected
         # component, computed here by a recursive min-label CTE over the
         # symmetric gram-equality edge set.
-        "suffix_array_clusters": """
+        "suffix_array_clusters": f"""
             WITH RECURSIVE
             grams AS (
                 SELECT doc_id, substring(text, i::INT, 200) AS g
@@ -849,16 +871,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM grams a JOIN grams b
                   ON a.g = b.g AND a.doc_id < b.doc_id
             ),
-            sym AS (
-                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
-            ),
-            reach(doc_id, lbl) AS (
-                SELECT doc_id, doc_id FROM documents
-                UNION
-                SELECT s.dst, r.lbl FROM reach r JOIN sym s
-                  ON s.src = r.doc_id
-            )
-            SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
+            {_RECURSIVE_CC_TAIL}
         """,
         # the SimHash detector's semantics are likewise SQL-expressible at
         # oracle scale: the pigeonhole blocking is LOSSLESS (hamming <= 10
@@ -870,18 +883,17 @@ def oracle_sql() -> dict[str, str]:
         # votes), then clusters = recursive min-label CC.
         "simhash_clusters": f"""
             WITH RECURSIVE
-            d AS (
-                SELECT doc_id,
-                       trim(regexp_replace(regexp_replace(lower(text),
-                            '[^a-z0-9_\\s一-鿿]', ' ', 'g'), '\\s+', ' ', 'g'))
-                           AS norm
-                FROM documents
-            ),
             c AS (
+                -- the pipeline computes simhash64(normalize_text(text)):
+                -- normalize replaces non-word chars with spaces (never
+                -- touching word chars) and the tokenizer then concatenates
+                -- the word-char runs, so the composition equals the word
+                -- chars of lower(text) in order. Python's Unicode \\w is
+                -- L* ∪ N* ∪ '_' — RE2's [\\p{{L}}\\p{{N}}_] (CJK ⊂ L).
                 SELECT doc_id,
-                       array_to_string(regexp_extract_all(lower(norm),
-                           '[\\w一-鿿]+'), '') AS cl
-                FROM d
+                       array_to_string(regexp_extract_all(lower(text),
+                           '[\\p{{L}}\\p{{N}}_]+'), '') AS cl
+                FROM documents
             ),
             toks AS (
                 SELECT doc_id, substring(cl, i::INT, 4) AS t
@@ -901,16 +913,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
                 WHERE bit_count(xor(a.f, b.f)) <= 10
             ),
-            sym AS (
-                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
-            ),
-            reach(doc_id, lbl) AS (
-                SELECT doc_id, doc_id FROM documents
-                UNION
-                SELECT s.dst, r.lbl FROM reach r JOIN sym s
-                  ON s.src = r.doc_id
-            )
-            SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
+            {_RECURSIVE_CC_TAIL}
         """,
         # W3 triu max-prior-sim, label blocks, vec_id rank order (see
         # q_semdedup_decisions for the margin analysis). 1.0 - 0.7 is
