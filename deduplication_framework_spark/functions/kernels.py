@@ -305,27 +305,53 @@ def simhash_tokens(content: str, width: int = _SIMHASH_WIDTH) -> List[str]:
     return [content[i : i + width] for i in range(max(len(content) - width + 1, 1))]
 
 
-def simhash64(content: str) -> int:
-    """64-bit SimHash of a string, matching Simhash(content) from the
-    `simhash` library (md5 token hash, low 64 bits; vote > 0 sets the bit)."""
-    tokens = simhash_tokens(content)
-    # low 64 bits of int(md5.hexdigest(), 16) == last 8 digest bytes, BE
-    hv = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:], "big")
-            for t in tokens
-        ),
-        dtype=np.uint64,
-        count=len(tokens),
-    )
+def _simhash_from_token_hashes(hv: np.ndarray, n_tokens: int) -> int:
+    """Per-bit majority vote → 64-bit fingerprint (the simhash-library
+    tail, shared by the plain and token-cached entry points)."""
     # unpack to (n_tokens, 64) bit matrix; bit i == (h >> i) & 1
     bits = np.unpackbits(hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    votes = 2 * bits.astype(np.int64).sum(axis=0) - len(tokens)
+    votes = 2 * bits.astype(np.int64).sum(axis=0) - n_tokens
     out = np.uint64(0)
     for i in range(_SIMHASH_F):
         if votes[i] > 0:
             out |= np.uint64(1) << np.uint64(i)
     return int(out)
+
+
+def _md5_low64(token: str) -> int:
+    # low 64 bits of int(md5.hexdigest(), 16) == last 8 digest bytes, BE
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[8:], "big")
+
+
+def simhash64(content: str) -> int:
+    """64-bit SimHash of a string, matching Simhash(content) from the
+    `simhash` library (md5 token hash, low 64 bits; vote > 0 sets the bit)."""
+    tokens = simhash_tokens(content)
+    hv = np.fromiter(
+        (_md5_low64(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+    return _simhash_from_token_hashes(hv, len(tokens))
+
+
+def simhash64_cached(content: str, token_cache: dict) -> int:
+    """simhash64 with a caller-owned token→hash memo: the width-4 slide
+    vocabulary repeats heavily across a batch's documents, so one md5 per
+    DISTINCT token (dict hit otherwise) replaces one md5 per occurrence —
+    the fused featurization UDF passes a per-batch cache, mirroring its
+    sha1 digest cache. Bit-identical to :func:`simhash64` (pinned by
+    tests/test_kernels.py)."""
+    tokens = simhash_tokens(content)
+    hv = np.empty(len(tokens), dtype=np.uint64)
+    get = token_cache.get
+    for k, t in enumerate(tokens):
+        h = get(t)
+        if h is None:
+            if len(token_cache) >= 1_000_000:
+                token_cache.clear()
+            h = _md5_low64(t)
+            token_cache[t] = h
+        hv[k] = h
+    return _simhash_from_token_hashes(hv, len(tokens))
 
 
 def hamming_distance64(a: int, b: int) -> int:

@@ -310,6 +310,7 @@ def make_fused_features_udf(
 
         cols: dict = {name: [] for name in names}
         digest_cache: dict = {}
+        simhash_token_cache: dict = {}
 
         def digest(feat: str) -> bytes:
             d = digest_cache.get(feat)
@@ -370,7 +371,7 @@ def make_fused_features_udf(
                     else:
                         cols["shingles"].append([])
             if with_simhash:
-                s = K.simhash64(norm)
+                s = K.simhash64_cached(norm, simhash_token_cache)
                 cols["simhash"].append(s - (1 << 64) if s >= (1 << 63) else s)
             if with_winnow:
                 if raw:

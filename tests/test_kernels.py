@@ -207,3 +207,21 @@ class TestLgramHashes128:
     def test_short_text_empty(self):
         h1, h2 = K.lgram_hashes128("abc", 10)
         assert h1.size == 0 and h2.size == 0
+
+
+def test_simhash64_cached_bit_identical():
+    """The token-memoized entry point must match the spec function exactly,
+    including the empty-content single-''-token case and cache reuse
+    across calls."""
+    from deduplication_framework_spark.functions import kernels as K
+
+    cache = {}
+    samples = [
+        "", "ab", "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # cache-hit pass
+        "naïve café пример 東京 mixed",
+        "a" * 500,
+    ]
+    for s in samples:
+        assert K.simhash64_cached(s, cache) == K.simhash64(s), repr(s[:20])
+    assert len(cache) > 0
