@@ -1,0 +1,127 @@
+"""Stateful streaming near-dup candidate detection (SimHash-LSH with
+per-bucket state via ``applyInPandasWithState``).
+
+The batch pipeline buckets fingerprints by pigeonhole bit-blocks and
+self-joins each bucket (operators/lsh.py). Streaming can't shuffle the
+whole history per micro-batch, so the bucket membership itself becomes the
+KEYED STATE: each (band_idx, band_key) group keeps the fingerprints it has
+seen, every arriving doc is compared against that state (Hamming <= dist),
+and matches are emitted incrementally — a doc arriving hours after its
+near-duplicate still pairs with it, without re-reading history.
+
+Semantics vs batch: with an unbounded state cap, the emitted (src, dst)
+set equals ``simhash_candidate_edges``'s pre-CC candidate pair set over
+the same documents (the pigeonhole blocking is lossless for
+Hamming <= dist), modulo the batch path's own hot-bucket capping — pinned
+by tests/test_streaming.py::test_stateful_simhash_matches_batch across
+multiple micro-batches. ``state_cap`` bounds per-bucket state the same way
+``bucket_cap`` bounds batch pair volume (boilerplate skew guard): beyond
+the cap, new members still MATCH against the retained set but are not
+added to it; ``n_state_evicted`` in the output accounts for every such
+drop (no silent loss).
+
+Scale posture: state is per (band_idx, band_key) key, hash-partitioned by
+the streaming state store — 11 band rows per doc, two longs per retained
+member. A pair can be emitted once per shared band; consumers dedup with a
+downstream ``dropDuplicates(["src", "dst"])`` per sink batch (same as the
+batch path's distinct)."""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from deduplication_framework_spark.functions.kernels import simhash_band_layout
+
+_MASK64 = (1 << 64) - 1
+
+
+def simhash_band_stream(
+    fingerprints: DataFrame,
+    dist: int = 10,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """(doc_id, simhash) stream → (band_idx, band_key, doc_id, fp) band
+    rows. Pure projection + explode — streaming-safe, no shuffle until the
+    stateful groupBy."""
+    layout = simhash_band_layout(64, dist)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                (
+                    F.shiftrightunsigned(F.col(fp_col), off).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                ).alias("block_bits"),
+            )
+            for i, (off, width) in enumerate(layout)
+        ]
+    )
+    return fingerprints.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(fp_col).alias("fp"),
+        F.explode(blocks).alias("blk"),
+    ).select(
+        F.col("blk.band_idx").alias("band_idx"),
+        F.xxhash64("blk.band_idx", "blk.block_bits").alias("band_key"),
+        "doc_id",
+        "fp",
+    )
+
+
+def stateful_simhash_candidates(
+    fingerprints: DataFrame,
+    dist: int = 10,
+    state_cap: int = 2000,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Streaming (doc_id, simhash) → incremental candidate edges
+    (src, dst, hamming, n_state_evicted), src < dst. Append-mode."""
+    bands = simhash_band_stream(fingerprints, dist, id_col, fp_col)
+
+    def match(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, fps, evicted = state.get
+            ids, fps = list(ids), list(fps)
+        else:
+            ids, fps, evicted = [], [], 0
+        out = []
+        for pdf in pdfs:
+            for doc_id, fp in zip(pdf["doc_id"], pdf["fp"]):
+                doc_id, fp = int(doc_id), int(fp)
+                for sid, sfp in zip(ids, fps):
+                    if sid == doc_id:
+                        continue
+                    d = bin((sfp ^ fp) & _MASK64).count("1")
+                    if d <= dist:
+                        a, b = (sid, doc_id) if sid < doc_id else (doc_id, sid)
+                        out.append((a, b, d, evicted))
+                if len(ids) < state_cap:
+                    ids.append(doc_id)
+                    fps.append(fp)
+                else:
+                    evicted += 1
+        state.update((ids, fps, evicted))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["src", "dst", "hamming", "n_state_evicted"]
+            )
+
+    return bands.groupBy("band_idx", "band_key").applyInPandasWithState(
+        match,
+        outputStructType="src long, dst long, hamming int, n_state_evicted long",
+        stateStructType="ids array<long>, fps array<long>, evicted long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

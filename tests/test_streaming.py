@@ -217,3 +217,110 @@ def test_keepers_empty_before_any_batch(spark, tmp_path):
     # only torn dirs would be visible
     h2 = IncrementalExactDedup(spark, str(tmp_path / "state"))
     assert set(h2.keepers().columns) == {"url", "text"}
+
+
+def test_stateful_simhash_matches_batch(spark, pages, tmp_path):
+    """Stateful streaming LSH (applyInPandasWithState): across multiple
+    micro-batches, the emitted candidate set must equal the exact all-pairs
+    Hamming<=10 set (pigeonhole blocking is lossless and no cap binds) —
+    including pairs whose members arrive in DIFFERENT micro-batches."""
+    from deduplication_framework_spark.config import PipelineConfig
+    from deduplication_framework_spark.functions.text import make_simhash_udf
+    from deduplication_framework_spark.streaming.stateful import (
+        stateful_simhash_candidates,
+    )
+
+    docs = pages.select(F.col("doc_order").alias("doc_id"), "text")
+    sh = make_simhash_udf(PipelineConfig().embedding)
+    fps = docs.select("doc_id", sh("text").alias("simhash")).collect()
+
+    # exact oracle: all pairs within Hamming 10
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    vals = {r.doc_id: r.simhash for r in fps}
+    ids = sorted(vals)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(vals[a], vals[b]) <= 10
+    }
+    assert len(expected) > 10, "fixture must plant near-dup fingerprints"
+
+    # three micro-batches (maxFilesPerTrigger=1) — cross-batch pairs matter
+    src = tmp_path / "fp_stream"
+    src.mkdir()
+    third = len(fps) // 3
+    for i, chunk in enumerate(
+        (fps[:third], fps[third : 2 * third], fps[2 * third :])
+    ):
+        spark.createDataFrame(chunk, "doc_id long, simhash long").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, simhash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = stateful_simhash_candidates(stream, dist=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_cands")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.src, r.dst)
+        for r in spark.sql("SELECT src, dst FROM stateful_cands").collect()
+    }
+    assert got == expected
+    n_batches = spark.sql(
+        "SELECT count(DISTINCT src) FROM stateful_cands"
+    ).count()  # smoke the sink table shape
+    assert n_batches == 1
+
+
+def test_stateful_simhash_state_cap_accounting(spark, tmp_path):
+    """state_cap bounds per-bucket state: overflow members still match
+    against the RETAINED set but aren't added, and every drop is counted
+    in n_state_evicted (no silent loss)."""
+    from deduplication_framework_spark.streaming.stateful import (
+        stateful_simhash_candidates,
+    )
+
+    rows = [(1, 12345), (2, 12345), (3, 12345)]  # identical fingerprints
+    src = tmp_path / "s"
+    src.mkdir()
+    spark.createDataFrame(rows, "doc_id long, simhash long").coalesce(
+        1
+    ).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema("doc_id long, simhash long").parquet(
+        str(src / "b*")
+    )
+    out = stateful_simhash_candidates(stream, dist=10, state_cap=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cap_cands")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = spark.sql(
+        "SELECT src, dst, max(n_state_evicted) AS ev FROM cap_cands "
+        "GROUP BY src, dst"
+    ).collect()
+    pairs = {(r.src, r.dst) for r in res}
+    # docs 2 and 3 match the retained doc 1; the (2,3) pair is the
+    # documented cap loss, visible through the eviction counter
+    assert pairs == {(1, 2), (1, 3)}
+    assert max(r.ev for r in res) >= 1
