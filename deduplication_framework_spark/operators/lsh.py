@@ -66,16 +66,13 @@ def minhash_bands(
     )
 
 
-def simhash_bands(
-    fingerprints: DataFrame,
-    dist: int = 10,
-    id_col: str = "doc_id",
-    fp_col: str = "simhash",
-) -> DataFrame:
-    """(doc_id, simhash:long) → (doc_id, band_idx, band_key) using dist+1
-    pigeonhole bit blocks. Pure bit arithmetic, JVM-side."""
+def simhash_block_array(fp_col: str, dist: int):
+    """The dist+1 pigeonhole bit-block struct array for a 64-bit
+    fingerprint column — shared by batch banding, the fused candidate
+    join, and the stateful streaming operator (pure bit arithmetic,
+    JVM-side)."""
     layout = simhash_band_layout(64, dist)
-    blocks = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(i).alias("band_idx"),
@@ -88,6 +85,17 @@ def simhash_bands(
             for i, (off, width) in enumerate(layout)
         ]
     )
+
+
+def simhash_bands(
+    fingerprints: DataFrame,
+    dist: int = 10,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """(doc_id, simhash:long) → (doc_id, band_idx, band_key) using dist+1
+    pigeonhole bit blocks. Pure bit arithmetic, JVM-side."""
+    blocks = simhash_block_array(fp_col, dist)
     exploded = fingerprints.select(id_col, F.explode(blocks).alias("blk"))
     return exploded.select(
         id_col,
@@ -141,22 +149,9 @@ def simhash_candidate_edges(
     fingerprints = tagged.filter(F.col("doc_id") == F.col("rep")).select(
         "doc_id", F.col("fp").alias(fp_col)
     )
-    id_col, fp_col = "doc_id", fp_col
+    id_col = "doc_id"
 
-    layout = simhash_band_layout(64, dist)
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                (
-                    F.shiftrightunsigned(F.col(fp_col), off).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                ).alias("block_bits"),
-            )
-            for i, (off, width) in enumerate(layout)
-        ]
-    )
+    blocks = simhash_block_array(fp_col, dist)
     bands = fingerprints.select(
         F.col(id_col).alias("doc_id"),
         F.col(fp_col).alias("fp"),

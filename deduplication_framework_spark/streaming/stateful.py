@@ -22,9 +22,15 @@ drop (no silent loss).
 
 Scale posture: state is per (band_idx, band_key) key, hash-partitioned by
 the streaming state store — 11 band rows per doc, two longs per retained
-member. A pair can be emitted once per shared band; consumers dedup with a
-downstream ``dropDuplicates(["src", "dst"])`` per sink batch (same as the
-batch path's distinct)."""
+member (~176 bytes/doc total). A pair can be emitted once per shared band;
+consumers dedup with a downstream ``dropDuplicates(["src", "dst"])`` per
+sink batch (same as the batch path's distinct). At full 10^12-doc corpus
+scale the complete fingerprint history (~176 TB of state) belongs in the
+batch layer, not a state store: run this operator over the RECENT window
+(its state bounded by the window's doc count) and let the periodic batch
+re-cluster from the checkpointed signature table (streaming/incremental.py
+module docstring) handle deep history — the standard lambda split for
+streaming dedup."""
 
 from __future__ import annotations
 
@@ -34,8 +40,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-from deduplication_framework_spark.functions.kernels import simhash_band_layout
 
 _MASK64 = (1 << 64) - 1
 
@@ -49,20 +53,9 @@ def simhash_band_stream(
     """(doc_id, simhash) stream → (band_idx, band_key, doc_id, fp) band
     rows. Pure projection + explode — streaming-safe, no shuffle until the
     stateful groupBy."""
-    layout = simhash_band_layout(64, dist)
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                (
-                    F.shiftrightunsigned(F.col(fp_col), off).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                ).alias("block_bits"),
-            )
-            for i, (off, width) in enumerate(layout)
-        ]
-    )
+    from deduplication_framework_spark.operators.lsh import simhash_block_array
+
+    blocks = simhash_block_array(fp_col, dist)
     return fingerprints.select(
         F.col(id_col).alias("doc_id"),
         F.col(fp_col).alias("fp"),

@@ -280,10 +280,6 @@ def test_stateful_simhash_matches_batch(spark, pages, tmp_path):
         for r in spark.sql("SELECT src, dst FROM stateful_cands").collect()
     }
     assert got == expected
-    n_batches = spark.sql(
-        "SELECT count(DISTINCT src) FROM stateful_cands"
-    ).count()  # smoke the sink table shape
-    assert n_batches == 1
 
 
 def test_stateful_simhash_state_cap_accounting(spark, tmp_path):
