@@ -199,6 +199,16 @@ def main():
             spark.catalog.clearCache()
             sec, _ = _timed(fn)
             all_times[name].append(round(sec, 3))
+    # adaptive outlier pass: a host-supply dip can poison BOTH reps of one
+    # workload (the dips last minutes — exactly one suite pass); any
+    # workload whose samples disagree >1.5x gets ONE extra rep so the
+    # minimum reflects the plan, not the co-tenant
+    for name, fn in workloads:
+        ts = all_times[name]
+        if min(ts) > 0.5 and max(ts) / min(ts) > 1.5:
+            spark.catalog.clearCache()
+            sec, _ = _timed(fn)
+            all_times[name].append(round(sec, 3))
     results = {name: min(ts) for name, ts in all_times.items()}
 
     recall = minhash_recall_evidence(spark)
