@@ -153,18 +153,19 @@ def test_doubling_path_matches_direct(spark):
         assert got == expect_cc, f"k0={k0}"
 
 
-def test_left_extension_suppression_collapses_interior_buckets(spark):
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_left_extension_suppression_collapses_interior_buckets(spark, seed):
     """Round-3 shuffle-amplification fix: a shared span's INTERIOR L-gram
     buckets must collapse to a single prev group (zero pairs emitted
     there); divergence happens only at the span's left boundary. Also pins
     exact pair-set parity between the suppressed and plain pair-gen paths
-    on the same bands."""
+    on the same bands, across several random corpora."""
     from deduplication_framework_spark.operators.lsh import candidate_pairs
     from deduplication_framework_spark.operators.suffix_array import (
         substring_buckets_lgram,
     )
 
-    rng = np.random.RandomState(11)
+    rng = np.random.RandomState(seed)
     alpha = "abcdefgh"
     span = "".join(alpha[i] for i in rng.randint(0, 8, 300))
     texts = []
