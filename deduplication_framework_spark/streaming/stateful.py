@@ -10,15 +10,20 @@ and matches are emitted incrementally — a doc arriving hours after its
 near-duplicate still pairs with it, without re-reading history.
 
 Semantics vs batch: with an unbounded state cap, the emitted (src, dst)
-set equals ``simhash_candidate_edges``'s pre-CC candidate pair set over
-the same documents (the pigeonhole blocking is lossless for
-Hamming <= dist), modulo the batch path's own hot-bucket capping — pinned
-by tests/test_streaming.py::test_stateful_simhash_matches_batch across
-multiple micro-batches. ``state_cap`` bounds per-bucket state the same way
-``bucket_cap`` bounds batch pair volume (boilerplate skew guard): beyond
-the cap, new members still MATCH against the retained set but are not
-added to it; ``n_state_evicted`` in the output accounts for every such
-drop (no silent loss).
+set equals the EXACT all-pairs Hamming <= dist set over the same
+documents (the pigeonhole blocking is lossless) — pinned by
+tests/test_streaming.py::test_stateful_simhash_matches_batch across
+multiple micro-batches. That makes it CC-equivalent to, and a superset
+of, ``simhash_candidate_edges``'s pre-CC candidate set (the batch path
+collapses identical fingerprints to representatives, so its raw pair set
+omits within-duplicate-group cliques). ``state_cap`` bounds per-bucket
+state the same way ``bucket_cap`` bounds batch pair volume (boilerplate
+skew guard): beyond the cap, new members still MATCH against the retained
+set but are not added to it. Every drop is observable: eviction counts
+ride matching output rows, and a bucket that evicts WITHOUT emitting any
+match in that trigger emits a NULL-edge accounting row carrying the
+counter — consumers filter ``src IS NOT NULL`` for edges and aggregate
+``max(n_state_evicted)`` for loss monitoring.
 
 Scale posture: state is per (band_idx, band_key) key, hash-partitioned by
 the streaming state store — 11 band rows per doc, two longs per retained
@@ -84,28 +89,44 @@ def stateful_simhash_candidates(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.exists:
             ids, fps, evicted = state.get
             ids, fps = list(ids), list(fps)
         else:
             ids, fps, evicted = [], [], 0
+        evicted_at_entry = evicted
         out = []
         for pdf in pdfs:
             for doc_id, fp in zip(pdf["doc_id"], pdf["fp"]):
                 doc_id, fp = int(doc_id), int(fp)
-                for sid, sfp in zip(ids, fps):
-                    if sid == doc_id:
-                        continue
-                    d = bin((sfp ^ fp) & _MASK64).count("1")
-                    if d <= dist:
+                if ids:
+                    # vectorized XOR + popcount against the whole retained
+                    # set (the per-pair Python loop was the kind of
+                    # per-element work the batch kernels vectorize)
+                    arr = np.array(fps, dtype=np.int64).view(np.uint64)
+                    x = arr ^ np.uint64(fp & _MASK64)
+                    d = np.unpackbits(
+                        x.view(np.uint8).reshape(-1, 8), axis=1
+                    ).sum(axis=1)
+                    for j in np.nonzero(d <= dist)[0]:
+                        sid = ids[int(j)]
+                        if sid == doc_id:
+                            continue
                         a, b = (sid, doc_id) if sid < doc_id else (doc_id, sid)
-                        out.append((a, b, d, evicted))
+                        out.append((a, b, int(d[j]), evicted))
                 if len(ids) < state_cap:
                     ids.append(doc_id)
                     fps.append(fp)
                 else:
                     evicted += 1
         state.update((ids, fps, evicted))
+        if not out and evicted > evicted_at_entry:
+            # eviction happened with nothing else to emit: surface it as a
+            # NULL-edge accounting row so capped recall loss is NEVER
+            # silent, even for buckets that never match
+            out.append((None, None, None, evicted))
         if out:
             yield pd.DataFrame(
                 out, columns=["src", "dst", "hamming", "n_state_evicted"]

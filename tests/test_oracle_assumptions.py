@@ -41,16 +41,18 @@ def _emb(sf_dir):
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_documents_are_ascii_printable_non_json(sf_dir):
-    d = _docs(sf_dir)
-    lut = np.array(
-        [(chr(b).isprintable() or chr(b).isspace()) for b in range(256)],
-        dtype=bool,
+    # the engine's OWN printable definition (sorter.py), not a local copy —
+    # if the sorter's LUT or threshold changes, this precondition test must
+    # track it automatically
+    from deduplication_framework_spark.functions.sorter import (
+        is_mostly_printable,
     )
+
+    d = _docs(sf_dir)
     for t in d.text:
         b = t.encode("utf-8")[:4096]
         assert all(c < 128 for c in b), "non-ASCII doc breaks the sorter oracle"
-        ratio = lut[np.frombuffer(b, dtype=np.uint8)].mean()
-        assert ratio >= 0.85, "non-printable doc flips a sorter branch"
+        assert is_mostly_printable(b), "non-printable doc flips a sorter branch"
         s = t.lstrip()
         assert not s.startswith(("{", "[")), "JSON-shaped doc hits magic sniff"
         try:
