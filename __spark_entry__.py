@@ -3,9 +3,10 @@
 ``entry(spark)`` — flagship: MinHash-LSH near-dup clustering over the
 sf0.001 ``documents`` table. ``queries()`` — one entry per implemented
 operator family (SURVEY.md §2), each (spark, sf_dir) → DataFrame.
-``oracle_sql()`` — DuckDB-parity SQL for the SQL-expressible ones; the
-detector/cluster queries are non-SQL-expressible (LSH banding + iterative
-connected components) and get the driver's rows-only check.
+``oracle_sql()`` — DuckDB-parity SQL for every query (33/33 since round 4):
+the detector/cluster pipelines are re-derived independently in SQL — exact
+verification semantics + recursive min-label connected components — rather
+than translating the LSH/banding machinery.
 
 Column names are aliased identically on both sides (driver hashes values
 after sorting columns by name). Float-valued outputs are rounded to keep the
@@ -21,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from deduplication_framework_spark.config import PipelineConfig
+from deduplication_framework_spark.functions import kernels as _K
 from deduplication_framework_spark.plans.pipeline import run_pipeline
 
 # ---------------------------------------------------------------------------
@@ -64,8 +66,144 @@ _SIMHASH_VOTE_TERMS = " + ".join(
     for i in range(64)
 )
 
+# ---------------------------------------------------------------------------
+# winnowing-in-SQL machinery (substring_clusters oracle): the detector's
+# Karp-Rabin kgram hashing + splitmix64 finalizer + sliding window minimum
+# are pure integer arithmetic, so the fingerprint selection — previously
+# believed non-SQL-expressible because it picks by hash VALUE — is rebuilt
+# bit-for-bit in DuckDB HUGEINT (128-bit) arithmetic with explicit mod-2^64
+# reduction. Parity with functions/kernels.py::winnow_fingerprints is pinned
+# per-fingerprint in tests/test_oracle_assumptions.py.
+# ---------------------------------------------------------------------------
+
+_M64 = 1 << 64
+
+
+def _sql_mulmod(a: str, b) -> str:
+    """a*b mod 2^64 for HUGEINT operands a,b < 2^64. A direct product can
+    reach (2^64-1)^2 > signed-128-bit max, so split a into 32-bit halves:
+    a*b = (hi(a)*b mod 2^32)*2^32 + lo(a)*b (each term < 2^97, safe)."""
+    return (
+        f"((((({a}) >> 32) * ({b})) % 4294967296) * 4294967296"
+        f" + (({a}) % 4294967296) * ({b})) % {_M64}"
+    )
+
+
+def _sql_splitmix64(x: str) -> str:
+    """Vectorized splitmix64 finalizer (public-domain spec), matching
+    kernels._splitmix64: add/xorshift/multiply chain in mod-2^64."""
+    s1 = f"(({x}) + {0x9E3779B97F4A7C15}) % {_M64}"
+    s2 = _sql_mulmod(
+        f"xor(({s1})::HUGEINT, ({s1})::HUGEINT >> 30)", 0xBF58476D1CE4E5B9
+    )
+    s3 = _sql_mulmod(
+        f"xor(({s2})::HUGEINT, ({s2})::HUGEINT >> 27)", 0x94D049BB133111EB
+    )
+    return f"xor(({s3})::HUGEINT, ({s3})::HUGEINT >> 31)"
+
+
+def _winnow_fingerprint_ctes() -> str:
+    """CTE chain documents → fp(doc_id, fph): the winnowing detector's
+    deduplicated fingerprint set per doc, bit-identical to
+    make_winnow_udf / kernels.winnow_fingerprints:
+
+    * pows: B^u and B^-u mod 2^64 by recursion (B = the detector's odd
+      Karp-Rabin base; B^-1 its modular inverse);
+    * q: prefix sums q_i = sum_{u<=i} code_u * B^-(u-1) (codepoints via
+      unicode(), identical to the kernel's utf-32 codes for ALL text);
+    * gh: kgram hash at start s = splitmix64((q_{s+k-1} - q_{s-1}) * B^(s-1))
+      — the kernel's position-factored rolling hash, via lead/lag windows;
+    * wmin/fp: sliding minimum over `window` consecutive kgram hashes
+      (window frame min), distinct by value; a doc with fewer grams than
+      one window keeps its single global minimum (kernels.sliding_min)."""
+    cfg = PipelineConfig()
+    kg = cfg.suffix.kgram_size
+    win = cfg.suffix.min_match_chars - kg + 1
+    b = int(_K._KR_BASE)
+    binv = int(_K._KR_BASE_INV)
+    h_expr = _sql_splitmix64(
+        _sql_mulmod(f"(((qe % {_M64}) - (qp % {_M64}) + {_M64}) % {_M64})", "bp")
+    )
+    return f"""
+            pows(u, binv_p, b_p) AS (
+                SELECT 0, 1::HUGEINT, 1::HUGEINT
+                UNION ALL
+                SELECT u + 1,
+                       ({_sql_mulmod('binv_p', binv)})::HUGEINT,
+                       ({_sql_mulmod('b_p', b)})::HUGEINT
+                FROM pows WHERE u < (SELECT max(length(text)) FROM documents)
+            ),
+            pos AS (
+                SELECT doc_id, i::INT AS i,
+                       unicode(substring(text, i::INT, 1))::HUGEINT AS code
+                FROM documents,
+                     LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)
+            ),
+            q AS (
+                SELECT pos.doc_id, pos.i, p.b_p AS bp,
+                       sum(({_sql_mulmod('code', 'p.binv_p')})::HUGEINT)
+                           OVER (PARTITION BY pos.doc_id ORDER BY pos.i
+                                 ROWS UNBOUNDED PRECEDING) AS qv
+                FROM pos JOIN pows p ON p.u = pos.i - 1
+            ),
+            shifted AS (
+                SELECT doc_id, i AS s, bp,
+                       lead(qv, {kg - 1}) OVER (PARTITION BY doc_id
+                                                ORDER BY i) AS qe,
+                       coalesce(lag(qv, 1) OVER (PARTITION BY doc_id
+                                                 ORDER BY i),
+                                0::HUGEINT) AS qp
+                FROM q
+            ),
+            gh AS (
+                SELECT doc_id, s, ({h_expr})::HUGEINT AS h
+                FROM shifted WHERE qe IS NOT NULL
+            ),
+            gm AS (
+                SELECT doc_id, count(*) AS n_grams FROM gh GROUP BY doc_id
+            ),
+            wmin AS (
+                SELECT gh.doc_id, gh.s,
+                       min(h) OVER (PARTITION BY gh.doc_id ORDER BY gh.s
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND {win - 1} FOLLOWING) AS w
+                FROM gh
+            ),
+            fp AS (
+                SELECT DISTINCT wmin.doc_id, w AS fph
+                FROM wmin JOIN gm ON gm.doc_id = wmin.doc_id
+                WHERE wmin.s <= greatest(gm.n_grams - {win} + 1, 1)
+            )
+"""
+
+
+# the minhash verification feature set (lsh_word_tokens ∪ lsh_char_grams of
+# the normalized text, each capped, deduplicated as one string set) as a
+# DuckDB list expression over a normalized-text column `nt` — kernel parity:
+# functions/kernels.py:85-98. Python ''.split() == [] is the nt='' guard;
+# a short cleaned string (< ngram) contributes itself as the single gram.
+def _lsh_feature_list_sql() -> str:
+    cfg = PipelineConfig()
+    n = cfg.embedding.ngram_size
+    mw = cfg.dedup.max_words
+    mg = cfg.dedup.max_char_grams
+    return f"""list_distinct(
+                   (CASE WHEN nt = '' THEN []
+                         ELSE list_slice(string_split(nt, ' '), 1, {mw}) END)
+                   ||
+                   (CASE WHEN length(replace(nt, ' ', '')) = 0 THEN []
+                         WHEN length(replace(nt, ' ', '')) < {n}
+                              THEN [replace(nt, ' ', '')]
+                         ELSE list_transform(
+                             range(1, least(length(replace(nt, ' ', ''))
+                                            - {n - 2}, {mg + 1})),
+                             i -> substring(replace(nt, ' ', ''), i::INT, {n}))
+                    END)
+               )"""
+
+
 # recursive min-label connected components over an edge CTE named `e` —
-# shared tail of the two detector-pipeline cluster oracles (cluster_id =
+# shared tail of the detector-pipeline cluster oracles (cluster_id =
 # component minimum, singletons label themselves)
 _RECURSIVE_CC_TAIL = """
             sym AS (
@@ -388,12 +526,22 @@ def q_orders_per_customer_nation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# detector/cluster queries — non-SQL-expressible (rows-only driver check)
+# detector/cluster queries — oracled via independent SQL re-derivations
 # ---------------------------------------------------------------------------
 
 
 def q_minhash_clusters(spark, sf_dir):
-    """J5/J6/J10: MinHash-LSH near-dup clusters over documents."""
+    """J5/J6/J10: MinHash-LSH near-dup clusters over documents. Hash-checked
+    since round 4 at the CLUSTER level: the pipeline's clusters are CC over
+    exact-Jaccard-verified edges (verify_jaccard at threshold 0.8), and exact
+    Jaccard of the LSH feature set (word tokens ∪ char 3-grams, capped) IS
+    SQL-expressible over raw strings — the sha1 blocker only applies to
+    *signature* parity. Preconditions pinned in
+    tests/test_oracle_assumptions.py::test_minhash_edges_match_raw_jaccard_oracle:
+    the pipeline's verified edge set equals the all-pairs raw-feature
+    J>=0.8 edge set over exact-dedup reps (LSH candidate recall = 1.0 and
+    no 32-bit feature-hash collision flips a threshold decision on this
+    corpus), and no xxhash64 text collision merges distinct exact groups."""
     pages = _docs_as_pages(_docs(spark, sf_dir))
     res = run_pipeline(
         spark, pages, PipelineConfig(), detectors=["exact", "minhash"]
@@ -412,7 +560,15 @@ def q_simhash_clusters(spark, sf_dir):
 
 
 def q_substring_clusters(spark, sf_dir):
-    """J17: exact-substring duplication clusters (winnowing candidates)."""
+    """J17: exact-substring duplication clusters (winnowing candidates).
+    Hash-checked since round 4: the oracle rebuilds the winnowing fingerprint
+    selection BIT-FOR-BIT in SQL — Karp-Rabin rolling hashes + splitmix64 are
+    pure mod-2^64 integer arithmetic (DuckDB HUGEINT with explicit reduction)
+    and the window minimum is a SQL window frame — so 'selects fingerprints
+    by hash value' is no longer a blocker. Edges = docs sharing a fingerprint
+    (the detector's bucket_cap=1 star+chain pairing is clique-equivalent
+    after CC), clusters = recursive min-label CC. Per-fingerprint SQL-vs-
+    kernel parity pinned in tests/test_oracle_assumptions.py."""
     pages = _docs_as_pages(_docs(spark, sf_dir))
     res = run_pipeline(spark, pages, PipelineConfig(), detectors=["substring"])
     return res.clusters.select("doc_id", "cluster_id")
@@ -1112,14 +1268,64 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand
             ) WHERE rank <= 5
         """,
-        # Remaining rows-only queries, each with a hard blocker:
-        #   minhash_clusters — datasketch parity REQUIRES sha1 feature
-        #     hashes and DuckDB 1.0 has no sha1() (verified); pytest-
-        #     oracled (sequential-LSH recall=1.0) + recall surfaced in
-        #     bench JSON / --eval-recall.
-        #   substring_clusters — winnowing SELECTS fingerprints by
-        #     Karp-Rabin hash VALUE (window minima), not by content
-        #     semantics, so no SQL re-derivation exists; cross-validated
-        #     against the LCS oracle and the fully-oracled suffix-array
-        #     path (same >=L-span semantics).
+        # the flagship MinHash-LSH pipeline, oracled at the CLUSTER level:
+        # datasketch *signature* parity needs sha1 (absent in DuckDB 1.0),
+        # but the pipeline's final edges are exact-Jaccard-VERIFIED, and
+        # exact Jaccard of the raw-string LSH feature set is fully SQL.
+        # Oracle = exact-text groups (rep = min id, rep→member edges) +
+        # all-pairs raw-feature J>=0.8 over reps (the symmetric
+        # min/max-size prefilter is necessary for J>=0.8, recall-safe) +
+        # recursive min-label CC. Edge-set-equality preconditions pinned in
+        # tests/test_oracle_assumptions.py.
+        "minhash_clusters": f"""
+            WITH RECURSIVE
+            grp AS (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+                FROM documents
+            ),
+            exact_e AS (
+                SELECT rep AS src, doc_id AS dst FROM grp WHERE doc_id <> rep
+            ),
+            norm AS (
+                SELECT d.doc_id,
+                       trim(regexp_replace(regexp_replace(lower(d.text),
+                            '[^a-z0-9_\\s一-鿿]', ' ', 'g'),
+                            '\\s+', ' ', 'g')) AS nt
+                FROM documents d
+                JOIN grp g ON d.doc_id = g.doc_id AND d.doc_id = g.rep
+            ),
+            feats AS (
+                SELECT doc_id, {_lsh_feature_list_sql()} AS fs
+                FROM norm
+            ),
+            mh_e AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM feats a JOIN feats b ON a.doc_id < b.doc_id
+                 AND len(a.fs) >= 0.8 * len(b.fs)
+                 AND len(b.fs) >= 0.8 * len(a.fs)
+                WHERE (len(a.fs) = 0 AND len(b.fs) = 0)
+                   OR len(list_intersect(a.fs, b.fs))::DOUBLE
+                      / (len(a.fs) + len(b.fs)
+                         - len(list_intersect(a.fs, b.fs))) >= 0.8
+            ),
+            e AS (
+                SELECT src, dst FROM exact_e
+                UNION ALL SELECT src, dst FROM mh_e
+            ),
+            {_RECURSIVE_CC_TAIL}
+        """,
+        # winnowing substring clusters, rebuilt bit-exactly (see
+        # q_substring_clusters + _winnow_fingerprint_ctes docstrings)
+        "substring_clusters": f"""
+            WITH RECURSIVE
+            {_winnow_fingerprint_ctes()},
+            e AS (
+                SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM fp a JOIN fp b
+                  ON a.fph = b.fph AND a.doc_id < b.doc_id
+            ),
+            {_RECURSIVE_CC_TAIL}
+        """,
+        # Driver-gate status: all 33 queries oracled (0 rows-only) as of
+        # round 4.
     }

@@ -10,7 +10,14 @@ opaque value-hash mismatch in CORRECTNESS_r{N}:
   float margins at their thresholds (cross-engine summation-order noise is
   ~1e-15; margins must dwarf it);
 * ngram_jaccard_edges assumes no pair sits exactly at the 0.8 boundary
-  region closer than the documented gap.
+  region closer than the documented gap;
+* minhash_clusters assumes the pipeline's verified edge set equals the
+  all-pairs raw-string-feature J>=0.8 set over exact-dedup reps (LSH
+  candidate recall = 1.0, no 32-bit feature-hash collision flips a
+  threshold decision, no xxhash64 text collision) — asserted by direct
+  edge-set comparison;
+* substring_clusters' oracle re-derives winnowing fingerprints in SQL
+  arithmetic — asserted bit-for-bit against the Python kernel.
 
 Driver-scale only needs sf0.01 (the gate's SF); sf0.001 rides along free.
 """
@@ -98,3 +105,113 @@ def test_embeddings_unit_norm_and_margins(sf_dir):
     # embedding_dup_edges: nearest dot to the 0.3 threshold
     iu = np.triu_indices(len(M), k=1)
     assert np.abs(S[iu] - 0.3).min() > 1e-9
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_minhash_edges_match_raw_jaccard_oracle(sf_dir, spark):
+    """The minhash_clusters DuckDB oracle computes edges as all-pairs exact
+    Jaccard >= 0.8 of the RAW-STRING feature sets over exact-dedup reps.
+    Pin that the pipeline's verified edge set (LSH candidates + 32-bit
+    hashed-feature Jaccard) is IDENTICAL on the driver corpus — this
+    subsumes LSH recall = 1.0, no hash-collision threshold flips, and
+    bucket-cap salting losing no true pair."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.config import PipelineConfig
+    from deduplication_framework_spark.functions import kernels as K
+    from deduplication_framework_spark.plans.pipeline import run_pipeline
+    from __spark_entry__ import _docs_as_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # no xxhash64 collision merges distinct exact groups (the oracle groups
+    # by text; the pipeline by xxhash64(text))
+    nh, nt = docs.agg(
+        F.countDistinct(F.xxhash64("text")), F.countDistinct("text")
+    ).first()
+    assert nh == nt, "xxhash64 collision breaks the exact-group oracle"
+
+    res = run_pipeline(
+        spark,
+        _docs_as_pages(docs),
+        PipelineConfig(),
+        detectors=["exact", "minhash"],
+    )
+    got = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in res.edges.select("src", "dst").collect()
+    }
+
+    d = _docs(sf_dir)
+    cfg = PipelineConfig()
+    reps = {}
+    for doc_id, text in zip(d.doc_id, d.text):
+        reps.setdefault(text, int(doc_id))
+    rep_ids = set(reps.values())
+    expect = set()
+    # exact rep→member edges
+    for doc_id, text in zip(d.doc_id, d.text):
+        r = reps[text]
+        if int(doc_id) != r:
+            expect.add((r, int(doc_id)))
+    # raw-string-feature Jaccard >= 0.8 over reps
+    feat_sets = {}
+    for doc_id, text in zip(d.doc_id, d.text):
+        if int(doc_id) not in rep_ids:
+            continue
+        norm = K.normalize_text(text)
+        fs = set(K.lsh_word_tokens(norm, cfg.dedup.max_words))
+        fs |= set(
+            K.lsh_char_grams(
+                norm, cfg.embedding.ngram_size, cfg.dedup.max_char_grams
+            )
+        )
+        feat_sets[int(doc_id)] = fs
+    ids = sorted(feat_sets)
+    for ii, a in enumerate(ids):
+        fa = feat_sets[a]
+        for b in ids[ii + 1 :]:
+            fb = feat_sets[b]
+            union = len(fa | fb)
+            if union == 0 or len(fa & fb) / union >= 0.8:
+                expect.add((a, b))
+    assert got == expect, (
+        f"pipeline edges != raw-Jaccard oracle edges: "
+        f"missing={sorted(expect - got)[:5]} extra={sorted(got - expect)[:5]}"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_winnow_fingerprints_sql_matches_kernel(sf_dir):
+    """The substring_clusters oracle's fingerprint CTEs (Karp-Rabin +
+    splitmix64 + window-min in HUGEINT arithmetic) reproduce
+    kernels.winnow_fingerprints bit-for-bit, per doc, by value."""
+    import duckdb
+
+    from deduplication_framework_spark.config import PipelineConfig
+    from deduplication_framework_spark.functions import kernels as K
+    from __spark_entry__ import _winnow_fingerprint_ctes
+
+    cfg = PipelineConfig()
+    kg = cfg.suffix.kgram_size
+    win = cfg.suffix.min_match_chars - kg + 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = (
+        "WITH RECURSIVE "
+        + _winnow_fingerprint_ctes()
+        + " SELECT doc_id, fph::UBIGINT AS fph FROM fp"
+    )
+    got = {}
+    for doc_id, fph in con.sql(sql).fetchall():
+        got.setdefault(int(doc_id), set()).add(int(fph))
+
+    d = _docs(sf_dir)
+    for doc_id, text in zip(d.doc_id, d.text):
+        expect = {
+            int(np.uint64(h)) for h, _ in K.winnow_fingerprints(text, kg, win)
+        }
+        assert got.get(int(doc_id), set()) == expect, f"doc {doc_id}"
