@@ -27,11 +27,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Driver-collect budget for the brute-force paths: N rows and N*d float64
+# cells. 2M rows x 64 dims = 1 GiB of matrix; far beyond this the exact
+# path is the wrong tool and silently OOMs the driver at scale — fail fast
+# and name the scale path instead (mirrors the adaptive-CC
+# cc_broadcast_threshold pattern: explicit, overridable, tested).
+MAX_BRUTEFORCE_ROWS = 2_000_000
+MAX_BRUTEFORCE_CELLS = 200_000_000
+
+
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str,
-                    normalize: bool = True):
-    rows = df.select(id_col, vec_col).collect()
+                    normalize: bool = True,
+                    max_rows: int = MAX_BRUTEFORCE_ROWS,
+                    max_cells: int = MAX_BRUTEFORCE_CELLS):
+    """Collect (ids, matrix) for the broadcast-GEMM paths, guarded: the
+    collect itself is bounded by ``limit(max_rows + 1)`` (no unbounded
+    driver fetch even on a huge input — and no extra count() job), then the
+    row and cell budgets are enforced before the broadcast."""
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"brute-force ANN path refused: input exceeds {max_rows:,} rows. "
+            "This exact path broadcasts the full (N x d) matrix and is the "
+            "small-side/oracle baseline; use ivf_topk (partitioned inverted "
+            "lists) at this scale, or raise max_rows explicitly."
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
+    if mat.size > max_cells:
+        raise ValueError(
+            f"brute-force ANN path refused: {mat.shape[0]:,} x {mat.shape[1]} "
+            f"matrix exceeds the {max_cells:,}-cell broadcast budget. Use "
+            "ivf_topk at this scale, or raise max_cells explicitly."
+        )
     if normalize:
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -42,6 +70,7 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str,
 def knn_bruteforce(
     df: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
     normalize: bool = True,
+    max_rows: int = MAX_BRUTEFORCE_ROWS, max_cells: int = MAX_BRUTEFORCE_CELLS,
 ) -> DataFrame:
     """→ (vec_id, neighbor_id, rank, sim): exact cosine top-k, GEMM against
     a broadcast matrix. ``normalize=False`` ranks RAW float64 dot products
@@ -53,7 +82,8 @@ def knn_bruteforce(
     boundary-straddling exact ties — identical vectors — resolve by id,
     matching a SQL ``row_number() OVER (ORDER BY sim DESC, id)`` oracle)."""
     spark = df.sparkSession
-    ids, mat = _collect_matrix(df, id_col, vec_col, normalize=normalize)
+    ids, mat = _collect_matrix(df, id_col, vec_col, normalize=normalize,
+                               max_rows=max_rows, max_cells=max_cells)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
@@ -101,13 +131,15 @@ def neighbor_counts_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
+    max_rows: int = MAX_BRUTEFORCE_ROWS, max_cells: int = MAX_BRUTEFORCE_CELLS,
 ) -> DataFrame:
     """→ (vec_id, n_neighbors): #others with cosine >= threshold (GEMM).
     ``normalize=False`` skips unit-norming and compares RAW float64 dot
     products — use when the corpus is already unit-norm and bit-stable
     parity with a plain dot-product oracle matters."""
     spark = df.sparkSession
-    ids, mat = _collect_matrix(df, id_col, vec_col, normalize=normalize)
+    ids, mat = _collect_matrix(df, id_col, vec_col, normalize=normalize,
+                               max_rows=max_rows, max_cells=max_cells)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
@@ -139,13 +171,15 @@ def cosine_edges_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
+    max_rows: int = MAX_BRUTEFORCE_ROWS, max_cells: int = MAX_BRUTEFORCE_CELLS,
 ) -> DataFrame:
     """→ (src, dst) with src < dst and cosine (or raw dot when
     ``normalize=False``) >= threshold — embedding near-dup edges, GEMM
     against the broadcast matrix. Integer-only output keeps cross-engine
     comparisons bit-stable."""
     spark = df.sparkSession
-    ids, mat = _collect_matrix(df, id_col, vec_col, normalize=normalize)
+    ids, mat = _collect_matrix(df, id_col, vec_col, normalize=normalize,
+                               max_rows=max_rows, max_cells=max_cells)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
@@ -198,21 +232,24 @@ def ivf_topk(
     ).persist()
 
     # centroids from the fitted assignment (mean of members, re-normalized —
-    # reference A5 semantics, image/method/pipeline_api.py:554-556)
+    # reference A5 semantics, image/method/pipeline_api.py:554-556).
+    # posexplode + per-(block, pos) avg needs no vector-dimension probe at
+    # plan time (the old per-index F.avg list ran a whole extra first() job
+    # just to learn d) and partial-aggregates map-side.
     cent_rows = (
-        blocked.groupBy("block_id")
-        .agg(
-            F.array(
-                *[
-                    F.avg(F.col(vec_col)[i])
-                    for i in range(len(df.select(vec_col).first()[0]))
-                ]
-            ).alias("centroid")
-        )
+        blocked.select("block_id", F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("block_id", "pos")
+        .agg(F.avg("x").alias("m"))
         .collect()
     )
-    cids = np.array([r.block_id for r in cent_rows], dtype=np.int64)
-    cmat = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    by_block = {}
+    for r in cent_rows:
+        by_block.setdefault(r.block_id, {})[r.pos] = r.m
+    cids = np.array(sorted(by_block), dtype=np.int64)
+    cmat = np.array(
+        [[by_block[b][p] for p in range(len(by_block[b]))] for b in cids],
+        dtype=np.float64,
+    )
     cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
     cnorm[cnorm == 0] = 1.0
     cmat = cmat / cnorm

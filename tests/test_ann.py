@@ -126,3 +126,25 @@ def test_knn_bruteforce_tiny_corpus_excludes_self(spark):
         by_q.setdefault(r.vec_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == [1, 2, 3]  # 3 non-self neighbors
+
+
+def test_bruteforce_guard_fails_fast(spark, ann_df):
+    """The brute-force paths refuse oversized inputs BEFORE collecting or
+    broadcasting (What's wrong r3 #1): the collect is limit-bounded and the
+    error names ivf_topk as the scale path."""
+    from deduplication_framework_spark.operators.ann import (
+        cosine_edges_bruteforce,
+    )
+
+    with pytest.raises(ValueError, match="ivf_topk"):
+        knn_bruteforce(ann_df, k=5, max_rows=100)
+    with pytest.raises(ValueError, match="ivf_topk"):
+        neighbor_counts_bruteforce(ann_df, 0.5, max_rows=100)
+    with pytest.raises(ValueError, match="ivf_topk"):
+        cosine_edges_bruteforce(ann_df, 0.5, max_rows=100)
+    # cell budget trips independently of the row budget (d matters too)
+    with pytest.raises(ValueError, match="cell"):
+        knn_bruteforce(ann_df, k=5, max_cells=1000)
+    # within budget: unchanged behavior
+    n = knn_bruteforce(ann_df, k=1, max_rows=1000).count()
+    assert n == 320
