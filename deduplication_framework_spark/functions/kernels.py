@@ -460,9 +460,13 @@ def lgram_hashes128_prev(text: str, lgram: int) -> tuple:
         return h1, h1, h1, np.empty(0, dtype=bool)
     h2 = rolling_kgram_hashes(text, lgram, _KR_BASE2, _KR_BASE2_INV)
     with np.errstate(over="ignore"):
-        # 64-bit wrap mix of the 128-bit key; a cross-doc false prev
-        # equality (2^-64 per in-bucket pair) can only suppress one
-        # bucket's assertion of a pair, never every bucket's
+        # 64-bit wrap mix of the 128-bit key. A cross-doc false prev
+        # equality (~2^-64 per in-bucket pair) suppresses that bucket's
+        # assertion of the pair; a pair sharing SEVERAL buckets survives
+        # through the others, but a pair whose docs share exactly ONE
+        # L-gram bucket would be lost entirely — within the same
+        # negligible-collision risk budget as the 2^-93 key-collision
+        # bound documented for the 128-bit bucket keys themselves
         mix = h1 * _KR_BASE2 + h2
     prev = np.empty_like(mix)
     prev[1:] = mix[:-1]

@@ -219,7 +219,10 @@ class IcebergTableStore:
         return c is not None and c.config_hash == config_hash
 
     def _set_commit(self, name: str, commit: StageCommit) -> None:
-        payload = commit.to_json().replace("'", "''")
+        # Spark SQL string literals process backslash escapes as well as
+        # quotes: double the backslashes FIRST (a JSON payload carries them
+        # via \uXXXX escapes or quoted metric keys), then the quotes
+        payload = commit.to_json().replace("\\", "\\\\").replace("'", "''")
         self.spark.sql(
             f"ALTER TABLE {self._full(name)} "
             f"SET TBLPROPERTIES ('{self.PROP}' = '{payload}')"

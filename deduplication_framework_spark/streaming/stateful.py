@@ -115,21 +115,24 @@ def stateful_simhash_candidates(
                         if sid == doc_id:
                             continue
                         a, b = (sid, doc_id) if sid < doc_id else (doc_id, sid)
-                        out.append((a, b, int(d[j]), evicted))
+                        out.append((a, b, int(d[j])))
                 if len(ids) < state_cap:
                     ids.append(doc_id)
                     fps.append(fp)
                 else:
                     evicted += 1
         state.update((ids, fps, evicted))
-        if not out and evicted > evicted_at_entry:
-            # eviction happened with nothing else to emit: surface it as a
-            # NULL-edge accounting row so capped recall loss is NEVER
-            # silent, even for buckets that never match
-            out.append((None, None, None, evicted))
-        if out:
+        # the counter is stamped with its END-of-trigger value on every
+        # emitted row (a match row appended before a later same-trigger
+        # eviction must not carry a stale count), and a trigger that evicts
+        # with no match rows to carry the count surfaces a NULL-edge
+        # accounting row — so capped recall loss is NEVER silent
+        rows = [(a, b, h, evicted) for (a, b, h) in out]
+        if not rows and evicted > evicted_at_entry:
+            rows.append((None, None, None, evicted))
+        if rows:
             yield pd.DataFrame(
-                out, columns=["src", "dst", "hamming", "n_state_evicted"]
+                rows, columns=["src", "dst", "hamming", "n_state_evicted"]
             )
 
     return bands.groupBy("band_idx", "band_key").applyInPandasWithState(

@@ -162,7 +162,10 @@ class TestIcebergStoreDryRun:
                 )
                 if m:
                     tbl, key, val = m.groups()
-                    self.props.setdefault(tbl, {})[key] = val.replace("''", "'")
+                    # unescape the way Spark's SQL parser would: quote
+                    # doubling AND backslash escapes
+                    val = val.replace("\\\\", "\\").replace("''", "'")
+                    self.props.setdefault(tbl, {})[key] = val
                     return FakeResult([])
                 m = re.match(r"SHOW TBLPROPERTIES (\S+) \('([^']+)'\)$", q)
                 if m:
@@ -207,6 +210,20 @@ class TestIcebergStoreDryRun:
         assert store.read_commit("nope") is None
         # full table name is catalog-qualified
         assert store._full("edges") == "spark_catalog.dedup_ns.edges"
+
+        # ADVICE r3: a payload carrying backslashes (non-ASCII lineage
+        # names JSON-encode as \uXXXX; metric keys may hold quotes) must
+        # survive the SQL literal round-trip — backslashes are doubled
+        # before quote doubling in _set_commit
+        tricky = StageCommit(
+            stage="edges2", config_hash="h", rows=1, partitions=1,
+            partition_rows=[1], lineage=["stage-é", 'quo"te\\path'],
+            metrics={"o'brien": 1.0},
+        )
+        store._set_commit("edges2", tricky)
+        back2 = store.read_commit("edges2")
+        assert back2.lineage == ["stage-é", 'quo"te\\path']
+        assert back2.metrics == {"o'brien": 1.0}
 
     def test_missing_catalog_raises(self):
         from deduplication_framework_spark.plans.checkpoint import (

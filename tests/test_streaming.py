@@ -332,3 +332,47 @@ def test_stateful_simhash_state_cap_accounting(spark, tmp_path):
     # doc 4 evicted from a bucket with no match this trigger -> NULL-edge
     # accounting row
     assert any(r.src is None and r.n_state_evicted >= 1 for r in rows)
+
+
+def test_stateful_eviction_counter_fresh_within_trigger(spark, tmp_path):
+    """ADVICE r3: a match row emitted in the SAME trigger as a later
+    eviction must carry the end-of-trigger eviction count, not a stale
+    snapshot — otherwise an eviction after the last match in a trigger is
+    invisible until the bucket next emits."""
+    from deduplication_framework_spark.streaming.stateful import (
+        stateful_simhash_candidates,
+    )
+
+    # batch 1 fills the cap with doc 1; batch 2 delivers docs 2 and 3
+    # together: both match the retained doc 1, both are evicted (cap=1),
+    # so every match row of the trigger must read n_state_evicted == 2
+    batches = [[(1, 12345)], [(2, 12345), (3, 12345)]]
+    src = tmp_path / "s"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, simhash long").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, simhash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = stateful_simhash_candidates(stream, dist=10, state_cap=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fresh_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM fresh_evict").collect()
+    match_rows = [r for r in rows if r.src is not None]
+    assert {(r.src, r.dst) for r in match_rows} == {(1, 2), (1, 3)}
+    assert all(r.n_state_evicted == 2 for r in match_rows), [
+        (r.src, r.dst, r.n_state_evicted) for r in match_rows
+    ]
