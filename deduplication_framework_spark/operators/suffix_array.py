@@ -346,6 +346,7 @@ def substring_edges_suffix_array(
     text_col: str = "text",
     mode: str = "hash",
     cache_bands: bool = False,
+    collapse_exact: bool = True,
 ) -> Tuple[DataFrame, DataFrame]:
     """→ (edges(src, dst, sim=1.0), bucket_stats): doc pairs sharing an
     exact >= min_match_chars-char substring. ``mode="hash"`` (default) is
@@ -354,8 +355,49 @@ def substring_edges_suffix_array(
     tests/test_suffix_array.py). ``cache_bands`` persists the band table —
     the band pass is the expensive one and both returned DataFrames consume
     it, so callers that act on both (e.g. the pipeline's stats + edges
-    jobs) should pass True."""
+    jobs) should pass True.
+
+    ``collapse_exact`` (default True — VERDICT r3 next-round #4, the 100x
+    posture lever): byte-identical docs are collapsed to their min-id
+    representative BEFORE position explosion, so an exact-dup group of n
+    docs contributes its L-gram rows ONCE instead of n times — on
+    Common-Crawl-style corpora (majority exact-dup) this deletes most of
+    the all-positions row count, the structural cost of exact >=L
+    semantics. Connected-component parity is exact: x,y share an L-gram
+    iff their reps do (identical texts have identical gram sets), and each
+    dropped member is re-attached by a rep→member identity edge — emitted
+    ONLY for groups whose text length >= L, because two identical docs
+    shorter than L share no L-gram and stay singletons in the uncollapsed
+    semantics too. Callers whose input is already exact-deduped (the
+    pipeline with the exact detector enabled) should pass False to skip
+    the one extra corpus shuffle."""
     from deduplication_framework_spark.operators.lsh import candidate_pairs
+
+    ident = None
+    if collapse_exact:
+        w = Window.partitionBy("_th").orderBy(id_col)
+        ranked = (
+            docs.select(id_col, text_col)
+            .withColumn("_th", F.xxhash64(F.col(text_col)))
+            .withColumn("_rep", F.first(id_col).over(w))
+            .withColumn("_rn", F.row_number().over(w))
+            # two consumers (rep docs → band UDF; identity edges) — persist
+            # so the hash-window shuffle runs once per fill (a concurrent
+            # first-fill race can at worst recompute this one cheap window)
+            .persist()
+        )
+        docs = ranked.filter(F.col("_rn") == 1).select(id_col, text_col)
+        ident = (
+            ranked.filter(
+                (F.col("_rn") > 1)
+                & (F.length(text_col) >= min_match_chars)
+            )
+            .select(
+                F.col("_rep").alias("src"),
+                F.col(id_col).alias("dst"),
+                F.lit(1.0).alias("sim"),
+            )
+        )
 
     group_col = None
     if mode == "hash":
@@ -376,4 +418,6 @@ def substring_edges_suffix_array(
         bands, bucket_cap=bucket_cap, group_col=group_col
     )
     edges = pairs.select("src", "dst", F.lit(1.0).alias("sim"))
+    if ident is not None:
+        edges = edges.unionByName(ident)
     return edges, stats

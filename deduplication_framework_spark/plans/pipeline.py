@@ -281,6 +281,9 @@ def run_pipeline(
             uniq_docs,
             cfg.suffix.min_match_chars,
             bucket_cap=1,
+            # uniq_docs is already exact-deduped when the exact detector
+            # ran — skip the operator's own collapse shuffle then
+            collapse_exact="exact" not in detectors,
         )
         sa_edges = stage(name, lambda: sa_edges, ["docs_uniq"])
         return sa_edges, sa_stats.withColumn("detector", F.lit("suffix_array"))

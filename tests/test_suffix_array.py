@@ -217,3 +217,51 @@ def test_left_extension_suppression_collapses_interior_buckets(spark, seed):
     )
     assert cc(p_supp) == cc(p_plain)
     bands.unpersist()
+
+
+@pytest.mark.parametrize("mode", ["hash", "rank"])
+def test_collapse_exact_cc_parity(spark, mode):
+    """VERDICT r3 #4: collapsing byte-identical docs to reps before
+    position explosion must leave the connected components EXACTLY as the
+    uncollapsed run — including identical docs shorter than L (no L-gram:
+    singletons BOTH ways, so no identity edge may attach them)."""
+    from deduplication_framework_spark.operators.cluster import (
+        clusters_from_edges,
+    )
+
+    rng = np.random.RandomState(9)
+    alpha = "abcdef"
+    base = "".join(alpha[i] for i in rng.randint(0, 6, 40))
+    texts = []
+    for i in range(8):
+        t = "".join(alpha[i] for i in rng.randint(0, 6, 120))
+        if i % 3 == 0:
+            cut = rng.randint(0, 80)
+            t = t[:cut] + base + t[cut:]
+        texts.append(t)
+    # exact-dup group (long): copies of texts[0] — must land in 0's cluster
+    texts += [texts[0], texts[0]]
+    # exact-dup group SHORTER than L: identical, but shares no L-gram —
+    # must stay singletons exactly like the uncollapsed semantics
+    texts += ["shorty", "shorty"]
+    L = 25
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    def clusters(collapse):
+        edges, _ = substring_edges_suffix_array(
+            docs, min_match_chars=L, mode=mode, collapse_exact=collapse
+        )
+        cc, _ = clusters_from_edges(docs, edges.select("src", "dst"))
+        return {(r.doc_id, r.cluster_id) for r in cc.collect()}
+
+    plain, collapsed = clusters(False), clusters(True)
+    assert collapsed == plain
+    by_cluster = {}
+    for d, c in collapsed:
+        by_cluster.setdefault(c, set()).add(d)
+    n = len(texts)
+    assert {n - 4, n - 3} <= by_cluster[0]      # long exact dups joined 0
+    assert by_cluster[n - 2] == {n - 2}          # short identical: singleton
+    assert by_cluster[n - 1] == {n - 1}
