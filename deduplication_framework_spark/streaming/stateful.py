@@ -1,5 +1,5 @@
-"""Stateful streaming near-dup candidate detection (SimHash-LSH with
-per-bucket state via ``applyInPandasWithState``).
+"""Stateful streaming near-dup candidate detection (SimHash and
+MinHash-LSH with per-bucket state via ``applyInPandasWithState``).
 
 The batch pipeline buckets fingerprints by pigeonhole bit-blocks and
 self-joins each bucket (operators/lsh.py). Streaming can't shuffle the
@@ -139,6 +139,80 @@ def stateful_simhash_candidates(
         match,
         outputStructType="src long, dst long, hamming int, n_state_evicted long",
         stateStructType="ids array<long>, fps array<long>, evicted long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_minhash_candidates(
+    signatures: DataFrame,
+    b: int,
+    r: int,
+    state_cap: int = 2000,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Streaming (doc_id, sig[array<long>]) → incremental MinHash-LSH
+    candidate edges (src, dst, n_state_evicted), src < dst. Append-mode.
+
+    This is the honest streaming rebuild of the reference's
+    query-then-insert MinHashLSH loop (text/method/pipeline_api.py:434-475
+    — literally a stream over arriving docs): band rows reuse the batch
+    ``minhash_bands`` keying (streaming-safe posexplode + xxhash64), each
+    (band_idx, band_key) group keeps the doc ids it has seen, and an
+    arriving doc pairs with every retained member of its bucket — a band
+    collision IS the candidate predicate, so unlike the SimHash operator
+    there is no per-pair distance test and state holds only ids (~8
+    bytes/member/band). With an unbounded cap the emitted pair set equals
+    the batch all-pairs band-collision set over the same docs (pinned in
+    tests/test_streaming.py). ``state_cap`` + eviction accounting follow
+    the SimHash operator's contract: overflow docs still match the
+    retained set, every drop increments the counter stamped (end-of-
+    trigger value) on the trigger's rows, and a match-free evicting
+    trigger emits the NULL-edge accounting row. Downstream verification:
+    join emitted pairs to the checkpointed shingle table and apply
+    ``verify_jaccard`` per sink batch — same split as the batch pipeline."""
+    from deduplication_framework_spark.operators.lsh import minhash_bands
+
+    bands = minhash_bands(signatures, b, r, id_col=id_col, sig_col=sig_col)
+
+    def match(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, evicted = state.get
+            ids = list(ids)
+        else:
+            ids, evicted = [], 0
+        evicted_at_entry = evicted
+        out = []
+        for pdf in pdfs:
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                for sid in ids:
+                    if sid == doc_id:
+                        continue
+                    a, c = (sid, doc_id) if sid < doc_id else (doc_id, sid)
+                    out.append((a, c))
+                if len(ids) < state_cap:
+                    ids.append(doc_id)
+                else:
+                    evicted += 1
+        state.update((ids, evicted))
+        rows = [(a, c, evicted) for (a, c) in out]
+        if not rows and evicted > evicted_at_entry:
+            rows.append((None, None, evicted))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["src", "dst", "n_state_evicted"]
+            )
+
+    return bands.groupBy("band_idx", "band_key").applyInPandasWithState(
+        match,
+        outputStructType="src long, dst long, n_state_evicted long",
+        stateStructType="ids array<long>, evicted long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
