@@ -108,6 +108,46 @@ def parquet_pages(spark, n, parts):
     return spark.read.parquet(path)
 
 
+def bench_distributed_cc(spark, n_nodes: int = 1_200_000, chain_len: int = 6000):
+    """Force the DISTRIBUTED label-propagation CC loop (VERDICT r3 #6):
+    every pipeline corpus so far resolves CC on the driver union-find fast
+    path, so the iterative operator had no bench evidence. A 1.2M-edge
+    chain graph (200 chains of 6000 nodes — diameter 6000, the worst case
+    for propagation) must converge in O(log diameter) rounds; rounds and
+    per-round changed-label counts land in the bench JSON, and the
+    convergence bound is asserted, not just recorded."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    stats = {
+        "n_nodes": n_nodes,
+        "n_edges": n_nodes - n_nodes // chain_len,
+        "chain_len": chain_len,
+    }
+
+    def run():
+        ids = spark.range(n_nodes)
+        edges = ids.filter((F.col("id") + 1) % chain_len != 0).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        rlog = []
+        labels, rounds = connected_components(edges, round_stats=rlog)
+        ncomp = labels.select("cluster_id").distinct().count()
+        assert ncomp == n_nodes // chain_len, f"wrong components: {ncomp}"
+        bound = math.ceil(math.log2(chain_len)) + 1
+        assert rounds <= bound, f"CC took {rounds} rounds > bound {bound}"
+        stats["rounds"] = rounds
+        stats["round_changed"] = [d["n_changed"] for d in rlog]
+        return ncomp
+
+    return run, stats
+
+
 def minhash_recall_evidence(spark, n_docs: int = 1000):
     """dup-pair recall vs the sequential reference-semantics LSH oracle on a
     planted corpus (the BASELINE.json >=0.99 criterion), surfaced in the
@@ -159,7 +199,10 @@ def main():
         # featurization pass + concurrent detector DAGs amortize across them
         ("pages_all_detectors_e2e", bench_pages_pipeline(
             spark, pages, ["exact", "minhash", "simhash", "substring"])),
-    ] + [
+    ]
+    cc_run, cc_stats = bench_distributed_cc(spark)
+    workloads.append(("cc_distributed_chain_1m2_edges", cc_run))
+    workloads += [
         (f"q_{name}", (lambda n: lambda: qs[n](spark, SF_DIR).count())(name))
         for name in [
             "minhash_clusters",
@@ -229,6 +272,7 @@ def main():
         "reps": reps,
         "all_reps": all_times,
         "minhash_recall_vs_oracle": recall,
+        "distributed_cc": cc_stats,
     }
     if scaling_report:
         line["scaling"] = scaling_report

@@ -37,12 +37,19 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 50,
     checkpoint=None,
+    round_stats: Optional[list] = None,
 ) -> Tuple[DataFrame, int]:
     """edges(src, dst) → labels(doc_id, cluster_id) for every vertex that
     appears in an edge. cluster_id = min vertex id in the component.
 
     ``checkpoint``: optional callable DataFrame -> DataFrame used to
     materialize per-round state (defaults to localCheckpoint).
+
+    ``round_stats``: optional caller-owned list; when provided, each round
+    appends {"round", "n_changed"} with the FULL changed-label count (the
+    default convergence test short-circuits at limit(1) — cheaper, but
+    invisible to benchmarking; the bench's distributed-CC entry passes a
+    list so per-round convergence is a recorded artifact).
 
     Vertices with no edges are absent — callers union them back with
     cluster_id = own id (cheaper than shipping singletons through the loop).
@@ -96,13 +103,16 @@ def connected_components(
             )
         jumped = ckpt(jumped)
 
-        changed = (
+        diff = (
             jumped.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
         )
+        if round_stats is not None:
+            changed = diff.count()
+            round_stats.append({"round": it + 1, "n_changed": changed})
+        else:
+            changed = diff.limit(1).count()
         labels = jumped
         if changed == 0:
             return labels, it + 1

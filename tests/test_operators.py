@@ -65,6 +65,30 @@ class TestConnectedComponents:
         assert set(got.values()) == {0}
         assert rounds <= 7  # pointer jumping: log2(64) + slack
 
+    def test_deep_chain_round_stats_and_bound(self, spark):
+        """VERDICT r3 #6 (pytest side of the bench entry): a 20k-node
+        graph of 2000-deep chains forces the distributed loop well past
+        the near-star regime; rounds must respect the O(log diameter)
+        pointer-jumping bound and the round_stats hook must record a
+        monotonically shrinking changed-label frontier ending at 0."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        n, clen = 20_000, 2000
+        edges = (
+            spark.range(n)
+            .filter((F.col("id") + 1) % clen != 0)
+            .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        )
+        rlog = []
+        labels, rounds = connected_components(edges, round_stats=rlog)
+        assert labels.select("cluster_id").distinct().count() == n // clen
+        assert rounds <= math.ceil(math.log2(clen)) + 1
+        changed = [d["n_changed"] for d in rlog]
+        assert len(changed) == rounds and changed[-1] == 0
+        assert changed == sorted(changed, reverse=True)
+
     def test_singletons_rejoin(self, spark):
         docs = spark.range(6).withColumnRenamed("id", "doc_id")
         edges = spark.createDataFrame([(1, 2), (4, 5)], "src long, dst long")
