@@ -175,6 +175,48 @@ def minhash_recall_evidence(spark, n_docs: int = 1000):
     }
 
 
+def skew_salting_evidence(spark, n_docs: int = 2000, bucket_cap: int = 8):
+    """Bench-level skew evidence (VERDICT r3 #8): the planted boilerplate
+    class creates hot LSH buckets; forcing ``bucket_cap`` far below their
+    size switches them to salted star+chain pairing. The bench JSON then
+    carries, per round, (a) proof the cap actually engaged
+    (capped_band_rows > 0), (b) the hot-bucket magnitude, and (c) dup-pair
+    recall vs the sequential reference-semantics LSH oracle, asserted
+    >= 0.99 — the north-rule claim that capping bounds pair volume WITHOUT
+    recall loss, measurable round-over-round (test_skew.py pins the same
+    invariant at fixture scale)."""
+    from deduplication_framework_spark.oracle import numpy_oracle as O
+
+    cfg = PipelineConfig()
+    cfg.spark.bucket_cap = bucket_cap
+    pg = generate_pages(spark, n_docs, seed=42, with_truth=True,
+                        num_partitions=CPUS)
+    res = run_pipeline(spark, pg, cfg, detectors=["exact", "minhash"],
+                       verify=False)
+    capped = res.metrics.get("minhash.capped_band_rows", 0)
+    assert capped > 0, "boilerplate corpus must trigger capping"
+    labels = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    our_pairs = O.clusters_to_pairs(labels)
+    txts = [
+        r.text
+        for r in pg.select("doc_order", "text").orderBy("doc_order").collect()
+    ]
+    oracle = O.minhash_lsh_sequential(txts)
+    ref_pairs = O.clusters_to_pairs(oracle)
+    recall = O.dup_pair_recall(ref_pairs, our_pairs)
+    assert recall >= 0.99, f"salted recall {recall:.4f} < 0.99"
+    spark.catalog.clearCache()
+    return {
+        "n_docs": n_docs,
+        "bucket_cap": bucket_cap,
+        "capped_band_rows": capped,
+        "max_bucket_size": res.metrics.get("minhash.max_bucket_size"),
+        "n_buckets": res.metrics.get("minhash.n_buckets"),
+        "n_oracle_pairs": len(ref_pairs),
+        "recall_vs_oracle": recall,
+    }
+
+
 def main():
     scaling = "--scaling" in sys.argv
     reps = int(os.environ.get("BENCH_REPS", "2"))
@@ -255,6 +297,7 @@ def main():
     results = {name: min(ts) for name, ts in all_times.items()}
 
     recall = minhash_recall_evidence(spark)
+    skew = skew_salting_evidence(spark)
 
     scaling_report = None
     if scaling:
@@ -273,6 +316,7 @@ def main():
         "all_reps": all_times,
         "minhash_recall_vs_oracle": recall,
         "distributed_cc": cc_stats,
+        "skew_salting": skew,
     }
     if scaling_report:
         line["scaling"] = scaling_report
