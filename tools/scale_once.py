@@ -2,7 +2,11 @@
 runs file — lets the interleaved N/4N protocol (BENCH/BASELINE.md) run as
 separate processes so a single host-supply dip can't kill the whole sweep.
 
-Usage: python tools/scale_once.py <cores> <n_docs> [runs_file]
+Usage: python tools/scale_once.py <cores> <n_docs> [runs_file] [--kr32]
+
+``--kr32`` switches the feature-hash family to the vectorized Karp-Rabin/
+crc32 kernel (the 100-TB throughput path) — used by the corpus-size
+headroom anchors in BENCH/BASELINE.md.
 """
 
 import glob
@@ -54,9 +58,11 @@ def _task_metrics(evdir: str, t0_ms: float, t1_ms: float):
 
 
 def main():
-    cores = int(sys.argv[1])
-    n = int(sys.argv[2])
-    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale_runs.jsonl"
+    args = [a for a in sys.argv[1:] if a != "--kr32"]
+    kr32 = "--kr32" in sys.argv
+    cores = int(args[0])
+    n = int(args[1])
+    out = args[2] if len(args) > 2 else "/tmp/scale_runs.jsonl"
     supply = bench._effective_cores()
     evdir = tempfile.mkdtemp(prefix="spark-events-")
     spark = get_spark(
@@ -71,9 +77,12 @@ def main():
         },
     )
     pages = bench.materialized_pages(spark, n, cores * 2)
+    cfg = PipelineConfig()
+    if kr32:
+        cfg.dedup.hash_family = "kr32"
     t0 = time.time()
     res = run_pipeline(
-        spark, pages, PipelineConfig(), detectors=["exact", "minhash"],
+        spark, pages, cfg, detectors=["exact", "minhash"],
         collect_stats=False,
     )
     nk = res.keepers.count()
@@ -84,6 +93,7 @@ def main():
     rec = {
         "cores": cores,
         "n_docs": n,
+        "hash_family": "kr32" if kr32 else "sha1",
         "sec": round(sec, 2),
         "docs_per_sec": round(n / sec, 1),
         "keepers": nk,
