@@ -201,9 +201,11 @@ def skew_salting_evidence(spark, n_docs: int = 2000, bucket_cap: int = 8):
         r.text
         for r in pg.select("doc_order", "text").orderBy("doc_order").collect()
     ]
-    oracle = O.minhash_lsh_sequential(txts)
-    ref_pairs = O.clusters_to_pairs(oracle)
-    recall = O.dup_pair_recall(ref_pairs, our_pairs)
+    # the SHARED recall-evidence helper (cfg-derived oracle params) — a
+    # hand-rolled minhash_lsh_sequential(defaults) call here would silently
+    # diverge from the pipeline config the day a default changes
+    ev = O.minhash_recall_evidence(txts, our_pairs, cfg, verified=False)
+    recall = ev["minhash.recall_vs_sequential_lsh_oracle"]
     assert recall >= 0.99, f"salted recall {recall:.4f} < 0.99"
     spark.catalog.clearCache()
     return {
@@ -212,7 +214,7 @@ def skew_salting_evidence(spark, n_docs: int = 2000, bucket_cap: int = 8):
         "capped_band_rows": capped,
         "max_bucket_size": res.metrics.get("minhash.max_bucket_size"),
         "n_buckets": res.metrics.get("minhash.n_buckets"),
-        "n_oracle_pairs": len(ref_pairs),
+        "n_oracle_pairs": int(ev["minhash.oracle_pairs"]),
         "recall_vs_oracle": recall,
     }
 

@@ -40,26 +40,27 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str,
                     normalize: bool = True,
                     max_rows: int = MAX_BRUTEFORCE_ROWS,
                     max_cells: int = MAX_BRUTEFORCE_CELLS):
-    """Collect (ids, matrix) for the broadcast-GEMM paths, guarded: the
-    collect itself is bounded by ``limit(max_rows + 1)`` (no unbounded
-    driver fetch even on a huge input — and no extra count() job), then the
-    row and cell budgets are enforced before the broadcast."""
-    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
+    """Collect (ids, matrix) for the broadcast-GEMM paths, guarded BEFORE
+    materializing: a one-row probe learns the vector dimension, the row
+    budget is tightened to ``max_cells / d`` (so wide embeddings can't
+    pass the row guard and still OOM the driver mid-collect), and the
+    collect itself is bounded by ``limit(budget + 1)`` — no unbounded
+    driver fetch on any input."""
+    probe = df.select(vec_col).limit(1).collect()
+    dim = len(probe[0][0]) if probe and probe[0][0] is not None else 1
+    row_budget = min(max_rows, max_cells // max(dim, 1))
+    rows = df.select(id_col, vec_col).limit(row_budget + 1).collect()
+    if len(rows) > row_budget:
         raise ValueError(
-            f"brute-force ANN path refused: input exceeds {max_rows:,} rows. "
-            "This exact path broadcasts the full (N x d) matrix and is the "
-            "small-side/oracle baseline; use ivf_topk (partitioned inverted "
-            "lists) at this scale, or raise max_rows explicitly."
+            f"brute-force ANN path refused: input exceeds {row_budget:,} "
+            f"rows (row budget {max_rows:,}, cell budget {max_cells:,} at "
+            f"dim {dim}). This exact path broadcasts the full (N x d) "
+            "matrix and is the small-side/oracle baseline; use ivf_topk "
+            "(partitioned inverted lists) at this scale, or raise "
+            "max_rows/max_cells explicitly."
         )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    if mat.size > max_cells:
-        raise ValueError(
-            f"brute-force ANN path refused: {mat.shape[0]:,} x {mat.shape[1]} "
-            f"matrix exceeds the {max_cells:,}-cell broadcast budget. Use "
-            "ivf_topk at this scale, or raise max_cells explicitly."
-        )
     if normalize:
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0

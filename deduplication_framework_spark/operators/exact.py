@@ -7,9 +7,11 @@ Reference semantics:
 * hash prefilter before near-dup — ``clean_the_dataset.py:107-109``.
 
 Spark form: hash → groupBy → keeper = min(doc_order). One shuffle, map-side
-partial aggregation for the group counts. ``xxhash64`` is the fast path for
-the prefilter (JVM, 64-bit); ``md5`` is kept for byte-parity with the
-reference's reported hashes.
+partial aggregation for the group counts. ``xxhash64`` is the fast 64-bit
+prefilter option; at 10^10+ distinct docs its birthday-collision
+expectation becomes real (a collision silently welds two unrelated texts),
+so the pipeline's stage-1 dedup uses ``md5`` (128-bit, also byte-parity
+with the reference's reported hashes).
 """
 
 from __future__ import annotations

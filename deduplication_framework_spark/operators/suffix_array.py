@@ -375,17 +375,24 @@ def substring_edges_suffix_array(
 
     ident = None
     if collapse_exact:
+        # md5 (128-bit) group key: a 64-bit text hash has a real birthday
+        # collision expectation at 10^10+ distinct docs (a collision would
+        # silently drop one doc's band rows and weld it to an unrelated
+        # cluster) — 128 bits matches the module's gram-key risk budget
         w = Window.partitionBy("_th").orderBy(id_col)
         ranked = (
             docs.select(id_col, text_col)
-            .withColumn("_th", F.xxhash64(F.col(text_col)))
+            .withColumn("_th", F.md5(F.col(text_col)))
             .withColumn("_rep", F.first(id_col).over(w))
             .withColumn("_rn", F.row_number().over(w))
-            # two consumers (rep docs → band UDF; identity edges) — persist
-            # so the hash-window shuffle runs once per fill (a concurrent
-            # first-fill race can at worst recompute this one cheap window)
             .persist()
         )
+        # two consumers (rep docs → band UDF; identity edges) land in ONE
+        # downstream job as concurrent shuffle-map stages that race to
+        # fill the cache, each recomputing the hash window (the CLAUDE.md
+        # persist-race rule) — one eager count() turns the race into one
+        # compute + cache reads
+        ranked.count()
         docs = ranked.filter(F.col("_rn") == 1).select(id_col, text_col)
         ident = (
             ranked.filter(

@@ -147,7 +147,12 @@ def run_pipeline(
     docs = stage("docs", lambda: prepare_docs(pages), ["pages"])
 
     # ---- stage 1: exact dedup (always first — cheap, huge win on CC corpora)
-    uniq_docs, exact_edges = exact_dedup(docs, hash_fn="xxhash64")
+    # md5 (128-bit): at 10^12-doc corpus scale a 64-bit text hash has a
+    # real birthday-collision expectation (~(10^10 distinct)^2/2^65 ≈ 3
+    # false merges); 128 bits puts it at ~1e-19 — same risk budget as
+    # the suffix-array 128-bit gram keys. One JVM hash per doc; cost is
+    # noise next to featurization.
+    uniq_docs, exact_edges = exact_dedup(docs, hash_fn="md5")
     if "exact" not in detectors:
         uniq_docs, exact_edges = docs, exact_edges.limit(0)
     uniq_docs = stage("docs_uniq", lambda: uniq_docs, ["docs"], persist=True)

@@ -97,6 +97,7 @@ def stateful_simhash_candidates(
         else:
             ids, fps, evicted = [], [], 0
         evicted_at_entry = evicted
+        seen = set(ids)
         out = []
         for pdf in pdfs:
             for doc_id, fp in zip(pdf["doc_id"], pdf["fp"]):
@@ -116,9 +117,16 @@ def stateful_simhash_candidates(
                             continue
                         a, b = (sid, doc_id) if sid < doc_id else (doc_id, sid)
                         out.append((a, b, int(d[j])))
-                if len(ids) < state_cap:
+                if doc_id in seen:
+                    # re-delivered doc (at-least-once source replay or
+                    # duplicate input row): never re-append — a duplicate
+                    # slot would evict a genuinely new doc later and emit
+                    # duplicate pair rows on every subsequent arrival
+                    pass
+                elif len(ids) < state_cap:
                     ids.append(doc_id)
                     fps.append(fp)
+                    seen.add(doc_id)
                 else:
                     evicted += 1
         state.update((ids, fps, evicted))
@@ -187,6 +195,7 @@ def stateful_minhash_candidates(
         else:
             ids, evicted = [], 0
         evicted_at_entry = evicted
+        seen = set(ids)
         out = []
         for pdf in pdfs:
             for doc_id in pdf[id_col]:
@@ -196,8 +205,11 @@ def stateful_minhash_candidates(
                         continue
                     a, c = (sid, doc_id) if sid < doc_id else (doc_id, sid)
                     out.append((a, c))
-                if len(ids) < state_cap:
+                if doc_id in seen:
+                    pass  # replay guard — see the SimHash operator
+                elif len(ids) < state_cap:
                     ids.append(doc_id)
+                    seen.add(doc_id)
                 else:
                     evicted += 1
         state.update((ids, evicted))

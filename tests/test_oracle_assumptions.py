@@ -14,7 +14,7 @@ opaque value-hash mismatch in CORRECTNESS_r{N}:
 * minhash_clusters assumes the pipeline's verified edge set equals the
   all-pairs raw-string-feature J>=0.8 set over exact-dedup reps (LSH
   candidate recall = 1.0, no 32-bit feature-hash collision flips a
-  threshold decision, no xxhash64 text collision) — asserted by direct
+  threshold decision, no md5 text collision) — asserted by direct
   edge-set comparison;
 * substring_clusters' oracle re-derives winnowing fingerprints in SQL
   arithmetic — asserted bit-for-bit against the Python kernel.
@@ -123,12 +123,12 @@ def test_minhash_edges_match_raw_jaccard_oracle(sf_dir, spark):
     from __spark_entry__ import _docs_as_pages
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # no xxhash64 collision merges distinct exact groups (the oracle groups
-    # by text; the pipeline by xxhash64(text))
+    # no text-hash collision merges distinct exact groups (the oracle
+    # groups by text; the pipeline by md5(text))
     nh, nt = docs.agg(
-        F.countDistinct(F.xxhash64("text")), F.countDistinct("text")
+        F.countDistinct(F.md5("text")), F.countDistinct("text")
     ).first()
-    assert nh == nt, "xxhash64 collision breaks the exact-group oracle"
+    assert nh == nt, "md5 collision breaks the exact-group oracle"
 
     res = run_pipeline(
         spark,
@@ -145,7 +145,9 @@ def test_minhash_edges_match_raw_jaccard_oracle(sf_dir, spark):
     cfg = PipelineConfig()
     reps = {}
     for doc_id, text in zip(d.doc_id, d.text):
-        reps.setdefault(text, int(doc_id))
+        # min, not first-seen: the oracle/pipeline rep is min(doc_id), and
+        # the parquet scan's row order is not a contract
+        reps[text] = min(reps.get(text, int(doc_id)), int(doc_id))
     rep_ids = set(reps.values())
     expect = set()
     # exact rep→member edges

@@ -486,3 +486,46 @@ def test_stateful_minhash_state_cap_accounting(spark, tmp_path):
     # per bucket: docs 2 and 3 both evicted in batch 2 -> end-of-trigger
     # count 2 on every match row of that trigger
     assert all(r.n_state_evicted == 2 for r in match_rows)
+
+
+def test_stateful_replay_does_not_consume_state_slots(spark, tmp_path):
+    """Code-review r4: a re-delivered doc_id (at-least-once replay /
+    duplicate input row) must not occupy another state slot — a duplicate
+    slot would evict a genuinely new doc and fabricate capped recall
+    loss. Doc 1 arrives twice before doc 2: with state_cap=2, doc 2 must
+    still be retained (no eviction at all)."""
+    from deduplication_framework_spark.streaming.stateful import (
+        stateful_minhash_candidates,
+    )
+
+    sig = [5, 6, 7, 8]
+    batches = [[(1, sig)], [(1, sig)], [(2, sig)], [(3, sig)]]
+    src = tmp_path / "s"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, sig array<long>").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, sig array<long>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = stateful_minhash_candidates(stream, b=2, r=2, state_cap=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_replay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM mh_replay").collect()
+    # doc 2 was retained (slot not wasted on the replayed doc 1), so doc 3
+    # pairs with BOTH 1 and 2; doc 3 itself is the only eviction
+    pairs = {(r.src, r.dst) for r in rows if r.src is not None}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+    assert max(r.n_state_evicted for r in rows) == 1
