@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship: MinHash-LSH near-dup clustering over the
 sf0.001 ``documents`` table. ``queries()`` — one entry per implemented
 operator family (SURVEY.md §2), each (spark, sf_dir) → DataFrame.
-``oracle_sql()`` — DuckDB-parity SQL for every query (33/33 since round 4):
+``oracle_sql()`` — DuckDB-parity SQL for every query (34/34 since round 4):
 the detector/cluster pipelines are re-derived independently in SQL — exact
 verification semantics + recursive min-label connected components — rather
 than translating the LSH/banding machinery.
@@ -460,6 +460,33 @@ def q_embedding_dup_edges(spark, sf_dir):
     )
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """J13 + J10 composed: embedding-cosine near-dup CLUSTERS — connected
+    components over the dot >= 0.3 edge set (the same edges
+    embedding_dup_edges verifies), cluster_id = min vec_id per component,
+    singletons self-labeled. Exercises the full cluster machinery on the
+    embedding modality; the 7e-5 edge-threshold margin (pinned in
+    test_oracle_assumptions) makes the edge set — and therefore the CC
+    partition — bit-stable across engines."""
+    from deduplication_framework_spark.operators.ann import (
+        cosine_edges_bruteforce,
+    )
+    from deduplication_framework_spark.operators.cluster import (
+        clusters_from_edges,
+    )
+
+    emb = _emb(spark, sf_dir)
+    edges = cosine_edges_bruteforce(emb, threshold=0.3, normalize=False)
+    clusters, _ = clusters_from_edges(
+        emb.select(F.col("vec_id").alias("doc_id")),
+        edges,
+        driver_threshold=1_000_000,
+    )
+    return clusters.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 def q_label_sizes(spark, sf_dir):
     """C1 analog surface: cluster-label rollup of the embedding corpus."""
     return (
@@ -842,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "cosine_neighbor_counts": q_cosine_neighbor_counts,
         "embedding_dup_edges": q_embedding_dup_edges,
+        "embedding_clusters": q_embedding_clusters,
         "label_sizes": q_label_sizes,
         "events_by_type_day": q_events_by_type_day,
         "user_activity": q_user_activity,
@@ -973,6 +1001,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_sum(list_transform(
                       list_zip(a.embedding, b.embedding),
                       p -> p[1]::DOUBLE * p[2]::DOUBLE)) >= 0.3
+        """,
+        # J13+J10: recursive min-label CC over the same dot>=0.3 edge set
+        # (see q_embedding_clusters for the margin argument)
+        "embedding_clusters": """
+            WITH RECURSIVE
+            e AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_sum(list_transform(
+                          list_zip(a.embedding, b.embedding),
+                          p -> p[1]::DOUBLE * p[2]::DOUBLE)) >= 0.3
+            ),
+            sym AS (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+            ),
+            reach(vec_id, lbl) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT s.dst, r.lbl FROM reach r JOIN sym s
+                  ON s.src = r.vec_id
+            )
+            SELECT vec_id, min(lbl) AS cluster_id FROM reach GROUP BY vec_id
         """,
         "label_sizes": """
             SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1
@@ -1326,6 +1376,6 @@ def oracle_sql() -> dict[str, str]:
             ),
             {_RECURSIVE_CC_TAIL}
         """,
-        # Driver-gate status: all 33 queries oracled (0 rows-only) as of
+        # Driver-gate status: all 34 queries oracled (0 rows-only) as of
         # round 4.
     }
