@@ -228,3 +228,59 @@ def stateful_minhash_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_text_candidates(
+    pages_stream: DataFrame,
+    cfg=None,
+    detector: str = "minhash",
+    state_cap: int = 2000,
+    id_col: str = "doc_order",
+    text_col: str = "text",
+) -> DataFrame:
+    """Raw TEXT stream → incremental near-dup candidate edges, end to end:
+    the same Arrow featurization UDFs as the batch pipeline run as a
+    stateless streaming map (normalize + sign/fingerprint per micro-batch),
+    feeding the per-bucket stateful LSH operator — so a streaming caller
+    needs no precomputed signature table. ``detector`` picks the family:
+
+    * ``"minhash"`` — datasketch-spec signatures → ``(b, r)`` bands from
+      the config's threshold/num_perm → :func:`stateful_minhash_candidates`
+      (edges = band collisions; verify downstream per sink batch);
+    * ``"simhash"`` — simhash-lib-spec fingerprints →
+      :func:`stateful_simhash_candidates` (edges carry exact Hamming
+      distance <= cfg.dedup.simhash_dist).
+
+    Cross-micro-batch parity with the batch candidate semantics is pinned
+    by the per-operator tests; this glue is pinned text-in by
+    tests/test_streaming.py::test_stream_text_candidates_minhash."""
+    from deduplication_framework_spark.config import PipelineConfig
+    from deduplication_framework_spark.functions import kernels as K
+    from deduplication_framework_spark.functions.text import (
+        make_minhash_udf,
+        make_simhash_udf,
+    )
+
+    cfg = cfg or PipelineConfig()
+    if detector == "minhash":
+        mh = make_minhash_udf(cfg.embedding, cfg.dedup, include_words=True)
+        sigs = pages_stream.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            mh(text_col).alias("sig"),
+        )
+        b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
+        return stateful_minhash_candidates(
+            sigs, b=b, r=r, state_cap=state_cap
+        )
+    if detector == "simhash":
+        sh = make_simhash_udf(cfg.embedding)
+        fps = pages_stream.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            sh(text_col).alias("simhash"),
+        )
+        return stateful_simhash_candidates(
+            fps, dist=cfg.dedup.simhash_dist, state_cap=state_cap
+        )
+    raise ValueError(
+        f"unknown stream detector {detector!r}; valid: minhash, simhash"
+    )

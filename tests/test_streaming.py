@@ -529,3 +529,65 @@ def test_stateful_replay_does_not_consume_state_slots(spark, tmp_path):
     pairs = {(r.src, r.dst) for r in rows if r.src is not None}
     assert pairs == {(1, 2), (1, 3), (2, 3)}
     assert max(r.n_state_evicted for r in rows) == 1
+
+
+def test_stream_text_candidates_minhash(spark, pages, tmp_path):
+    """Text-in end to end: raw pages stream → Arrow featurization inside
+    the streaming query → stateful MinHash-LSH; emitted pairs equal the
+    batch band-collision oracle over the same texts."""
+    from deduplication_framework_spark.config import PipelineConfig
+    from deduplication_framework_spark.functions import kernels as K
+    from deduplication_framework_spark.functions.text import make_minhash_udf
+    from deduplication_framework_spark.streaming.stateful import (
+        stream_text_candidates,
+    )
+
+    cfg = PipelineConfig()
+    b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
+    sub = pages.select("doc_order", "text")
+    rows = sub.orderBy("doc_order").collect()
+
+    mh = make_minhash_udf(cfg.embedding, cfg.dedup)
+    sigs = sub.select("doc_order", mh("text").alias("sig")).collect()
+    buckets = {}
+    for row in sigs:
+        for bi in range(b):
+            key = (bi, tuple(row.sig[bi * r : (bi + 1) * r]))
+            buckets.setdefault(key, []).append(row.doc_order)
+    expected = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for c in ms[i + 1 :]:
+                expected.add((a, c))
+    assert expected, "fixture slice must contain LSH-colliding docs"
+
+    src = tmp_path / "txt_stream"
+    src.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, "doc_order long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_order long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = stream_text_candidates(stream, cfg, detector="minhash")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("txt_cands")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r2.src, r2.dst)
+        for r2 in spark.sql("SELECT src, dst FROM txt_cands").collect()
+    }
+    assert got == expected
