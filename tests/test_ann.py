@@ -148,3 +148,68 @@ def test_bruteforce_guard_fails_fast(spark, ann_df):
     # within budget: unchanged behavior
     n = knn_bruteforce(ann_df, k=1, max_rows=1000).count()
     assert n == 320
+
+
+class TestPQ:
+    """Product quantization: encode determinism, ADC recall vs exact
+    brute force, and the lossy-then-exact rerank recipe."""
+
+    @pytest.fixture(scope="class")
+    def pq_setup(self, spark, ann_df):
+        from pyspark.sql import functions as F
+
+        from deduplication_framework_spark.operators.embeddings import (
+            kmeans_block,
+            l2_normalize,
+        )
+        from deduplication_framework_spark.operators.pq import pq_train
+
+        normed = l2_normalize(ann_df)
+        blocked = kmeans_block(normed, n_clusters=8, seed=7).select(
+            "vec_id", "embedding", F.col("block_id").alias("label")
+        ).persist()
+        blocked.count()
+        books = pq_train(blocked, m=8, k=32, seed=11)
+        return blocked, books
+
+    def test_encode_shape_and_determinism(self, spark, pq_setup):
+        from deduplication_framework_spark.operators.pq import pq_encode
+
+        blocked, books = pq_setup
+        assert books.shape == (8, 32, 4)  # 32-dim, m=8 -> dsub=4
+        a = {r.vec_id: list(r.codes) for r in pq_encode(blocked, books).collect()}
+        b = {r.vec_id: list(r.codes) for r in pq_encode(blocked, books).collect()}
+        assert a == b and len(a) == 320
+        assert all(0 <= c < 32 for codes in a.values() for c in codes)
+
+    def test_adc_recall_and_rerank(self, spark, pq_setup):
+        from deduplication_framework_spark.operators.pq import ivfpq_topk
+
+        blocked, books = pq_setup
+        exact = {
+            r.vec_id: r.neighbor_id
+            for r in knn_bruteforce(blocked, k=1).collect()
+        }
+
+        def recall1(df):
+            got = {}
+            for r in df.filter("rank = 1").collect():
+                got[r.vec_id] = r.neighbor_id
+            hits = sum(1 for v, n in exact.items() if got.get(v) == n)
+            return hits / len(exact)
+
+        # raw ADC recall@1 is the HARDEST metric for PQ on tightly
+        # clustered vectors (quantization error rivals the 1st-vs-2nd
+        # neighbor margin) — measured ~0.39 here; its real job is the
+        # shortlist, whose quality the reranked number proves
+        raw = ivfpq_topk(blocked, books, k=1, n_probe=4)
+        r_raw = recall1(raw)
+        assert r_raw >= 0.3, f"PQ-ADC recall@1 {r_raw:.2f}"
+
+        # the production recipe: PQ top-20 shortlist + exact rerank —
+        # measured 0.99-1.0 (the true NN almost always survives into the
+        # shortlist even when ADC misranks it)
+        rer = ivfpq_topk(blocked, books, k=1, n_probe=4, rerank=20)
+        r_rer = recall1(rer)
+        assert r_rer >= 0.9, f"reranked recall@1 {r_rer:.2f}"
+        assert r_rer >= r_raw
