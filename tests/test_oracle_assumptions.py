@@ -217,3 +217,38 @@ def test_winnow_fingerprints_sql_matches_kernel(sf_dir):
             int(np.uint64(h)) for h, _ in K.winnow_fingerprints(text, kg, win)
         }
         assert got.get(int(doc_id), set()) == expect, f"doc {doc_id}"
+
+
+def test_sql_mulmod_and_splitmix_match_python_on_random_u64():
+    """The substring oracle's HUGEINT arithmetic primitives, pinned on
+    random 64-bit values (the corpus parity test only exercises the values
+    real texts produce): _sql_mulmod == (a*b) mod 2^64 and
+    _sql_splitmix64 == kernels._splitmix64, element for element."""
+    import duckdb
+
+    from deduplication_framework_spark.functions.kernels import _splitmix64
+    from __spark_entry__ import _sql_mulmod, _sql_splitmix64
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 1 << 63, 200, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, 1 << 63, 200, dtype=np.int64).astype(np.uint64)
+    # cover the high half of the domain too (randint caps at 2^63)
+    a[::2] += np.uint64(1) << np.uint64(63)
+    b[1::2] += np.uint64(1) << np.uint64(63)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a HUGEINT, b HUGEINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(int(x), int(y)) for x, y in zip(a, b)],
+    )
+    got = con.sql(
+        f"SELECT ({_sql_mulmod('a', 'b')})::UBIGINT,"
+        f" ({_sql_splitmix64('a')})::UBIGINT FROM t"
+    ).fetchall()
+    with np.errstate(over="ignore"):
+        want_mul = a * b  # uint64 wraparound IS mod 2^64
+    want_mix = _splitmix64(a.copy())
+    for i, (gm, gs) in enumerate(got):
+        assert np.uint64(gm) == want_mul[i], f"mulmod row {i}"
+        assert np.uint64(gs) == want_mix[i], f"splitmix row {i}"
