@@ -3,6 +3,7 @@ runs file — lets the interleaved N/4N protocol (BENCH/BASELINE.md) run as
 separate processes so a single host-supply dip can't kill the whole sweep.
 
 Usage: python tools/scale_once.py <cores> <n_docs> [runs_file] [--kr32]
+       [--detectors=exact,minhash]
 
 ``--kr32`` switches the feature-hash family to the vectorized Karp-Rabin/
 crc32 kernel (the 100-TB throughput path) — used by the corpus-size
@@ -58,8 +59,16 @@ def _task_metrics(evdir: str, t0_ms: float, t1_ms: float):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--kr32"]
-    kr32 = "--kr32" in sys.argv
+    detectors = ["exact", "minhash"]
+    args = []
+    kr32 = False
+    for a in sys.argv[1:]:
+        if a == "--kr32":
+            kr32 = True
+        elif a.startswith("--detectors="):
+            detectors = a.split("=", 1)[1].split(",")
+        else:
+            args.append(a)
     cores = int(args[0])
     n = int(args[1])
     out = args[2] if len(args) > 2 else "/tmp/scale_runs.jsonl"
@@ -82,7 +91,7 @@ def main():
         cfg.dedup.hash_family = "kr32"
     t0 = time.time()
     res = run_pipeline(
-        spark, pages, cfg, detectors=["exact", "minhash"],
+        spark, pages, cfg, detectors=detectors,
         collect_stats=False,
     )
     nk = res.keepers.count()
@@ -94,6 +103,7 @@ def main():
         "cores": cores,
         "n_docs": n,
         "hash_family": "kr32" if kr32 else "sha1",
+        "detectors": detectors,
         "sec": round(sec, 2),
         "docs_per_sec": round(n / sec, 1),
         "keepers": nk,
