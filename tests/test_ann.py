@@ -213,3 +213,76 @@ class TestPQ:
         r_rer = recall1(rer)
         assert r_rer >= 0.9, f"reranked recall@1 {r_rer:.2f}"
         assert r_rer >= r_raw
+
+
+class TestSRP:
+    """Signed-random-projection LSH: the bucketed candidate path for
+    embedding cosine near-dup (Charikar 2002), verified exact."""
+
+    def test_edges_match_bruteforce_on_dup_corpus(self, spark):
+        """Planted near-duplicate pairs (cos >= 0.95) must ALL survive
+        SRP banding + exact verification — edge set equality with the
+        brute-force oracle at the 0.9 threshold."""
+        import numpy as np
+
+        from deduplication_framework_spark.operators.ann import (
+            cosine_edges_bruteforce,
+        )
+        from deduplication_framework_spark.operators.srp import (
+            srp_candidate_edges,
+        )
+
+        rng = np.random.RandomState(3)
+        rows = []
+        vid = 0
+        for g in range(60):
+            base = rng.randn(32)
+            base /= np.linalg.norm(base)
+            for _ in range(3):  # 3 near-identical copies per group
+                v = base + 0.02 * rng.randn(32)
+                v /= np.linalg.norm(v)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        for _ in range(150):  # unrelated background
+            v = rng.randn(32)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+        expect = {
+            (r.src, r.dst)
+            for r in cosine_edges_bruteforce(df, threshold=0.9).collect()
+        }
+        assert len(expect) >= 150, "fixture must plant dup groups"
+
+        edges, stats = srp_candidate_edges(df, threshold=0.9)
+        got = {(r.src, r.dst) for r in edges.collect()}
+        assert got == expect  # exact verify => equality, not just recall
+        st = stats.collect()[0]
+        assert st.n_buckets > 0
+
+    def test_candidate_volume_is_subquadratic(self, spark):
+        """On an all-unrelated corpus the bucket join must produce far
+        fewer candidates than all-pairs (the point of banding)."""
+        import numpy as np
+
+        from deduplication_framework_spark.operators.srp import (
+            srp_candidate_edges,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = []
+        for vid in range(400):
+            v = rng.randn(32)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cands, _ = srp_candidate_edges(df, verify=False)
+        n = cands.count()
+        allpairs = 400 * 399 // 2
+        # theory: per-pair collision ~ E[p^8]*16 with p = 1-theta/pi; at
+        # d=32 random cosines spread enough that Jensen (p^8 convex)
+        # lifts the 0.5^8*16 ~ 6% baseline to ~8% measured — still an
+        # order of magnitude under all-pairs, tightening with dimension
+        assert n < 0.15 * allpairs, f"{n} candidates vs {allpairs} pairs"
