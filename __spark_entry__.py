@@ -487,6 +487,89 @@ def q_embedding_clusters(spark, sf_dir):
     )
 
 
+def q_srp_dup_edges(spark, sf_dir):
+    """Signed-random-projection LSH (Charikar 2002) embedding near-dup:
+    the BUCKETED scale path for the same dot >= 0.3 predicate that
+    embedding_dup_edges verifies all-pairs. 16 bands x 8 sign bits from a
+    seeded Gaussian plane matrix -> band-key bucket join (the shared
+    candidate_pairs machinery) -> exact-dot verification. Output = the
+    verified CANDIDATE subset, so the answer depends on the banding
+    itself — the DuckDB oracle therefore rebuilds the ENTIRE LSH
+    bit-for-bit in SQL (plane literals inlined; sign margins and
+    below-cap bucket sizes pinned in test_oracle_assumptions.py), the
+    same standard the winnowing oracle set. Recall vs the brute-force
+    edge set is pinned separately in tests/test_ann.py."""
+    from deduplication_framework_spark.operators.srp import (
+        srp_candidate_edges,
+    )
+
+    edges, _ = srp_candidate_edges(
+        _emb(spark, sf_dir),
+        threshold=0.3,
+        b=16,
+        r=8,
+        seed=42,
+        dim=64,
+    )
+    return edges.select("src", "dst")
+
+
+# SRP oracle constants — MUST mirror q_srp_dup_edges exactly
+_SRP_B, _SRP_R, _SRP_SEED, _SRP_DIM, _SRP_THR = 16, 8, 42, 64, 0.3
+
+
+def _srp_plane_literals() -> str:
+    """The seeded Gaussian plane matrix as exact float64 literals (repr is
+    shortest-round-trip, so DuckDB parses back the identical doubles)."""
+    import numpy as np
+
+    planes = np.random.RandomState(_SRP_SEED).randn(
+        _SRP_B * _SRP_R, _SRP_DIM
+    )
+    return ",".join(repr(float(x)) for x in planes.reshape(-1))
+
+
+def _srp_oracle_sql() -> str:
+    """Bit-exact SQL rebuild of SRP banding: per-vector band keys from
+    sign(plane . x) (sign stability guaranteed by the pinned min
+    |projection| margin, 7 orders above float64 summation error), distinct
+    below-cap bucket collisions, exact-dot verify at the same 7e-5-margin
+    threshold embedding_dup_edges uses."""
+    b, r, d = _SRP_B, _SRP_R, _SRP_DIM
+    return f"""
+        WITH planes AS (SELECT [{_srp_plane_literals()}]::DOUBLE[] AS w),
+        emb AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings
+        ),
+        keys AS (
+          SELECT vec_id,
+                 list_transform(range(0, {b}), bi ->
+                   list_sum(list_transform(range(0, {r}), j ->
+                     CASE WHEN list_dot_product(e,
+                            w[(bi*{r}+j)*{d}+1:(bi*{r}+j+1)*{d}]) > 0
+                          THEN (1::BIGINT << j) ELSE 0 END))) AS ks
+          FROM emb CROSS JOIN planes
+        ),
+        bands AS (
+          SELECT vec_id, generate_subscripts(ks, 1) - 1 AS band_idx,
+                 unnest(ks) AS band_key
+          FROM keys
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.vec_id < b.vec_id
+        )
+        SELECT c.src, c.dst
+        FROM cand c
+        JOIN emb ea ON ea.vec_id = c.src
+        JOIN emb eb ON eb.vec_id = c.dst
+        WHERE list_dot_product(ea.e, eb.e) >= {_SRP_THR}
+    """
+
+
 def q_label_sizes(spark, sf_dir):
     """C1 analog surface: cluster-label rollup of the embedding corpus."""
     return (
@@ -870,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neighbor_counts": q_cosine_neighbor_counts,
         "embedding_dup_edges": q_embedding_dup_edges,
         "embedding_clusters": q_embedding_clusters,
+        "srp_dup_edges": q_srp_dup_edges,
         "label_sizes": q_label_sizes,
         "events_by_type_day": q_events_by_type_day,
         "user_activity": q_user_activity,
@@ -1024,6 +1108,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, min(lbl) AS cluster_id FROM reach GROUP BY vec_id
         """,
+        # full bit-exact SQL rebuild of the SRP LSH (see _srp_oracle_sql)
+        "srp_dup_edges": _srp_oracle_sql(),
         "label_sizes": """
             SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1
         """,

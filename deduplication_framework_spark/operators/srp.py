@@ -91,6 +91,7 @@ def srp_candidate_edges(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     verify: bool = True,
+    dim: Optional[int] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """→ (edges(src, dst[, sim]), bucket_stats): embedding near-dup edges
     with dot >= threshold, SRP-bucketed candidates + exact-dot
@@ -107,7 +108,7 @@ def srp_candidate_edges(
     from deduplication_framework_spark.operators.lsh import candidate_pairs
 
     bands = srp_bands(
-        df, b=b, r=r, seed=seed, id_col=id_col, vec_col=vec_col
+        df, b=b, r=r, seed=seed, id_col=id_col, vec_col=vec_col, dim=dim
     ).withColumnRenamed(id_col, "doc_id")  # candidate_pairs' id contract
     pairs, stats = candidate_pairs(bands, bucket_cap=bucket_cap)
     if not verify:

@@ -108,6 +108,39 @@ def test_embeddings_unit_norm_and_margins(sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_srp_oracle_sign_margins_and_bucket_caps(sf_dir):
+    """srp_dup_edges' oracle rebuilds the SRP banding bit-for-bit in SQL.
+    That conversion is exact iff (a) every sign(plane . x) decision sits
+    far outside cross-engine float64 summation noise (~dim * eps ~ 1e-14),
+    (b) every bucket is below candidate_pairs' cap so the Spark side takes
+    the exact all-pairs path (no salting/star+chain), and (c) the corpus
+    dimension matches the plane matrix the oracle inlines."""
+    from __spark_entry__ import _SRP_B, _SRP_DIM, _SRP_R, _SRP_SEED
+
+    e = _emb(sf_dir)
+    M = np.stack(e.embedding.to_numpy()).astype(np.float64)
+    assert M.shape[1] == _SRP_DIM, "corpus dim != oracle plane dim"
+
+    planes = np.random.RandomState(_SRP_SEED).randn(_SRP_B * _SRP_R, _SRP_DIM)
+    proj = M @ planes.T
+    # measured 2.3e-7 (sf0.001) / 1.2e-5 (sf0.01): 7 orders above noise
+    assert np.abs(proj).min() > 1e-9, "sign decision within float noise"
+
+    bits = proj > 0
+    w = 1 << np.arange(_SRP_R, dtype=np.int64)
+    keys = (
+        bits.reshape(len(M), _SRP_B, _SRP_R).astype(np.int64) * w
+    ).sum(axis=2)
+    from collections import Counter
+
+    sizes = Counter()
+    for bi in range(_SRP_B):
+        sizes.update((bi, int(k)) for k in keys[:, bi])
+    # q_srp_dup_edges uses the default bucket_cap=2000
+    assert max(sizes.values()) <= 2000, "hot bucket would trigger salting"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_minhash_edges_match_raw_jaccard_oracle(sf_dir, spark):
     """The minhash_clusters DuckDB oracle computes edges as all-pairs exact
     Jaccard >= 0.8 of the RAW-STRING feature sets over exact-dedup reps.
