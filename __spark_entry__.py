@@ -476,7 +476,11 @@ def q_embedding_clusters(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir)
-    edges = cosine_edges_bruteforce(emb, threshold=0.3, normalize=False)
+    # persist: clusters_from_edges consumes edges twice (count + driver
+    # union-find collect) — without this the all-pairs GEMM runs twice
+    edges = cosine_edges_bruteforce(
+        emb, threshold=0.3, normalize=False
+    ).persist()
     clusters, _ = clusters_from_edges(
         emb.select(F.col("vec_id").alias("doc_id")),
         edges,

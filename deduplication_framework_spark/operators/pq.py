@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deduplication_framework_spark.operators.embeddings import _dot_expr
+
 
 def _kmeans_lloyd(X: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
     """Seeded Lloyd k-means with distance-weighted (k-means++-style) init,
@@ -57,7 +59,10 @@ def _kmeans_lloyd(X: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarr
         if tot <= 0:
             centers.append(X[rng.randint(n)])
             continue
-        centers.append(X[np.searchsorted(np.cumsum(d2 / tot), rng.rand())])
+        # float rounding can leave cumsum[-1] < 1; clamp so rand() above
+        # it cannot index X[n] out of bounds
+        idx = min(np.searchsorted(np.cumsum(d2 / tot), rng.rand()), n - 1)
+        centers.append(X[idx])
     C = np.array(centers, dtype=np.float64)
     for _ in range(iters):
         # assign: (n, k) distance via ||x||^2 - 2xC + ||C||^2 (x^2 constant)
@@ -82,6 +87,8 @@ def pq_train(
     bounded driver sample (limit, not full collect). ``d % m == 0``
     required."""
     rows = df.select(vec_col).limit(sample_rows).collect()
+    if not rows:
+        raise ValueError("pq_train: no rows to train codebooks on")
     X = np.array([r[0] for r in rows], dtype=np.float64)
     d = X.shape[1]
     if d % m != 0:
@@ -157,7 +164,10 @@ def ivfpq_topk(
     ``rerank > 0``: keep the PQ top-``rerank`` shortlist per query and
     re-score it with exact dots (joining back the true vectors for the
     shortlist ONLY) — the standard lossy-then-exact recipe; output rank is
-    then by exact score."""
+    then by exact score. A rerank shortlist can never be smaller than k
+    (clamped), or the final top-k would be silently truncated."""
+    if 0 < rerank < k:
+        rerank = k
     spark = df.sparkSession
     m, kk, dsub = codebooks.shape
     bc = spark.sparkContext.broadcast(codebooks)
@@ -272,11 +282,7 @@ def ivfpq_topk(
     nv = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "nv", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
+    dot = _dot_expr("qv", "nv")  # shared exact-dot (embeddings._dot_expr)
     w2 = Window.partitionBy("vec_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )

@@ -105,6 +105,7 @@ def srp_candidate_edges(
     corpora (like the 0.3 edge corpus here, whose true pairs sit >= 0.9)
     keep recall ~1 while unrelated pairs (cos <= 0.2, p <= 0.56,
     P <= 1.6% per band) rarely collide."""
+    from deduplication_framework_spark.operators.embeddings import _dot_expr
     from deduplication_framework_spark.operators.lsh import candidate_pairs
 
     bands = srp_bands(
@@ -115,11 +116,10 @@ def srp_candidate_edges(
         return pairs, stats
     va = df.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"))
-    dot = F.aggregate(
-        F.zip_with("_va", "_vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
+    # the ONE exact-dot verification expression shared by every
+    # embedding consumer (embeddings/pq/srp) so the semantics cannot
+    # silently diverge
+    dot = _dot_expr("_va", "_vb")
     edges = (
         pairs.join(va, "src")
         .join(vb, "dst")

@@ -214,6 +214,25 @@ class TestPQ:
         assert r_rer >= 0.9, f"reranked recall@1 {r_rer:.2f}"
         assert r_rer >= r_raw
 
+    def test_rerank_smaller_than_k_still_yields_k(self, spark, pq_setup):
+        """rerank < k is clamped to k — a shortlist smaller than the
+        requested top-k would silently truncate the output."""
+        from pyspark.sql import functions as F
+
+        from deduplication_framework_spark.operators.pq import ivfpq_topk
+
+        blocked, books = pq_setup
+        out = ivfpq_topk(blocked, books, k=10, n_probe=4, rerank=5)
+        per_q = out.groupBy("vec_id").agg(F.count("*").alias("n"))
+        assert per_q.filter("n < 10").count() == 0
+
+    def test_train_empty_input_raises(self, spark):
+        from deduplication_framework_spark.operators.pq import pq_train
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="no rows"):
+            pq_train(empty, m=8, k=16)
+
 
 class TestSRP:
     """Signed-random-projection LSH: the bucketed candidate path for
