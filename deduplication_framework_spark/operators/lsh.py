@@ -120,8 +120,20 @@ def simhash_candidate_edges(
     the simhash pipeline (65s of 85s). Since verification is a single JVM
     expression on two longs, it is pushed INTO the self-join: false
     candidates are filtered inside the join task and never hit the shuffle.
-    Hot buckets keep the star+chain capping; their pairs pass through the
-    same inline filter.
+
+    Hot buckets (> ``bucket_cap`` DISTINCT fingerprints agreeing on one
+    block — a low-entropy bit block on a templated corpus) are handled by
+    RECURSIVE PIGEONHOLE, not lossy salting (round 4; an sf0.1 sweep
+    caught the salted variant splitting a cluster): every member of the
+    bucket agrees exactly on block ``band_idx``, so a pair within Hamming
+    <= dist carries ALL its differing bits in the complement (64 - w)
+    bits — splitting the complement into dist+1 sub-blocks guarantees a
+    shared sub-bucket (the same pigeonhole argument, one level down).
+    Sub-buckets get the exact fused all-pairs join; only a sub-bucket
+    that is ITSELF hot falls back to salting + a hamming-filtered
+    star/chain backbone (needs two nested levels of bit concentration
+    across > cap distinct fingerprints; counted in bucket_stats as
+    ``n_capped_band_rows``, never silent).
 
     Identical fingerprints are PRE-AGGREGATED before banding (round 3;
     VERDICT r2 "What's wrong #2"): exact-dup docs and templated
@@ -181,27 +193,93 @@ def simhash_candidate_edges(
         .select("src", "dst", ham.alias("hamming"))
     )
 
-    # hot buckets: mirror candidate_pairs' skew handling — SALT into
-    # ceil(size/cap) sub-groups with the fused inline Hamming filter within
-    # each salt group (restores pigeonhole recall that star+chain alone
-    # loses for non-adjacent pairs whose only shared block is hot), PLUS
-    # star+chain edges across the whole bucket for global connectivity.
-    n_salts = F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int")
-    salted = hot.withColumn("salt", F.pmod(F.xxhash64(F.col("doc_id")), n_salts))
-    sa = salted.select("band_idx", "band_key", "salt",
-                       F.col("doc_id").alias("src"), F.col("fp").alias("fp_a"))
-    sb = salted.select("band_idx", "band_key", "salt",
-                       F.col("doc_id").alias("dst"), F.col("fp").alias("fp_b"))
-    salt_edges = (
-        sa.join(sb, ["band_idx", "band_key", "salt"])
+    # hot buckets: recursive pigeonhole (see docstring). All members agree
+    # on block band_idx, so re-band each on dist+1 sub-blocks of the
+    # COMPLEMENT bits — any hamming<=dist pair shares a sub-bucket.
+    layout = simhash_band_layout(64, dist)
+    subarr = None
+    for i, (off, w_blk) in enumerate(layout):
+        hi = off + w_blk
+        low = (
+            F.col("fp").bitwiseAND(F.lit((1 << off) - 1))
+            if off > 0
+            else F.lit(0).cast("long")
+        )
+        # NOTE: JVM shifts are mod-64 — shiftrightunsigned(fp, 64) is fp,
+        # not 0, so the last block needs the explicit zero branch
+        high = (
+            F.shiftleft(F.shiftrightunsigned(F.col("fp"), hi), off)
+            if hi < 64
+            else F.lit(0).cast("long")
+        )
+        comp_i = low.bitwiseOR(high)  # the (64 - w_blk)-bit complement
+        subs_i = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("sub_idx"),
+                    F.shiftrightunsigned(comp_i, soff)
+                    .bitwiseAND(F.lit((1 << sw) - 1))
+                    .alias("sub_bits"),
+                )
+                for j, (soff, sw) in enumerate(
+                    simhash_band_layout(64 - w_blk, dist)
+                )
+            ]
+        )
+        subarr = (
+            F.when(F.col("band_idx") == i, subs_i)
+            if subarr is None
+            else subarr.when(F.col("band_idx") == i, subs_i)
+        )
+
+    sub_rows = (
+        hot.select("band_idx", "band_key", "doc_id", "fp",
+                   F.explode(subarr).alias("sub"))
+        .select(
+            "doc_id",
+            "fp",
+            F.xxhash64(
+                "band_idx", "band_key",
+                F.col("sub.sub_idx"), F.col("sub.sub_bits"),
+            ).alias("sub_key"),
+        )
+        .withColumn(
+            "sub_size", F.count("*").over(Window.partitionBy("sub_key"))
+        )
+        .filter(F.col("sub_size") > 1)
+    )
+    ssmall = sub_rows.filter(F.col("sub_size") <= bucket_cap)
+    sa = ssmall.select("sub_key", F.col("doc_id").alias("src"),
+                       F.col("fp").alias("fp_a"))
+    sb = ssmall.select("sub_key", F.col("doc_id").alias("dst"),
+                       F.col("fp").alias("fp_b"))
+    sub_edges = (
+        sa.join(sb, "sub_key")
         .filter((F.col("src") < F.col("dst")) & (ham <= dist))
         .select("src", "dst", ham.alias("hamming"))
     )
 
-    w = Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
-    hot_ranked = hot.select(
-        "band_idx",
-        "band_key",
+    # residual fallback: a sub-bucket that is ITSELF hot — salted
+    # all-pairs within salt groups + hamming-filtered star/chain backbone
+    # (approximate; counted in stats, never silent)
+    shot = sub_rows.filter(F.col("sub_size") > bucket_cap)
+    n_salts = F.ceil(F.col("sub_size") / F.lit(bucket_cap)).cast("int")
+    salted = shot.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("doc_id")), n_salts)
+    )
+    sha = salted.select("sub_key", "salt", F.col("doc_id").alias("src"),
+                        F.col("fp").alias("fp_a"))
+    shb = salted.select("sub_key", "salt", F.col("doc_id").alias("dst"),
+                        F.col("fp").alias("fp_b"))
+    salt_edges = (
+        sha.join(shb, ["sub_key", "salt"])
+        .filter((F.col("src") < F.col("dst")) & (ham <= dist))
+        .select("src", "dst", ham.alias("hamming"))
+    )
+
+    w = Window.partitionBy("sub_key").orderBy("doc_id")
+    hot_ranked = shot.select(
+        "sub_key",
         F.col("doc_id").alias("dst"),
         F.col("fp").alias("fp_b"),
         F.first("doc_id").over(w).alias("star_src"),
@@ -235,18 +313,39 @@ def simhash_candidate_edges(
     )
 
     edges = (
-        small_edges.unionByName(salt_edges).unionByName(hot_edges)
+        small_edges.unionByName(sub_edges).unionByName(salt_edges)
+        .unionByName(hot_edges)
         .unionByName(member_edges)
         .groupBy("src", "dst")
         .agg(F.min("hamming").alias("hamming"))
         .select("src", "dst", ((F.lit(64) - F.col("hamming")) / 64.0).alias("sim"))
     )
-    stats = sized.groupBy().agg(
-        F.countDistinct("band_idx", "band_key").alias("n_buckets"),
-        F.sum(F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)).alias(
-            "n_capped_band_rows"
-        ),
-        F.max("bucket_size").alias("max_bucket_size"),
+    # n_capped_band_rows = rows that actually hit the LOSSY fallback
+    # (second-level hot sub-buckets); first-level hot rows are handled
+    # exactly now and reported separately
+    stats = (
+        sized.groupBy()
+        .agg(
+            F.countDistinct("band_idx", "band_key").alias("n_buckets"),
+            F.sum(
+                F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)
+            ).alias("n_hot_band_rows"),
+            F.max("bucket_size").alias("max_bucket_size"),
+        )
+        .crossJoin(
+            sub_rows.groupBy().agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("sub_size") > bucket_cap, 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_capped_band_rows")
+            )
+        )
+        .select(
+            "n_buckets", "n_capped_band_rows", "max_bucket_size",
+            "n_hot_band_rows",
+        )
     )
     return edges, stats
 

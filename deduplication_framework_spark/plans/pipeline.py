@@ -318,14 +318,21 @@ def run_pipeline(
     if collect_stats and stats_parts:
         allstats = stats_parts[0]
         for s in stats_parts[1:]:
-            allstats = allstats.unionByName(s)
+            # allowMissingColumns: simhash stats carry an extra
+            # n_hot_band_rows column (first-level hot rows, handled
+            # exactly by recursive pigeonhole; n_capped_band_rows is the
+            # lossy-fallback count for every detector)
+            allstats = allstats.unionByName(s, allowMissingColumns=True)
         for row in allstats.collect():
+            rowd = row.asDict()
             det = row["detector"]
             det_stats = {
                 "n_buckets": float(row["n_buckets"] or 0),
                 "capped_band_rows": float(row["n_capped_band_rows"] or 0),
                 "max_bucket_size": float(row["max_bucket_size"] or 0),
             }
+            if rowd.get("n_hot_band_rows") is not None:
+                det_stats["hot_band_rows"] = float(rowd["n_hot_band_rows"])
             for k, v in det_stats.items():
                 metrics[f"{det}.{k}"] = v
             if store is not None:

@@ -155,8 +155,101 @@ class TestCandidatePairs:
         got = {(r.src, r.dst) for r in pairs.collect()}
         assert (0, 1) in got and (0, 2) not in got
 
+    @staticmethod
+    def _ham(a: int, b: int) -> int:
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 
-class TestVerify:
+    @staticmethod
+    def _i64(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    def test_hot_bucket_recursive_pigeonhole_exact(self, spark):
+        """A pair whose ONLY shared block is a hot (> cap) bucket must
+        still surface — this is the exact scenario the round-3 salted
+        variant lost (caught by the sf0.1 sweep: simhash_clusters split a
+        cluster). Edge set must equal brute-force hamming<=10."""
+        import itertools
+
+        from deduplication_framework_spark.functions.kernels import (
+            simhash_band_layout,
+        )
+        from deduplication_framework_spark.operators.lsh import (
+            simhash_candidate_edges,
+        )
+
+        rng = np.random.RandomState(7)
+        layout = simhash_band_layout(64, 10)
+        off0, w0 = layout[0]
+        mask_not0 = ~(((1 << w0) - 1) << off0) & 0xFFFFFFFFFFFFFFFF
+        fps: set = set()
+        base = []
+        while len(base) < 30:
+            v = int(rng.randint(0, 2**63, dtype=np.int64)) & mask_not0
+            if v not in fps:
+                fps.add(v)
+                base.append(v)
+        # partners differ in exactly one bit of EVERY other block: hamming
+        # 10, and block 0 (hot: all 40 rows share it) is the only match
+        planted = []
+        for b in base[:10]:
+            v = b
+            for off, _w in layout[1:]:
+                v ^= 1 << off
+            fps.add(v)
+            planted.append(v)
+        all_fps = base + planted
+        df = spark.createDataFrame(
+            [(i, self._i64(f)) for i, f in enumerate(all_fps)],
+            "doc_id long, simhash long",
+        )
+        edges, stats = simhash_candidate_edges(df, dist=10, bucket_cap=8)
+        got = {(r.src, r.dst) for r in edges.collect()}
+        want = {
+            (i, j)
+            for (i, a), (j, b) in itertools.combinations(
+                enumerate(all_fps), 2
+            )
+            if self._ham(a, b) <= 10
+        }
+        assert got == want
+        s = stats.collect()[0]
+        assert s.n_hot_band_rows == 40  # first level hot, handled exactly
+        assert s.n_capped_band_rows == 0  # no lossy fallback triggered
+
+    def test_double_hot_fallback_keeps_connectivity_and_is_counted(
+        self, spark
+    ):
+        """Sub-buckets that are THEMSELVES hot fall back to salting +
+        star/chain: near-identical fingerprints stay connected through the
+        hamming-filtered backbone, and the lossy rows are counted."""
+        from deduplication_framework_spark.operators.lsh import (
+            simhash_candidate_edges,
+        )
+
+        # 24 distinct fps differing only in the top 5 bits -> every block
+        # bucket hot at cap=8 AND every sub-bucket hot (comps near-equal)
+        all_fps = [(i << 59) for i in range(24)]
+        df = spark.createDataFrame(
+            [(i, self._i64(f)) for i, f in enumerate(all_fps)],
+            "doc_id long, simhash long",
+        )
+        edges, stats = simhash_candidate_edges(df, dist=10, bucket_cap=8)
+        got = {(r.src, r.dst) for r in edges.collect()}
+        # all pairs are within hamming 10 (<=5 differing bits x2): the
+        # graph must be CONNECTED over all 24 ids even where all-pairs
+        # enumeration was capped
+        parent = list(range(24))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in got:
+            parent[find(a)] = find(b)
+        assert len({find(i) for i in range(24)}) == 1
+        assert stats.collect()[0].n_capped_band_rows > 0
     def test_jaccard_expr_matches_kernel(self, spark):
         sets = {
             0: ["a", "b", "c", "d"],
