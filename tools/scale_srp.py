@@ -65,6 +65,15 @@ def synth_vectors(spark, n: int, partitions: int):
 
 
 def main():
+    # pin BLAS to one thread per python worker BEFORE the JVM (and its
+    # python-worker daemon) launches: un-pinned OpenBLAS lets a local[2]
+    # worker's GEMM fan out over every host core, which silently turns
+    # the "2-core" leg of a scaling pair into a many-core run and
+    # poisons the N->4N efficiency number
+    import os
+
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cores = int(sys.argv[1])
     n = int(sys.argv[2])
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale_srp_runs.jsonl"
@@ -110,6 +119,9 @@ def main():
     n_edges, n_planted_found = found[0], int(found[1] or 0)
     t1 = time.time()
     sec = t1 - t0
+    # diagnostics only — OUTSIDE the timed window (stats is a second
+    # action that re-runs the banding DAG; timing it would overstate the
+    # per-query cost by ~1.7x)
     stats_row = stats.collect()[0].asDict()
     spark.stop()
 
