@@ -254,6 +254,7 @@ def main():
             "normalize_text",
             "token_counts",
             "ann_topk_bruteforce",
+            "srp_dup_edges",
             "lineitem_pricing_summary",
             "orders_per_customer_nation",
         ]
