@@ -85,6 +85,15 @@ class SparkExecConfig:
     # quadratic verify work, while true-dup hot buckets stay connected
     # through the salt groups + star/chain backbone and CC.
     bucket_cap: int = 256
+    # SimHash pigeonhole buckets get their own (higher) cap: verification
+    # is FUSED into the bucket self-join as one bit_count expression, so a
+    # 2000-row bucket is ~2M filtered comparisons inside the join task —
+    # cheap — and staying all-pairs below the cap keeps the path exact
+    # without entering the recursive-pigeonhole machinery (which remains
+    # the lossless handler for buckets above it). 256 here (the round-3
+    # setting) sent ~70% of the 20k-doc bench corpus's band rows into the
+    # hot path for no recall gain.
+    simhash_bucket_cap: int = 2000
     # broadcast the CC frontier when it drops under this many rows
     cc_broadcast_threshold: int = 1_000_000
     checkpoint_dir: Optional[str] = None  # table-store root; None = no checkpoints

@@ -175,9 +175,28 @@ def simhash_candidate_edges(
         F.xxhash64("blk.band_idx", "blk.block_bits").alias("band_key"),
     )
 
-    sized = bands.withColumn(
-        "bucket_size", F.count("*").over(Window.partitionBy("band_idx", "band_key"))
-    ).filter(F.col("bucket_size") > 1)
+    # persist + eager count: the census window feeds several downstream
+    # scans (small a/b, sub-band consumers when hot buckets exist, stats),
+    # and the repo's persist-race rule applies — concurrent stages of one
+    # cold job each recompute the window. One small job at operator-build
+    # time buys a warm cache for every consumer AND a free driver-side
+    # hot-row census (session-lifetime LRU owns the cleanup).
+    sized = (
+        bands.withColumn(
+            "bucket_size",
+            F.count("*").over(Window.partitionBy("band_idx", "band_key")),
+        )
+        .filter(F.col("bucket_size") > 1)
+        .persist()
+    )
+    sized.count()
+    # adaptive plan (the adaptive-CC pattern): the recursive-pigeonhole
+    # machinery costs ~5 extra (empty) stages per edge consumption when no
+    # bucket is hot — measured +3 s on the hot-free 20k bench corpus — so
+    # only BUILD it when the census says a hot bucket exists
+    n_hot_rows = int(
+        sized.filter(F.col("bucket_size") > bucket_cap).count()
+    )
 
     small = sized.filter(F.col("bucket_size") <= bucket_cap)
     hot = sized.filter(F.col("bucket_size") > bucket_cap)
@@ -192,6 +211,33 @@ def simhash_candidate_edges(
         .filter((F.col("src") < F.col("dst")) & (ham <= dist))
         .select("src", "dst", ham.alias("hamming"))
     )
+
+    if n_hot_rows == 0:
+        edges = (
+            small_edges.unionByName(member_edges)
+            .groupBy("src", "dst")
+            .agg(F.min("hamming").alias("hamming"))
+            .select(
+                "src", "dst",
+                ((F.lit(64) - F.col("hamming")) / 64.0).alias("sim"),
+            )
+        )
+        stats = (
+            sized.groupBy()
+            .agg(
+                F.countDistinct("band_idx", "band_key").alias("n_buckets"),
+                F.coalesce(F.max("bucket_size"), F.lit(0)).alias(
+                    "max_bucket_size"
+                ),
+            )
+            .withColumn("n_capped_band_rows", F.lit(0))
+            .withColumn("n_hot_band_rows", F.lit(0))
+            .select(
+                "n_buckets", "n_capped_band_rows", "max_bucket_size",
+                "n_hot_band_rows",
+            )
+        )
+        return edges, stats
 
     # hot buckets: recursive pigeonhole (see docstring). All members agree
     # on block band_idx, so re-band each on dist+1 sub-blocks of the
@@ -247,6 +293,7 @@ def simhash_candidate_edges(
             "sub_size", F.count("*").over(Window.partitionBy("sub_key"))
         )
         .filter(F.col("sub_size") > 1)
+        .persist()  # five consumers (sub a/b, salt a/b, backbone) + stats
     )
     ssmall = sub_rows.filter(F.col("sub_size") <= bucket_cap)
     sa = ssmall.select("sub_key", F.col("doc_id").alias("src"),

@@ -245,7 +245,9 @@ def run_pipeline(
             return _resume_branch(name, "simhash")
         fps = feats.select("doc_id", "simhash")
         sh_edges, sbstats = simhash_candidate_edges(
-            fps, dist=cfg.dedup.simhash_dist, bucket_cap=cfg.spark.bucket_cap
+            fps,
+            dist=cfg.dedup.simhash_dist,
+            bucket_cap=cfg.spark.simhash_bucket_cap,
         )
         sh_edges = stage(name, lambda: sh_edges, ["features"])
         return sh_edges, sbstats.withColumn("detector", F.lit("simhash"))
