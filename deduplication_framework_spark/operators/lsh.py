@@ -135,6 +135,13 @@ def simhash_candidate_edges(
     across > cap distinct fingerprints; counted in bucket_stats as
     ``n_capped_band_rows``, never silent).
 
+    NOT a pure plan builder: this runs one small census job at call time
+    (materializing the persisted band table and reading the hot-row
+    count on the driver, which selects the adaptive plan shape). The
+    persisted band census (~dist+1 rows per distinct fingerprint) is
+    left to session-lifetime LRU — repeated calls in one long session
+    rely on eviction, the repo's accepted operator-persist pattern.
+
     Identical fingerprints are PRE-AGGREGATED before banding (round 3;
     VERDICT r2 "What's wrong #2"): exact-dup docs and templated
     near-identicals produce many copies of the same 64-bit fingerprint,
@@ -189,11 +196,13 @@ def simhash_candidate_edges(
         .filter(F.col("bucket_size") > 1)
         .persist()
     )
-    sized.count()
     # adaptive plan (the adaptive-CC pattern): the recursive-pigeonhole
     # machinery costs ~5 extra (empty) stages per edge consumption when no
     # bucket is hot — measured +3 s on the hot-free 20k bench corpus — so
-    # only BUILD it when the census says a hot bucket exists
+    # only BUILD it when the census says a hot bucket exists. This ONE
+    # filter-count both materializes the persisted frame (scans every
+    # partition, so the cache is warm for all consumers) and returns the
+    # hot-row count — no separate count() job.
     n_hot_rows = int(
         sized.filter(F.col("bucket_size") > bucket_cap).count()
     )
@@ -295,6 +304,9 @@ def simhash_candidate_edges(
         .filter(F.col("sub_size") > 1)
         .persist()  # five consumers (sub a/b, salt a/b, backbone) + stats
     )
+    # persist-race rule again: the five consumers fan into ONE job — an
+    # eager pass here turns their race into one compute + cache reads
+    sub_rows.count()
     ssmall = sub_rows.filter(F.col("sub_size") <= bucket_cap)
     sa = ssmall.select("sub_key", F.col("doc_id").alias("src"),
                        F.col("fp").alias("fp_a"))

@@ -310,9 +310,14 @@ def run_pipeline(
         with ThreadPoolExecutor(max_workers=len(branches)) as ex:
             outs = [f.result() for f in [ex.submit(b) for b in branches]]
     else:
-        # without a store everything is lazy; the single stats job below (or
-        # the caller's first action) schedules all detector stages in one
-        # Spark job, which runs independent stages concurrently by itself
+        # without a store, branch DECLARATION is mostly lazy — the single
+        # stats job below (or the caller's first action) schedules the
+        # detector stages in one Spark job, which runs independent stages
+        # concurrently by itself. Exception: the simhash branch runs one
+        # small census job at build time (its adaptive hot-bucket switch
+        # needs the bucket-size census on the driver; see
+        # simhash_candidate_edges) — so a simhash plan is not free to
+        # construct, it costs featurization + one band-window pass.
         outs = [b() for b in branches]
     edge_parts.extend(o[0] for o in outs)
     stats_parts = [o[1] for o in outs if o[1] is not None]

@@ -250,6 +250,9 @@ class TestCandidatePairs:
             parent[find(a)] = find(b)
         assert len({find(i) for i in range(24)}) == 1
         assert stats.collect()[0].n_capped_band_rows > 0
+
+
+class TestVerify:
     def test_jaccard_expr_matches_kernel(self, spark):
         sets = {
             0: ["a", "b", "c", "d"],
