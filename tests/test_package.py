@@ -1,0 +1,65 @@
+"""The spark-submit --py-files packaging path (north_rule: 'run via
+spark-submit --py-files'): the zip must build, contain EVERY package
+module (a stale zip that silently omits new operators is exactly the
+failure a cluster user hits first), and be importable from the archive
+alone via zipimport — which is how executors will see it."""
+
+import os
+import subprocess
+import sys
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_zip_builds_fresh_and_complete():
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    try:
+        import make_package
+    finally:
+        sys.path.pop(0)
+    out = make_package.main()
+    with zipfile.ZipFile(out) as z:
+        zipped = {n for n in z.namelist() if n.endswith(".py")}
+    on_disk = set()
+    pkg_root = os.path.join(ROOT, "deduplication_framework_spark")
+    for dirpath, _, files in os.walk(pkg_root):
+        if "__pycache__" in dirpath:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(dirpath, f)
+                on_disk.add(os.path.relpath(full, ROOT))
+    assert zipped == on_disk, (
+        f"zip out of sync: missing {on_disk - zipped}, stale {zipped - on_disk}"
+    )
+
+
+def test_zip_importable_via_zipimport():
+    out = os.path.join(ROOT, "dist", "deduplication_framework_spark.zip")
+    if not os.path.exists(out):
+        sys.path.insert(0, os.path.join(ROOT, "tools"))
+        try:
+            import make_package
+        finally:
+            sys.path.pop(0)
+        make_package.main()
+    # fresh interpreter with the ZIP (not the repo) on sys.path, the way
+    # --py-files delivers code to executors
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import deduplication_framework_spark as d; "
+        "from deduplication_framework_spark.operators.srp import srp_bands; "
+        "from deduplication_framework_spark.functions import kernels; "
+        "assert 'zip' in d.__file__, d.__file__; print('ok')"
+        % out
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd="/tmp",  # not the repo root, so the zip is the only source
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "ok"
