@@ -80,3 +80,44 @@ def test_winnow_guarantee_property(common, pre, post):
     fa = {h for h, _ in K.winnow_fingerprints(a, k, w)}
     fb = {h for h, _ in K.winnow_fingerprints(b, k, w)}
     assert fa & fb
+
+
+@given(
+    st.integers(0, (1 << 64) - 1),
+    st.lists(st.integers(0, 63), min_size=0, max_size=10, unique=True),
+)
+@settings(max_examples=300, deadline=None)
+def test_recursive_pigeonhole_property(fp_a, flip_bits):
+    """The lossless-hot-bucket argument in simhash_candidate_edges, as
+    pure bit math: for ANY pair within hamming <= dist, (a) some block
+    agrees exactly (classic pigeonhole), and (b) for EVERY agreeing
+    block, the complement bits — where all <= dist differences live —
+    split into dist+1 sub-blocks of which at least one agrees (the same
+    pigeonhole, one level down). (b) is what makes the sub-bucket join
+    exact for pairs whose only agreeing block is hot."""
+    dist = 10
+    fp_b = fp_a
+    for bit in flip_bits:
+        fp_b ^= 1 << bit
+
+    layout = K.simhash_band_layout(64, dist)
+    agreeing = []
+    for off, w in layout:
+        mask = ((1 << w) - 1) << off
+        if (fp_a & mask) == (fp_b & mask):
+            agreeing.append((off, w))
+    assert agreeing, "pigeonhole level 1 violated"
+
+    def complement(fp, off, w):
+        low = fp & ((1 << off) - 1)
+        high = (fp >> (off + w)) << off if off + w < 64 else 0
+        return low | high
+
+    for off, w in agreeing:
+        ca = complement(fp_a, off, w)
+        cb = complement(fp_b, off, w)
+        sub = K.simhash_band_layout(64 - w, dist)
+        assert any(
+            ((ca >> so) & ((1 << sw) - 1)) == ((cb >> so) & ((1 << sw) - 1))
+            for so, sw in sub
+        ), "pigeonhole level 2 violated"
