@@ -443,7 +443,11 @@ def candidate_pairs(
     prev gram, whose bucket sits strictly earlier in both docs; doc starts
     have null prev, which never matches), while a shared span of S chars
     stops re-asserting the same pair in all S−L+1 of its buckets. NULLs
-    are grouped per-doc (never equal across docs). With ``bucket_cap=1``
+    are grouped per-doc (never equal across docs). NOTE: on batch inputs
+    the general (cap>1) path runs ONE census job at build time (persist
+    the sized band table + count over-cap rows) so hot-free corpora get a
+    salt-free DAG — plans are not free to construct here, same adaptive
+    trade the simhash operator makes. With ``bucket_cap=1``
     the clique star pairing drops edges whose member shares the STAR's
     group (connectivity through the prev bucket's edges replaces them —
     identical connected components, same single window shuffle as the
@@ -567,8 +571,21 @@ def candidate_pairs(
     # drop singleton buckets early — they can never produce a pair
     sized = sized.filter(F.col("bucket_size") > 1)
 
+    # same treatment the simhash operator measured out: the census window
+    # feeds up to ~6 downstream scans (small a/b, salt a/b, star/chain
+    # window, stats) — persist once, and the ONE filter-count both
+    # materializes the cache and tells the driver whether the salted-hot
+    # stages need to exist at all (adaptive plan; on hot-free corpora the
+    # pair DAG is just the small self-join). Skipped for streaming inputs,
+    # where an eager action is illegal — they keep the full lazy plan.
+    n_hot_rows = None
+    if not bands.isStreaming:
+        sized = sized.persist()
+        n_hot_rows = int(
+            sized.filter(F.col("bucket_size") > bucket_cap).count()
+        )
+
     small = sized.filter(F.col("bucket_size") <= bucket_cap)
-    hot = sized.filter(F.col("bucket_size") > bucket_cap)
 
     gcols = ["_g"] if _g is not None else []
     inter_group = (
@@ -587,55 +604,64 @@ def candidate_pairs(
         .filter((F.col("src") < F.col("dst")) & inter_group)
     )
 
-    # hot buckets: SALT into ceil(size/cap) sub-buckets by a secondary hash
-    # (all-pairs within each salt group → local precision preserved, pair
-    # volume bounded by ~size*cap/2) PLUS star+chain edges across the whole
-    # bucket (global connectivity to the bucket minimum survives salting).
-    n_salts = F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int")
-    salted = hot.withColumn(
-        "salt", F.pmod(F.xxhash64(F.col(id_col)), n_salts)
-    )
-    sa = salted.select(
-        "band_idx", "band_key", "salt", F.col(id_col).alias("src"),
-        *[F.col("_g").alias("_ga") for _ in gcols],
-    )
-    sb = salted.select(
-        "band_idx", "band_key", "salt", F.col(id_col).alias("dst"),
-        *[F.col("_g").alias("_gb") for _ in gcols],
-    )
-    salt_pairs = sa.join(sb, ["band_idx", "band_key", "salt"]).filter(
-        (F.col("src") < F.col("dst")) & inter_group
-    )
+    if n_hot_rows == 0:
+        # census proved every bucket fits under the cap: the salted/hot
+        # subplan (two more joins + a window shuffle over the cache) would
+        # produce zero rows — drop it from the DAG entirely
+        all_pairs = small_pairs.select("src", "dst")
+    else:
+        hot = sized.filter(F.col("bucket_size") > bucket_cap)
 
-    w = Window.partitionBy("band_idx", "band_key").orderBy(F.col(id_col))
-    hot_ranked = hot.select(
-        "band_idx",
-        "band_key",
-        F.col(id_col).alias("dst"),
-        F.first(id_col).over(w).alias("star_src"),
-        F.lag(id_col).over(w).alias("chain_src"),
-    )
-    hot_pairs = (
-        hot_ranked.select(
+        # hot buckets: SALT into ceil(size/cap) sub-buckets by a secondary
+        # hash (all-pairs within each salt group → local precision
+        # preserved, pair volume bounded by ~size*cap/2) PLUS star+chain
+        # edges across the whole bucket (global connectivity to the bucket
+        # minimum survives salting).
+        n_salts = F.ceil(F.col("bucket_size") / F.lit(bucket_cap)).cast("int")
+        salted = hot.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col(id_col)), n_salts)
+        )
+        sa = salted.select(
+            "band_idx", "band_key", "salt", F.col(id_col).alias("src"),
+            *[F.col("_g").alias("_ga") for _ in gcols],
+        )
+        sb = salted.select(
+            "band_idx", "band_key", "salt", F.col(id_col).alias("dst"),
+            *[F.col("_g").alias("_gb") for _ in gcols],
+        )
+        salt_pairs = sa.join(sb, ["band_idx", "band_key", "salt"]).filter(
+            (F.col("src") < F.col("dst")) & inter_group
+        )
+
+        w = Window.partitionBy("band_idx", "band_key").orderBy(F.col(id_col))
+        hot_ranked = hot.select(
             "band_idx",
             "band_key",
-            F.explode(
-                F.array_distinct(
-                    F.filter(
-                        F.array("star_src", "chain_src"),
-                        lambda s: s.isNotNull() & (s != F.col("dst")),
-                    )
-                )
-            ).alias("src"),
-            "dst",
+            F.col(id_col).alias("dst"),
+            F.first(id_col).over(w).alias("star_src"),
+            F.lag(id_col).over(w).alias("chain_src"),
         )
-    )
+        hot_pairs = (
+            hot_ranked.select(
+                "band_idx",
+                "band_key",
+                F.explode(
+                    F.array_distinct(
+                        F.filter(
+                            F.array("star_src", "chain_src"),
+                            lambda s: s.isNotNull() & (s != F.col("dst")),
+                        )
+                    )
+                ).alias("src"),
+                "dst",
+            )
+        )
 
-    all_pairs = small_pairs.select("src", "dst").unionByName(
-        salt_pairs.select("src", "dst")
-    ).unionByName(
-        hot_pairs.select("src", "dst")
-    )
+        all_pairs = small_pairs.select("src", "dst").unionByName(
+            salt_pairs.select("src", "dst")
+        ).unionByName(
+            hot_pairs.select("src", "dst")
+        )
     if collision_threshold > 1:
         pairs = (
             all_pairs.groupBy("src", "dst")
