@@ -418,6 +418,36 @@ def q_stopword_hits(spark, sf_dir):
     )
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    """Language-ID n-gram heuristic (functions/langid.py): per-language
+    stopword-profile scores + argmax prediction vs the stored tag. Pure
+    JVM column expressions — split once, lambda-filter per profile,
+    greatest + CASE; no shuffle. The synthetic corpus is English-ish for
+    every lang label, so this query pins MACHINERY parity (the oracle SQL
+    is generated from the SAME profile constants); real-language accuracy
+    is pinned by tests/test_langid.py."""
+    from deduplication_framework_spark.functions.langid import (
+        PROFILES,
+        lang_id_expr,
+        profile_hits_expr,
+        tokens_expr,
+    )
+
+    langs = sorted(PROFILES)
+    d = _docs(spark, sf_dir).withColumn("_toks", tokens_expr(F.col("text")))
+    return d.select(
+        "doc_id",
+        *[
+            profile_hits_expr(F.col("_toks"), PROFILES[lang]).alias(f"s_{lang}")
+            for lang in langs
+        ],
+        lang_id_expr(F.col("_toks")).alias("pred_lang"),
+        (lang_id_expr(F.col("_toks")) == F.col("lang"))
+        .cast("int")
+        .alias("is_match"),
+    )
+
+
 def q_embedding_norms(spark, sf_dir):
     """Vector plumbing: L2 norm per embedding (rounded for hash stability)."""
     sumsq = F.aggregate(
@@ -953,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_rollup": q_source_rollup,
         "quality_scores": q_quality_scores,
         "stopword_hits": q_stopword_hits,
+        "lang_id_ngram": q_lang_id_ngram,
         "embedding_norms": q_embedding_norms,
         "cosine_neighbor_counts": q_cosine_neighbor_counts,
         "embedding_dup_edges": q_embedding_dup_edges,
@@ -980,7 +1011,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # lang_id_ngram oracle is GENERATED from the same profile constants the
+    # Spark query uses (functions/langid.py) — the two sides cannot drift
+    from deduplication_framework_spark.functions.langid import (
+        PROFILES as _LID_PROFILES,
+        lang_id_sql as _lang_id_sql,
+    )
+
+    _lid = _lang_id_sql()
+    _lid_langs = sorted(_LID_PROFILES)
+    _lid_score_cols = ", ".join(f"s_{lang}" for lang in _lid_langs)
+    _lid_score_defs = ", ".join(
+        f"{_lid['scores'][lang]} AS s_{lang}" for lang in _lid_langs
+    )
+    _lid_query = f"""
+        WITH t AS (SELECT doc_id, lang, {_lid['toks']} AS toks FROM documents),
+             s AS (SELECT doc_id, lang, {_lid_score_defs} FROM t),
+             p AS (SELECT doc_id, lang, {_lid_score_cols},
+                          {_lid['pred']} AS pred_lang FROM s)
+        SELECT doc_id, {_lid_score_cols}, pred_lang,
+               (pred_lang = lang)::INT AS is_match
+        FROM p
+    """
     return {
+        "lang_id_ngram": _lid_query,
         "exact_dup_groups": """
             SELECT md5(text) AS text_md5, count(*) AS n_copies,
                    min(doc_id) AS keeper_id
