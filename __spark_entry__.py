@@ -718,6 +718,24 @@ def q_substring_clusters(spark, sf_dir):
     return res.clusters.select("doc_id", "cluster_id")
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Document fingerprinting as a first-class text-analysis op: each
+    doc's winnowing fingerprint SET (Schleimer et al. 2003 rolling-hash
+    selection), not just the clusters built from it. One Arrow pass
+    (make_winnow_udf) + explode; the oracle reuses the bit-for-bit
+    Karp-Rabin/splitmix64/window-min SQL rebuild from the
+    substring_clusters oracle, signed-wrapped to the UDF's int64 domain."""
+    from deduplication_framework_spark.functions.text import make_winnow_udf
+
+    cfg = PipelineConfig()
+    kg = cfg.suffix.kgram_size
+    win = cfg.suffix.min_match_chars - kg + 1
+    wf = make_winnow_udf(kg, win)
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(wf(F.col("text"))).alias("fph")
+    )
+
+
 def q_suffix_array_clusters(spark, sf_dir):
     """J17 exact path: suffix-array-mode substring clusters (128-bit
     double-Karp-Rabin L-gram equivalence classes — operators/suffix_array).
@@ -997,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "simhash_clusters": q_simhash_clusters,
         "substring_clusters": q_substring_clusters,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "suffix_array_clusters": q_suffix_array_clusters,
         "semdedup_decisions": q_semdedup_decisions,
         "sorter_categories": q_sorter_categories,
@@ -1520,6 +1539,21 @@ def oracle_sql() -> dict[str, str]:
             ),
             {_RECURSIVE_CC_TAIL}
         """,
-        # Driver-gate status: all 35 queries oracled (0 rows-only) as of
+        # document fingerprinting as a first-class op: the per-doc winnowing
+        # fingerprint SET itself (not just the clusters built from it),
+        # reusing the bit-for-bit SQL rebuild. DuckDB emits uint64-domain
+        # HUGEINTs; wrap to the signed int64 the Arrow UDF emits BEFORE the
+        # ::BIGINT cast (HUGEINT->pandas would otherwise round through
+        # float64 past 2^53).
+        "winnow_fingerprints": f"""
+            WITH RECURSIVE
+            {_winnow_fingerprint_ctes()}
+            SELECT doc_id,
+                   (CASE WHEN fph >= 9223372036854775808::HUGEINT
+                         THEN fph - 18446744073709551616::HUGEINT
+                         ELSE fph END)::BIGINT AS fph
+            FROM fp
+        """,
+        # Driver-gate status: all 37 queries oracled (0 rows-only) as of
         # round 4.
     }
