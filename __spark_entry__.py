@@ -437,14 +437,17 @@ def q_lang_id_ngram(spark, sf_dir):
     d = _docs(spark, sf_dir).withColumn("_toks", tokens_expr(F.col("text")))
     return d.select(
         "doc_id",
+        "lang",
         *[
             profile_hits_expr(F.col("_toks"), PROFILES[lang]).alias(f"s_{lang}")
             for lang in langs
         ],
         lang_id_expr(F.col("_toks")).alias("pred_lang"),
-        (lang_id_expr(F.col("_toks")) == F.col("lang"))
-        .cast("int")
-        .alias("is_match"),
+    ).select(
+        "doc_id",
+        *[f"s_{lang}" for lang in langs],
+        "pred_lang",
+        (F.col("pred_lang") == F.col("lang")).cast("int").alias("is_match"),
     )
 
 
