@@ -118,7 +118,7 @@ def _winnow_fingerprint_ctes() -> str:
       one window keeps its single global minimum (kernels.sliding_min)."""
     cfg = PipelineConfig()
     kg = cfg.suffix.kgram_size
-    win = cfg.suffix.min_match_chars - kg + 1
+    win = cfg.suffix.winnow_window
     b = int(_K._KR_BASE)
     binv = int(_K._KR_BASE_INV)
     h_expr = _sql_splitmix64(
@@ -732,7 +732,7 @@ def q_winnow_fingerprints(spark, sf_dir):
 
     cfg = PipelineConfig()
     kg = cfg.suffix.kgram_size
-    win = cfg.suffix.min_match_chars - kg + 1
+    win = cfg.suffix.winnow_window
     wf = make_winnow_udf(kg, win)
     return _docs(spark, sf_dir).select(
         "doc_id", F.explode(wf(F.col("text"))).alias("fph")

@@ -70,6 +70,14 @@ class SuffixArrayConfig:
     # prefix-doubling suffix-array pass verification toggle
     verify_pairs: bool = True
 
+    @property
+    def winnow_window(self) -> int:
+        """The ONE derivation of the winnowing window (pipeline, driver
+        query, and SQL oracle all read this): any common substring of
+        length >= kgram_size + window - 1 == min_match_chars shares a
+        selected fingerprint (Schleimer et al. 2003 guarantee)."""
+        return self.min_match_chars - self.kgram_size + 1
+
 
 @dataclass
 class SparkExecConfig:

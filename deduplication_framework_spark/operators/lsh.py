@@ -36,6 +36,38 @@ from pyspark.sql import functions as F
 
 from deduplication_framework_spark.functions.kernels import simhash_band_layout
 
+# Band/census frames persisted by the operators below scale with the corpus
+# (all multi-member band rows), unlike the small per-call frames the
+# session-lifetime LRU is trusted with elsewhere. Each persist is tracked
+# here so a consumer that has materialized its outputs (run_pipeline after
+# CC, bench between reps) can release them instead of letting repeated runs
+# in one session stack corpus-scale cache entries until LRU pressure evicts
+# something live mid-job. Unpersisting early is never incorrect — at worst
+# a later action recomputes from source.
+_LIVE_CENSUS_CACHES: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CENSUS_CACHES.append(df)
+    return df
+
+
+def release_census_caches() -> int:
+    """Unpersist every band/census frame persisted since the last release;
+    returns how many were freed. Concurrent-safe in the weak sense: a
+    release while another thread's plan still needs a frame only forces a
+    recompute, never a wrong answer."""
+    n = 0
+    while _LIVE_CENSUS_CACHES:
+        df = _LIVE_CENSUS_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def minhash_bands(
     signatures: DataFrame,
@@ -188,13 +220,11 @@ def simhash_candidate_edges(
     # cold job each recompute the window. One small job at operator-build
     # time buys a warm cache for every consumer AND a free driver-side
     # hot-row census (session-lifetime LRU owns the cleanup).
-    sized = (
+    sized = _persist_tracked(
         bands.withColumn(
             "bucket_size",
             F.count("*").over(Window.partitionBy("band_idx", "band_key")),
-        )
-        .filter(F.col("bucket_size") > 1)
-        .persist()
+        ).filter(F.col("bucket_size") > 1)
     )
     # adaptive plan (the adaptive-CC pattern): the recursive-pigeonhole
     # machinery costs ~5 extra (empty) stages per edge consumption when no
@@ -287,7 +317,7 @@ def simhash_candidate_edges(
             else subarr.when(F.col("band_idx") == i, subs_i)
         )
 
-    sub_rows = (
+    sub_rows = _persist_tracked(
         hot.select("band_idx", "band_key", "doc_id", "fp",
                    F.explode(subarr).alias("sub"))
         .select(
@@ -302,8 +332,7 @@ def simhash_candidate_edges(
             "sub_size", F.count("*").over(Window.partitionBy("sub_key"))
         )
         .filter(F.col("sub_size") > 1)
-        .persist()  # five consumers (sub a/b, salt a/b, backbone) + stats
-    )
+    )  # five consumers (sub a/b, salt a/b, backbone) + stats
     # persist-race rule again: the five consumers fan into ONE job — an
     # eager pass here turns their race into one compute + cache reads
     sub_rows.count()
@@ -414,7 +443,6 @@ def candidate_pairs(
     bucket_cap: int = 2000,
     collision_threshold: int = 1,
     id_col: str = "doc_id",
-    order_col: str = None,
     group_col: str = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Band rows → distinct candidate (src, dst) pairs, src < dst.
@@ -461,7 +489,6 @@ def candidate_pairs(
     only). Incompatible with ``collision_threshold`` > 1 (suppression
     changes per-band collision counts).
     """
-    order = order_col or id_col
     if group_col is not None and collision_threshold > 1:
         raise ValueError("group_col requires collision_threshold == 1")
     # per-doc unique group for NULLs: doc starts must never merge across
@@ -503,8 +530,8 @@ def candidate_pairs(
                 "bucket_size",
             )
             .filter(F.col("bucket_size") > 1)
-            .persist()
         )
+        annotated = _persist_tracked(annotated)
         pairs = (
             annotated.filter(
                 (F.col("_m") != F.col("_star"))
@@ -536,14 +563,12 @@ def candidate_pairs(
     # star-only edges cannot express.
     if bucket_cap <= 1 and collision_threshold <= 1:
         w_b = Window.partitionBy("band_idx", "band_key")
-        annotated = (
+        annotated = _persist_tracked(
             bands.select(
                 F.col(id_col).alias("_m"),
                 F.min(id_col).over(w_b).alias("_star"),
                 F.count("*").over(w_b).alias("bucket_size"),
-            )
-            .filter(F.col("bucket_size") > 1)
-            .persist()
+            ).filter(F.col("bucket_size") > 1)
         )
         star_pairs = annotated.filter(F.col("_m") != F.col("_star")).select(
             F.col("_star").alias("src"), F.col("_m").alias("dst")
@@ -580,7 +605,7 @@ def candidate_pairs(
     # where an eager action is illegal — they keep the full lazy plan.
     n_hot_rows = None
     if not bands.isStreaming:
-        sized = sized.persist()
+        sized = _persist_tracked(sized)
         n_hot_rows = int(
             sized.filter(F.col("bucket_size") > bucket_cap).count()
         )

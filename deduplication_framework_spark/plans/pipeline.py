@@ -41,6 +41,7 @@ from deduplication_framework_spark.operators.exact import exact_dedup
 from deduplication_framework_spark.operators.lsh import (
     candidate_pairs,
     minhash_bands,
+    release_census_caches,
     simhash_bands,
     simhash_candidate_edges,
 )
@@ -179,7 +180,7 @@ def run_pipeline(
             with_simhash=need_simhash,
             with_winnow=need_winnow,
             kgram=cfg.suffix.kgram_size,
-            window=cfg.suffix.min_match_chars - cfg.suffix.kgram_size + 1,
+            window=cfg.suffix.winnow_window,
         )
         feats = stage(
             "features",
@@ -226,11 +227,10 @@ def run_pipeline(
             return _resume_branch(name, "minhash")
         b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
         sigs = feats.select("doc_id", "sig")
+        # no bands.persist() here: candidate_pairs' build-time census
+        # persists + materializes the sized band table, after which bands
+        # itself has exactly one consumer (filling that cache)
         bands = minhash_bands(sigs, b, r)
-        if store is None:
-            # bands feed both the stats job and pair-gen — cache so the
-            # banding shuffle input is computed once
-            bands = bands.persist()
         pairs, bstats = candidate_pairs(bands, bucket_cap=cfg.spark.bucket_cap)
         if verify:
             mh_edges = verify_jaccard(pairs, lsh_feats, cfg.dedup.threshold)
@@ -379,6 +379,12 @@ def run_pipeline(
 
     keep = keepers_op(docs, clusters)
     keep = stage("keepers", lambda: keep, ["clusters", "docs"])
+
+    # every consumer of the detectors' band/census caches has materialized
+    # by now (stats collected above, edges cached + consumed by CC) — free
+    # the corpus-scale cache entries so repeated runs in one session don't
+    # stack them until LRU evicts something live
+    release_census_caches()
 
     return PipelineResult(
         docs=docs,

@@ -21,7 +21,7 @@ def test_fused_matches_single_purpose_udfs(spark, pages):
     docs = pages.limit(120).select(
         F.col("doc_order").alias("doc_id"), "text"
     )
-    window = cfg.suffix.min_match_chars - cfg.suffix.kgram_size + 1
+    window = cfg.suffix.winnow_window
     fused = make_fused_features_udf(
         cfg.embedding,
         cfg.dedup,

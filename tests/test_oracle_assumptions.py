@@ -228,7 +228,7 @@ def test_winnow_fingerprints_sql_matches_kernel(sf_dir):
 
     cfg = PipelineConfig()
     kg = cfg.suffix.kgram_size
-    win = cfg.suffix.min_match_chars - kg + 1
+    win = cfg.suffix.winnow_window
 
     con = duckdb.connect()
     con.execute(
