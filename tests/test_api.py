@@ -80,3 +80,20 @@ def test_jaccard_windowed_fallback(spark, pages, texts):
 def test_unknown_method_raises(spark, pages):
     with pytest.raises(ValueError):
         dedup_texts(spark, pages, method="nope")
+
+
+def test_pipeline_releases_census_caches(spark, pages):
+    """The corpus-scale band/census frames persisted by the LSH operators
+    are freed at pipeline end, and the returned frames stay actionable
+    afterwards (recompute-at-worst, never wrong)."""
+    from deduplication_framework_spark.config import PipelineConfig
+    from deduplication_framework_spark.operators import lsh
+    from deduplication_framework_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(
+        spark, pages, PipelineConfig(),
+        detectors=["exact", "minhash", "simhash"], verify=False,
+    )
+    assert lsh._LIVE_CENSUS_CACHES == [], "pipeline must release its caches"
+    assert res.keepers.count() > 0
+    assert res.clusters.count() > 0
