@@ -451,6 +451,84 @@ def q_lang_id_ngram(spark, sf_dir):
     )
 
 
+def q_top_ngram_stats(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 adapted to
+    this single-line corpus): per doc, the most frequent word and word
+    bigram with their counts — the inputs to top-n-gram-fraction quality
+    filters. One tagged explode covers both gram sizes in a single
+    doc-keyed shuffle; ties break (count desc, gram asc) so the winner is
+    deterministic on both engines. Integer/string output — hash-exact."""
+    d = _docs(spark, sf_dir)
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    big = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    items = F.concat(
+        F.transform(w, lambda x: F.struct(F.lit("w").alias("t"), x.alias("g"))),
+        F.transform(big, lambda x: F.struct(F.lit("b").alias("t"), x.alias("g"))),
+    )
+    counts = (
+        d.select("doc_id", F.size(w).alias("n_words"), F.explode(items).alias("it"))
+        .groupBy(
+            "doc_id",
+            "n_words",
+            F.col("it.t").alias("t"),
+            F.col("it.g").alias("g"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    win = Window.partitionBy("doc_id", "t").orderBy(
+        F.col("cnt").desc(), F.col("g").asc()
+    )
+    top = counts.withColumn("rn", F.row_number().over(win)).filter("rn = 1")
+    return (
+        top.groupBy("doc_id", "n_words")
+        .agg(
+            F.max(F.when(F.col("t") == "w", F.col("g"))).alias("top_word"),
+            F.max(F.when(F.col("t") == "w", F.col("cnt"))).alias("top_word_n"),
+            F.max(F.when(F.col("t") == "b", F.col("g"))).alias("_tb"),
+            F.max(F.when(F.col("t") == "b", F.col("cnt"))).alias("_tbn"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            "top_word",
+            "top_word_n",
+            F.coalesce("_tb", F.lit("")).alias("top_bigram"),
+            F.coalesce("_tbn", F.lit(0)).alias("top_bigram_n"),
+        )
+    )
+
+
+def q_span_dedup_chunks(spark, sf_dir):
+    """Dolma/CCNet-style exact span dedup (operators/spans.py) driven
+    end to end: the synthetic corpus has no newlines, so the query chunks
+    each doc into deterministic non-overlapping 10-word spans, keeps the
+    global first occurrence of each exact span ((doc_id, pos) order), and
+    reassembles per-doc survivor text. Exact duplicate docs past the first
+    copy re-emit empty. The SQL oracle re-derives the full keep-first +
+    reassembly independently."""
+    from deduplication_framework_spark.operators.spans import assemble_dedup
+
+    ch = 10
+    d = _docs(spark, sf_dir)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.floor((F.size(w) + F.lit(ch - 1)) / F.lit(ch)).cast("int")
+    chunks = F.when(F.size(w) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * ch + 1, ch)),
+    )).otherwise(F.array().cast("array<string>"))
+    spans = (
+        d.select("doc_id", F.posexplode(chunks).alias("pos", "span"))
+        .filter(F.col("span") != "")
+    )
+    return assemble_dedup(
+        d.select("doc_id"), spans, id_col="doc_id", join_sep=" "
+    )
+
+
 def q_embedding_norms(spark, sf_dir):
     """Vector plumbing: L2 norm per embedding (rounded for hash stability)."""
     sumsq = F.aggregate(
@@ -1005,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "stopword_hits": q_stopword_hits,
         "lang_id_ngram": q_lang_id_ngram,
+        "top_ngram_stats": q_top_ngram_stats,
+        "span_dedup_chunks": q_span_dedup_chunks,
         "embedding_norms": q_embedding_norms,
         "cosine_neighbor_counts": q_cosine_neighbor_counts,
         "embedding_dup_edges": q_embedding_dup_edges,
@@ -1057,6 +1137,71 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "lang_id_ngram": _lid_query,
+        "top_ngram_stats": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ), it AS (
+                SELECT doc_id, len(w)::BIGINT AS n_words,
+                       unnest(list_concat(
+                           list_transform(w, x -> {'t': 'w', 'g': x}),
+                           list_transform(range(1, len(w)),
+                               i -> {'t': 'b', 'g': w[i] || ' ' || w[i+1]})
+                       ), recursive := true)
+                FROM base
+            ), c AS (
+                SELECT doc_id, n_words, t, g, count(*)::BIGINT AS cnt
+                FROM it GROUP BY ALL
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, t ORDER BY cnt DESC, g) AS rn
+                FROM c
+            )
+            SELECT doc_id, n_words,
+                   max(CASE WHEN t = 'w' THEN g END) AS top_word,
+                   max(CASE WHEN t = 'w' THEN cnt END) AS top_word_n,
+                   coalesce(max(CASE WHEN t = 'b' THEN g END), '') AS top_bigram,
+                   coalesce(max(CASE WHEN t = 'b' THEN cnt END), 0)::BIGINT
+                       AS top_bigram_n
+            FROM r WHERE rn = 1 GROUP BY doc_id, n_words
+        """,
+        "span_dedup_chunks": r"""
+            WITH base AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ), ch AS (
+                SELECT doc_id,
+                       list_transform(range(0, (len(w) + 9) // 10),
+                           i -> {'pos': i,
+                                 'span': array_to_string(
+                                     list_slice(w, i*10 + 1, i*10 + 10), ' ')}
+                       ) AS chunks
+                FROM base
+            ), sp AS (
+                SELECT doc_id, unnest(chunks, recursive := true) FROM ch
+            ), sp2 AS (
+                SELECT * FROM sp WHERE span <> ''
+            ), keep AS (
+                SELECT doc_id, pos, span, row_number() OVER (
+                    PARTITION BY span ORDER BY doc_id, pos) AS rn
+                FROM sp2
+            ), agg AS (
+                SELECT doc_id, count(*)::BIGINT AS n_kept,
+                       string_agg(span, ' ' ORDER BY pos) AS text_dedup
+                FROM keep WHERE rn = 1 GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id, count(*)::BIGINT AS n_spans
+                FROM sp2 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(t.n_spans, 0) AS n_spans,
+                   coalesce(a.n_kept, 0) AS n_kept,
+                   coalesce(a.text_dedup, '') AS text_dedup
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
+        """,
         "exact_dup_groups": """
             SELECT md5(text) AS text_md5, count(*) AS n_copies,
                    min(doc_id) AS keeper_id

@@ -1,0 +1,93 @@
+"""Span-level keep-first dedup (operators/spans.py) vs a sequential oracle."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.operators.spans import (
+    dedup_spans,
+    dedup_spans_df,
+    explode_spans,
+)
+
+
+def _oracle(docs, sep="\n"):
+    """Sequential keep-first: walk docs in id order, spans in position
+    order; a span survives iff its exact text was never seen before."""
+    seen = set()
+    out = {}
+    for doc_id, text in docs:
+        spans = [s for s in text.split(sep) if s.strip() != ""]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        out[doc_id] = (len(spans), len(kept), sep.join(kept))
+    return out
+
+
+HEADER = "all rights reserved"
+FOOTER = "powered by the same cms"
+
+
+def _corpus():
+    rng = random.Random(7)
+    docs = []
+    for i in range(40):
+        body = [
+            f"unique paragraph {i}-{j} " + " ".join(
+                rng.choice("alpha beta gamma delta".split()) for _ in range(5)
+            )
+            for j in range(rng.randint(1, 4))
+        ]
+        lines = [HEADER] + body + [FOOTER]
+        if i % 7 == 0 and body:
+            lines.append(body[0])  # within-doc repeat
+        if i % 11 == 3:
+            lines = [HEADER, FOOTER]  # pure-boilerplate doc
+        if i % 5 == 0:
+            lines.insert(1, "   ")  # blank-ish span: dropped on both sides
+        docs.append((i, "\n".join(lines)))
+    return docs
+
+
+def test_dedup_spans_matches_sequential_oracle(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_spans, r.n_kept, r.text_dedup)
+        for r in dedup_spans(df).collect()
+    }
+    want = _oracle(docs)
+    assert got == want
+    # boilerplate-only docs past the first occurrences re-emit empty
+    assert any(k == 0 for (_, k, _) in got.values())
+
+
+def test_dedup_spans_keeps_first_occurrence_only(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc\nb"), (3, "c\na")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.text_dedup for r in dedup_spans(df).collect()}
+    assert out == {1: "a\nb", 2: "c", 3: ""}
+
+
+def test_explode_spans_positions_and_blank_filter(spark):
+    df = spark.createDataFrame([(9, "x\n\n  \ny")], ["doc_id", "text"])
+    rows = sorted(
+        explode_spans(df).select("pos", "span").collect(),
+        key=lambda r: r.pos,
+    )
+    assert [(r.pos, r.span) for r in rows] == [(0, "x"), (3, "y")]
+
+
+def test_dedup_spans_df_order_col(spark):
+    """Keeper follows order_col, not id: the later-id doc with the earlier
+    order owns the shared span."""
+    spans = spark.createDataFrame(
+        [(10, 5, 0, "dup"), (20, 1, 0, "dup")],
+        ["doc_id", "doc_order", "pos", "span"],
+    )
+    kept = dedup_spans_df(spans, order_col="doc_order").collect()
+    assert [(r.doc_id, r.span) for r in kept] == [(20, "dup")]
