@@ -37,6 +37,12 @@ def main(argv=None) -> int:
                    help="table-store root for resumable stage commits")
     p.add_argument("--no-verify", action="store_true",
                    help="reference ours_lsh parity mode (band collision = duplicate)")
+    p.add_argument("--span-dedup", nargs="?", const="\n", default=None,
+                   metavar="SEP_REGEX",
+                   help="Dolma/CCNet-style preprocessing: drop every exact "
+                        "span (split on SEP_REGEX, default newline) whose "
+                        "text occurred earlier in the corpus, then dedup the "
+                        "reassembled docs; docs left empty are removed")
     p.add_argument("--sweep", default=None,
                    help="comma list of thresholds: run the threshold sweep "
                         "(reference clean_batch_dataset analog) instead of a "
@@ -69,6 +75,14 @@ def main(argv=None) -> int:
         p.error("one of --input / --synthetic is required")
 
     detectors = [d.strip() for d in args.detectors.split(",") if d.strip()]
+
+    span_metrics: dict = {}
+    input_tag = ""
+    if args.span_dedup is not None:
+        if args.sweep:
+            p.error("--span-dedup is not supported with --sweep")
+        pages, span_metrics = _span_dedup_pages(pages, sep=args.span_dedup)
+        input_tag = f"span_dedup:{args.span_dedup}"
 
     if args.sweep:
         import os
@@ -107,7 +121,9 @@ def main(argv=None) -> int:
         detectors=detectors,
         verify=not args.no_verify,
         store=store,
+        input_tag=input_tag,
     )
+    res.metrics.update(span_metrics)
     res.keepers.write.mode("overwrite").parquet(f"{args.output}/keepers")
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     res.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
@@ -145,6 +161,38 @@ def main(argv=None) -> int:
     with open(f"{args.output}/report.md", "w") as fh:
         fh.write(report)
     return 0
+
+
+def _span_dedup_pages(pages, sep: str):
+    """pages → (pages with span-deduped text, metrics). Keep-first order is
+    doc_order when the input carries it, else url (deterministic either
+    way); docs whose every span was seen earlier are dropped and counted.
+    Survivor spans re-join with a plain newline (``sep`` may be a regex)."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.spans import dedup_spans
+
+    id_col = "doc_order" if "doc_order" in pages.columns else "url"
+    sd = dedup_spans(
+        pages, id_col=id_col, text_col="text", sep=sep, join_sep="\n"
+    )
+    agg = sd.agg(
+        F.sum("n_spans").alias("spans"),
+        F.sum("n_kept").alias("kept"),
+        F.sum((F.col("n_kept") == 0).cast("long")).alias("emptied"),
+    ).first()
+    out = pages.drop("text").join(
+        sd.filter(F.col("n_kept") > 0).select(
+            id_col, F.col("text_dedup").alias("text")
+        ),
+        id_col,
+    )
+    metrics = {
+        "span_dedup.n_spans": float(agg["spans"] or 0),
+        "span_dedup.n_spans_kept": float(agg["kept"] or 0),
+        "span_dedup.n_docs_emptied": float(agg["emptied"] or 0),
+    }
+    return out, metrics
 
 
 def _recall_vs_oracle(res, cfg, verified: bool) -> dict:

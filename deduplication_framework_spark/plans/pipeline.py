@@ -55,16 +55,21 @@ ALL_DETECTORS = ("exact", "minhash", "simhash", "substring", "suffix_array")
 
 
 def effective_config_hash(
-    cfg: PipelineConfig, detectors: List[str], verify: bool
+    cfg: PipelineConfig, detectors: List[str], verify: bool,
+    input_tag: str = "",
 ) -> str:
     """Stage-resume key. ``detectors`` and ``verify`` are run_pipeline
     arguments, not PipelineConfig fields — folding them in prevents a re-run
     against the same checkpoint dir with a different --detectors list or
-    --no-verify flag from silently reusing stale edges/clusters/keepers."""
+    --no-verify flag from silently reusing stale edges/clusters/keepers.
+    ``input_tag`` marks input-side preprocessing (e.g. the CLI's
+    --span-dedup) the same way; the empty default leaves the hash identical
+    to pre-tag checkpoints."""
     payload = (
         cfg.config_hash()
         + json.dumps(sorted(set(detectors)))
         + str(bool(verify))
+        + input_tag
     )
     return hashlib.sha256(payload.encode("utf-8")).hexdigest()
 
@@ -112,20 +117,22 @@ def run_pipeline(
     verify: bool = True,
     store: Optional[ParquetTableStore] = None,
     collect_stats: bool = True,
+    input_tag: str = "",
 ) -> PipelineResult:
     """Run the full dedup DAG. ``verify=False`` reproduces the reference's
     ours_lsh behavior (any band collision is accepted as a duplicate edge).
 
     With a ``store``, each stage is committed and skipped on re-run when the
-    config hash matches (resumable restarts).
-    """
+    config hash matches (resumable restarts); callers that preprocessed
+    ``pages`` pass a distinguishing ``input_tag`` so toggling the
+    preprocessing cannot resume stale stages."""
     cfg = cfg or PipelineConfig()
     unknown = set(detectors) - set(ALL_DETECTORS)
     if unknown:
         raise ValueError(
             f"unknown detector(s) {sorted(unknown)}; valid: {ALL_DETECTORS}"
         )
-    chash = effective_config_hash(cfg, detectors, verify)
+    chash = effective_config_hash(cfg, detectors, verify, input_tag)
     metrics: Dict[str, float] = {}
 
     def stage(name: str, make: "callable", lineage: List[str], m: Dict = None,

@@ -82,6 +82,57 @@ def test_explode_spans_positions_and_blank_filter(spark):
     assert [(r.pos, r.span) for r in rows] == [(0, "x"), (3, "y")]
 
 
+def test_cli_span_dedup_preprocessing(spark, tmp_path):
+    """--span-dedup end to end: boilerplate spans vanish from later docs,
+    fully-boilerplate docs are dropped and counted, and the resume key
+    distinguishes the preprocessed run."""
+    import json
+
+    from deduplication_framework_spark.__main__ import main
+
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [
+            (0, "u0", "intro zero\nshared boilerplate\nbody zero", "en"),
+            (1, "u1", "intro one\nshared boilerplate\nbody one", "en"),
+            (2, "u2", "shared boilerplate", "en"),
+        ],
+        ["doc_order", "url", "text", "lang"],
+    ).write.parquet(inp)
+    out = str(tmp_path / "out")
+    assert main([
+        "--input", inp, "--output", out,
+        "--detectors", "exact", "--span-dedup",
+    ]) == 0
+
+    summary = json.loads((tmp_path / "out" / "summary.json").read_text())
+    assert summary["metrics"]["span_dedup.n_spans"] == 7.0
+    assert summary["metrics"]["span_dedup.n_spans_kept"] == 5.0
+    assert summary["metrics"]["span_dedup.n_docs_emptied"] == 1.0
+    keepers = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{out}/keepers").collect()
+    }
+    assert keepers == {
+        0: "intro zero\nshared boilerplate\nbody zero",
+        1: "intro one\nbody one",
+    }
+
+
+def test_input_tag_changes_resume_key():
+    from deduplication_framework_spark.config import PipelineConfig
+    from deduplication_framework_spark.plans.pipeline import (
+        effective_config_hash,
+    )
+
+    cfg = PipelineConfig()
+    base = effective_config_hash(cfg, ["exact"], True)
+    assert base == effective_config_hash(cfg, ["exact"], True, input_tag="")
+    assert base != effective_config_hash(
+        cfg, ["exact"], True, input_tag="span_dedup:\n"
+    )
+
+
 def test_dedup_spans_df_order_col(spark):
     """Keeper follows order_col, not id: the later-id doc with the earlier
     order owns the shared span."""
