@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship: MinHash-LSH near-dup clustering over the
 sf0.001 ``documents`` table. ``queries()`` — one entry per implemented
 operator family (SURVEY.md §2), each (spark, sf_dir) → DataFrame.
-``oracle_sql()`` — DuckDB-parity SQL for every query (35/35 since round 4):
+``oracle_sql()`` — DuckDB-parity SQL for every query (39/39 since round 4):
 the detector/cluster pipelines are re-derived independently in SQL — exact
 verification semantics + recursive min-label connected components — rather
 than translating the LSH/banding machinery.
@@ -1702,6 +1702,6 @@ def oracle_sql() -> dict[str, str]:
                          ELSE fph END)::BIGINT AS fph
             FROM fp
         """,
-        # Driver-gate status: all 37 queries oracled (0 rows-only) as of
+        # Driver-gate status: all 39 queries oracled (0 rows-only) as of
         # round 4.
     }

@@ -164,28 +164,44 @@ def main(argv=None) -> int:
 
 
 def _span_dedup_pages(pages, sep: str):
-    """pages → (pages with span-deduped text, metrics). Keep-first order is
-    doc_order when the input carries it, else url (deterministic either
-    way); docs whose every span was seen earlier are dropped and counted.
+    """pages → (pages with span-deduped text, metrics). Doc identity/order
+    comes from the pipeline's own ``prepare_docs`` (explicit doc_order when
+    present, else the (warc_ts, url) dense rank — so recrawled urls stay
+    distinct docs). Docs whose every span was seen earlier are DROPPED and
+    counted in ``n_docs_emptied``; docs with no non-empty spans at all
+    (empty/whitespace text) pass through unchanged — they were not deduped,
+    and the non-span pipeline path keeps a representative for them too.
     Survivor spans re-join with a plain newline (``sep`` may be a regex)."""
     from pyspark.sql import functions as F
 
     from deduplication_framework_spark.operators.spans import dedup_spans
+    from deduplication_framework_spark.plans.pipeline import prepare_docs
 
-    id_col = "doc_order" if "doc_order" in pages.columns else "url"
+    docs = prepare_docs(pages)
+    # persisted: the metrics agg below materializes it, and the joined
+    # output feeds every downstream pipeline action (CLAUDE.md persist rule)
     sd = dedup_spans(
-        pages, id_col=id_col, text_col="text", sep=sep, join_sep="\n"
-    )
+        docs, id_col="doc_id", text_col="text", sep=sep, join_sep="\n"
+    ).persist()
     agg = sd.agg(
         F.sum("n_spans").alias("spans"),
         F.sum("n_kept").alias("kept"),
-        F.sum((F.col("n_kept") == 0).cast("long")).alias("emptied"),
+        F.sum(
+            ((F.col("n_spans") > 0) & (F.col("n_kept") == 0)).cast("long")
+        ).alias("emptied"),
     ).first()
-    out = pages.drop("text").join(
-        sd.filter(F.col("n_kept") > 0).select(
-            id_col, F.col("text_dedup").alias("text")
-        ),
-        id_col,
+    out = (
+        docs.withColumnRenamed("text", "_text_in")
+        .join(sd, "doc_id")
+        .filter((F.col("n_kept") > 0) | (F.col("n_spans") == 0))
+        .select(
+            F.col("doc_id").alias("doc_order"),
+            "url",
+            F.when(F.col("n_spans") == 0, F.col("_text_in"))
+            .otherwise(F.col("text_dedup"))
+            .alias("text"),
+            "lang",
+        )
     )
     metrics = {
         "span_dedup.n_spans": float(agg["spans"] or 0),

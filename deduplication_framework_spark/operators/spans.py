@@ -13,8 +13,9 @@ Spark form, scale posture:
   16-byte keys plus the span text once, and groups only ever contain true
   duplicates (collision budget 2^-128 per pair, the same budget accepted
   by ``operators/exact.py``);
-* keep-first is a single ``row_number`` window per hash group ordered by
-  the global (doc order, span position) — one shuffle, no self-join;
+* keep-first is one ``min(struct(order, pos, ...))`` aggregation per hash
+  group — one shuffle with map-side combine, no self-join, no window
+  straggler on hot spans;
 * reassembly is one ``groupBy(doc)`` with an ``array_sort(collect_list)``
   — doc-keyed, so both shuffles partition cleanly at any corpus size.
   A document whose every span was seen earlier re-emits as empty text
@@ -23,7 +24,7 @@ Spark form, scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -53,17 +54,25 @@ def dedup_spans_df(
     """Keep-first over pre-exploded spans (id, pos, span): the single
     surviving row per distinct span text is the one with the smallest
     (order, pos) corpus-wide; every later copy — including repeats inside
-    the same document — is dropped."""
+    the same document — is dropped.
+
+    Implemented as ``groupBy(hash).agg(min(struct(order, pos, ...)))``
+    rather than a row_number window: min-of-struct gets map-side partial
+    aggregation, so a boilerplate span repeated a million times collapses
+    to one row per map partition BEFORE the shuffle — a window would ship
+    every copy to a single straggler task."""
     order_col = order_col or id_col
-    w = Window.partitionBy("_h").orderBy(
-        F.col(order_col).asc(), F.col("pos").asc()
+    rest = [c for c in spans.columns if c not in (order_col, "pos")]
+    first = (
+        spans.groupBy(F.md5(F.col("span")).alias("_h"))
+        .agg(
+            F.min(
+                F.struct(F.col(order_col), F.col("pos"), *rest)
+            ).alias("_w")
+        )
+        .select("_w.*")
     )
-    return (
-        spans.withColumn("_h", F.md5(F.col("span")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_h", "_rn")
-    )
+    return first.select(*spans.columns)
 
 
 def dedup_spans(

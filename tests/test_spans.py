@@ -96,6 +96,7 @@ def test_cli_span_dedup_preprocessing(spark, tmp_path):
             (0, "u0", "intro zero\nshared boilerplate\nbody zero", "en"),
             (1, "u1", "intro one\nshared boilerplate\nbody one", "en"),
             (2, "u2", "shared boilerplate", "en"),
+            (3, "u3", "  ", "en"),  # span-less: passes through, not "emptied"
         ],
         ["doc_order", "url", "text", "lang"],
     ).write.parquet(inp)
@@ -116,6 +117,7 @@ def test_cli_span_dedup_preprocessing(spark, tmp_path):
     assert keepers == {
         0: "intro zero\nshared boilerplate\nbody zero",
         1: "intro one\nbody one",
+        3: "  ",
     }
 
 
