@@ -230,6 +230,104 @@ def stateful_minhash_candidates(
     )
 
 
+def stateful_span_dedup(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming keep-first exact span dedup — the incremental analog of
+    ``operators/spans.py`` (Dolma paragraph dedup on an ingest stream):
+    pre-exploded (doc_id, pos, span) rows group by ``md5(span)``; the
+    first-arriving copy of each distinct span is emitted with
+    ``kept=true``, every later copy — same trigger or hours later — is
+    suppressed, and suppression is observable: each trigger that drops
+    copies of an already-kept span emits one ``kept=false`` row carrying
+    the cumulative ``n_dropped`` for that span (consumers filter ``kept``
+    for survivor spans and aggregate drops for monitoring). Within one
+    trigger the winner is the min (doc id, pos) — the batch operator's
+    tie-break — so arrival order only matters ACROSS triggers, where
+    first-arrived is the only causally available order.
+
+    State is one row per distinct span (winner (doc, pos) + a drop
+    counter; ~40 bytes), keyed by the 128-bit md5 — the same collision
+    budget as the batch path. A replayed trigger re-delivering the winner
+    row emits nothing (the stored winner is recognized and never counted
+    as a drop); replayed DUPLICATE copies inflate only the monitoring
+    counter, never span membership. At full corpus scale the
+    distinct-span universe belongs in the batch layer (lambda split, see
+    module docstring); run this over the recent ingest window."""
+    keyed = spans.select(
+        F.md5(F.col("span")).alias("_h"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col("pos").cast("int").alias("pos"),
+        "span",
+    )
+
+    def keep(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        best = None
+        n = 0
+        for pdf in pdfs:
+            for doc_id, pos, span in zip(pdf["doc_id"], pdf["pos"], pdf["span"]):
+                n += 1
+                row = (int(doc_id), int(pos), span)
+                if best is None or row[:2] < best[:2]:
+                    best = row
+        if n == 0:
+            return
+        if state.exists:
+            first_doc, first_pos, dropped = state.get
+            # every arriving copy except a re-delivered winner row counts
+            if (best[0], best[1]) == (first_doc, first_pos):
+                n_drop = n - 1
+            else:
+                n_drop = n
+            if n_drop == 0:
+                return
+            dropped += n_drop
+            state.update((first_doc, first_pos, dropped))
+            yield pd.DataFrame(
+                [(best[0], best[1], best[2], False, dropped)],
+                columns=["doc_id", "pos", "span", "kept", "n_dropped"],
+            )
+        else:
+            dropped = n - 1
+            state.update((best[0], best[1], dropped))
+            yield pd.DataFrame(
+                [(best[0], best[1], best[2], True, dropped)],
+                columns=["doc_id", "pos", "span", "kept", "n_dropped"],
+            )
+
+    return keyed.groupBy("_h").applyInPandasWithState(
+        keep,
+        outputStructType=(
+            "doc_id long, pos int, span string, kept boolean, n_dropped long"
+        ),
+        stateStructType="first_doc long, first_pos int, dropped long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_span_dedup(
+    pages_stream: DataFrame,
+    sep: str = "\n",
+    id_col: str = "doc_order",
+    text_col: str = "text",
+) -> DataFrame:
+    """Raw TEXT stream → incremental keep-first span dedup, end to end:
+    the batch operator's span explosion (streaming-safe projection +
+    posexplode + blank filter) feeding :func:`stateful_span_dedup`."""
+    from deduplication_framework_spark.operators.spans import explode_spans
+
+    spans = explode_spans(
+        pages_stream, id_col=id_col, text_col=text_col, sep=sep
+    )
+    return stateful_span_dedup(spans, id_col=id_col)
+
+
 def stream_text_candidates(
     pages_stream: DataFrame,
     cfg=None,

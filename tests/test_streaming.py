@@ -591,3 +591,69 @@ def test_stream_text_candidates_minhash(spark, pages, tmp_path):
         for r2 in spark.sql("SELECT src, dst FROM txt_cands").collect()
     }
     assert got == expected
+
+
+def test_stream_span_dedup_matches_batch_keep_first(spark, tmp_path):
+    """Streaming keep-first span dedup: across micro-batches fed in doc
+    order, the kept span set equals the batch operator's keep-first over
+    the concatenated corpus, and drop accounting sums to the duplicate
+    copy count."""
+    from deduplication_framework_spark.operators.spans import (
+        dedup_spans_df,
+        explode_spans,
+    )
+    from deduplication_framework_spark.streaming.stateful import (
+        stream_span_dedup,
+    )
+
+    rows = [
+        (0, "alpha\nboiler\nbeta"),
+        (1, "boiler\ngamma"),
+        (2, "delta\nboiler\nalpha"),
+        (3, "epsilon\ngamma\nepsilon"),
+        (4, "boiler"),
+        (5, "zeta\ndelta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_order", "text"])
+    batch_kept = {
+        (r.doc_order, r.pos, r.span)
+        for r in dedup_spans_df(
+            explode_spans(docs, id_col="doc_order"), id_col="doc_order"
+        ).collect()
+    }
+    n_total = explode_spans(docs, id_col="doc_order").count()
+
+    src = tmp_path / "span_stream"
+    src.mkdir()
+    for i, chunk in enumerate((rows[:2], rows[2:4], rows[4:])):
+        spark.createDataFrame(chunk, "doc_order long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_order long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    q = (
+        stream_span_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("span_keep")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "span_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "SELECT doc_id, pos, span, kept, n_dropped FROM span_keep"
+    ).collect()
+    got_kept = {(r.doc_id, r.pos, r.span) for r in out if r.kept}
+    assert got_kept == batch_kept
+    # per-span cumulative counters: the max per span is the final count;
+    # their sum equals every duplicate copy in the corpus
+    final_drops = {}
+    for r in out:
+        final_drops[r.span] = max(final_drops.get(r.span, 0), r.n_dropped)
+    assert sum(final_drops.values()) == n_total - len(batch_kept)
