@@ -52,3 +52,26 @@ def test_windowed_dedup_plan_has_no_single_partition_exchange(spark, pages):
     )
     plan = _plan(out)
     assert "SinglePartition" not in plan, plan
+
+
+def test_span_keep_first_plan_combines_map_side(spark):
+    """dedup_spans_df's skew posture (a 1M-copy boilerplate span must
+    collapse per map partition, not funnel through one window task):
+    the plan must be a partial-then-final min aggregation with the
+    partial BEFORE the shuffle, and no Window node at all."""
+    from deduplication_framework_spark.operators.spans import (
+        dedup_spans_df,
+        explode_spans,
+    )
+
+    import re
+
+    df = spark.createDataFrame([(1, "a\nb"), (2, "b\nc")], ["doc_id", "text"])
+    plan = _plan(dedup_spans_df(explode_spans(df), id_col="doc_id"))
+    assert "Window" not in plan, plan
+    # the detail section numbers nodes bottom-up: the partial aggregate
+    # must be an EARLIER node than the shuffle it feeds
+    agg = re.search(r"\((\d+)\) \w*Aggregate\n(?:.*\n)*?.*partial_min", plan)
+    exch = re.search(r"\((\d+)\) Exchange", plan)
+    assert agg and exch, plan
+    assert int(agg.group(1)) < int(exch.group(1)), plan
