@@ -1068,6 +1068,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_minhash_clusters(spark, "/root/testdata/sf0.001")
 
 
+def q_incremental_new_docs(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup: docs of the 'new batch'
+    (doc_id % 4 == 0) whose md5(text) never occurs in the 'historical
+    corpus' (doc_id % 4 != 0). The Bloom filter only routes rows —
+    definitely-new skips the join, possible-dups are exactly verified —
+    so the result is exact anti-join semantics (operators/bloom.py)."""
+    from deduplication_framework_spark.operators.bloom import (
+        incremental_new_rows,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    res, _stats = incremental_new_rows(
+        new, old, key_col="text", out_hash_col="text_md5"
+    )
+    return res.select("doc_id", "text_md5")
+
+
+def q_latest_events(spark, sf_dir):
+    """Keep-latest snapshot per (user_id, event_type) — the (url, warc_ts)
+    recrawl pattern; max-of-struct aggregation with map-side combine, not
+    a window (operators/snapshots.py)."""
+    from deduplication_framework_spark.operators.snapshots import (
+        latest_snapshot,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    latest = latest_snapshot(
+        ev, ["user_id", "event_type"], "ts", tie_cols=["event_id"]
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        # ts is TIMESTAMP_NTZ; session TZ is UTC, so the cast is the
+        # identity instant and matches DuckDB's naive epoch_us(ts)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -1109,6 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_stats": q_props_json_stats,
         "bpe_ish_token_counts": q_bpe_ish_token_counts,
         "lang_source_cube": q_lang_source_cube,
+        "incremental_new_docs": q_incremental_new_docs,
+        "latest_events": q_latest_events,
     }
 
 
@@ -1418,6 +1462,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY CUBE (lang, source)
+        """,
+        # exact anti-join semantics: the Spark side's Bloom filter only
+        # routes rows (definitely-new skips the join; possible-dups are
+        # exactly verified), it never decides membership
+        "incremental_new_docs": """
+            SELECT n.doc_id, md5(n.text) AS text_md5
+            FROM documents n
+            WHERE n.doc_id % 4 = 0
+              AND NOT EXISTS (
+                  SELECT 1 FROM documents o
+                  WHERE o.doc_id % 4 <> 0 AND md5(o.text) = md5(n.text)
+              )
+        """,
+        "latest_events": """
+            SELECT user_id, event_type,
+                   epoch_us(ts) AS last_ts_us,
+                   event_id AS last_event_id,
+                   value AS last_value
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         # the suffix-array detector's semantics ARE SQL-expressible even
         # though its implementation (128-bit L-gram bucketing + distributed

@@ -1,0 +1,267 @@
+"""Bloom-prefiltered incremental exact dedup (new batch vs existing corpus).
+
+Beyond-reference addition from the public training-data playbook: a web
+pipeline re-crawls daily, and each new batch must be deduplicated against
+the full historical corpus (10^12 docs) — not just against itself. The
+reference deduplicates a single static snapshot (``clean_the_dataset.py``,
+``text/method/pipeline_api.py``); at recrawl scale a plain anti-join
+would shuffle the entire historical key set every day.
+
+Spark form, scale posture:
+
+* the historical corpus is scanned ONCE to build a Bloom filter over its
+  ``md5(text)`` keys — a map-side explode of k bit positions plus one tiny
+  shuffle of (word_index, or-mask) rows (≤ m/64 rows total, independent of
+  corpus row count), never a shuffle of corpus rows;
+* the new batch is filtered MAP-SIDE against the broadcast bit array:
+  rows whose key misses any bit are *definitely new* (Bloom filters have
+  no false negatives) and skip the join entirely;
+* only the possible-dup survivors (true dups + ~fpp false positives) are
+  verified with an exact key join, so the final answer is EXACT — the
+  Bloom filter only routes rows, it never decides them. Under
+  ``candidate_broadcast_threshold`` the verify step broadcasts the
+  candidate keys and semi-joins the historical side map-side (the big
+  corpus is never shuffled at all); above it, it falls back to a plain
+  hash-partitioned anti-join of candidates vs corpus keys.
+
+Driver-side memory: the collected bit array is ``m_bits/8`` bytes
+(~1.2 MB per million corpus docs at fpp=1e-3). ``max_bits`` fail-fasts
+past the single-array budget (mirroring the brute-force ANN guard); past
+that, shard the key space by ``pmod(xxhash64(key), n_shards)`` and build
+one filter per shard with the batch repartitioned the same way — the
+build below is already per-word distributed, so sharding only changes
+the driver-side collect.
+
+Hashing: k bit positions are derived from two independent JVM-side
+``xxhash64`` values via Kirsch–Mitzenmacher double hashing
+(pos_i = (h1 + i*h2) mod m), so Python never hashes — the membership UDF
+is a pure vectorized numpy bit-gather over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .lsh import _persist_tracked
+
+__all__ = [
+    "BloomFilter",
+    "bloom_build",
+    "bloom_might_contain",
+    "incremental_new_rows",
+]
+
+# Second-hash salt column: xxhash64(key, lit(_H2_SALT)) is independent of
+# xxhash64(key) because the extra hashed column changes the input stream.
+_H2_SALT = "dedup-bloom-h2"
+_MAX_K = 32
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Driver-side model: ``words[i]`` holds bits [64*i, 64*i+64)."""
+
+    words: np.ndarray  # int64, JVM-sign-compatible; view as uint64 to test
+    m_bits: int
+    k: int
+    n_items: int  # expected_items the sizing was computed for
+
+    @property
+    def n_bytes(self) -> int:
+        return int(self.words.nbytes)
+
+
+def bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Standard sizing: m = -n·ln p / ln²2 bits (rounded up to a word),
+    k = (m/n)·ln 2 hashes, clamped to [1, 32]."""
+    n = max(int(expected_items), 1)
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0,1), got {fpp}")
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, ((m + 63) // 64) * 64)
+    k = max(1, min(_MAX_K, round(m / n * math.log(2))))
+    return m, k
+
+
+def _positions(key: Column, k: int, m_bits: int) -> Column:
+    """array<long> of the k bit positions for ``key``.
+
+    ANSI-safe: both hashes are reduced mod m BEFORE the i*h2 multiply, so
+    with m ≤ 2^31 and k ≤ 32 every intermediate stays under 2^37 — no
+    64-bit overflow for Spark's ANSI mode to reject.
+    """
+    m = F.lit(m_bits)
+    h1 = F.pmod(F.xxhash64(key), m)
+    h2 = F.pmod(F.xxhash64(key, F.lit(_H2_SALT)), m)
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, m) for i in range(k)])
+
+
+def bloom_build(
+    df: DataFrame,
+    key: Column,
+    *,
+    expected_items: int | None = None,
+    fpp: float = 1e-3,
+    max_bits: int = 1 << 31,
+) -> BloomFilter:
+    """Distributed build over ``key`` evaluated on ``df``.
+
+    Two jobs: an optional count (when ``expected_items`` is not given) and
+    the build itself — explode k positions per row, or-combine masks per
+    64-bit word (map-side partial aggregation collapses hot words before
+    the shuffle), collect ≤ m/64 (word, mask) rows.
+    """
+    if expected_items is None:
+        expected_items = df.count()
+    m_bits, k = bloom_params(expected_items, fpp)
+    if m_bits > max_bits:
+        raise ValueError(
+            f"bloom of {expected_items} items at fpp={fpp} needs {m_bits} bits "
+            f"> max_bits={max_bits} (~{max_bits >> 23} MB driver/broadcast); "
+            "shard the key space by pmod(xxhash64(key), n_shards) and build "
+            "one filter per shard, or raise max_bits explicitly"
+        )
+    rows = (
+        df.select(F.explode(_positions(key, k, m_bits)).alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            # pyspark's shiftleft() wrapper only takes a literal shift;
+            # the SQL form accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    words = np.zeros(m_bits // 64, dtype=np.int64)
+    if rows:
+        idx = np.fromiter((r["word"] for r in rows), dtype=np.int64, count=len(rows))
+        bits = np.fromiter((r["bits"] for r in rows), dtype=np.int64, count=len(rows))
+        words[idx] = bits
+    return BloomFilter(words=words, m_bits=m_bits, k=k, n_items=int(expected_items))
+
+
+def bloom_might_contain(
+    spark: SparkSession, bloom: BloomFilter, key: Column
+) -> Column:
+    """boolean Column: False ⇒ key is DEFINITELY absent from the build set;
+    True ⇒ present or a false positive (rate ≈ fpp at the sized n).
+
+    The bit array ships once per executor as a Spark broadcast; the UDF is
+    a vectorized uint64 gather — no Python hashing, no per-row work.
+    """
+    bc = spark.sparkContext.broadcast(bloom.words)
+    k = bloom.k
+
+    @pandas_udf("boolean")
+    def _contains(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series(np.empty(0, dtype=bool))
+        words = bc.value.view(np.uint64)
+        mat = np.asarray(pos.tolist(), dtype=np.int64).reshape(len(pos), k)
+        bit = (mat & 63).astype(np.uint64)
+        hit = (words[mat >> 6] >> bit) & np.uint64(1)
+        return pd.Series(hit.all(axis=1))
+
+    return _contains(_positions(key, k, bloom.m_bits))
+
+
+def incremental_new_rows(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    *,
+    key_col: str = "text",
+    hash_fn: str = "md5",
+    fpp: float = 1e-3,
+    candidate_broadcast_threshold: int = 2_000_000,
+    bloom: BloomFilter | None = None,
+    out_hash_col: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """Rows of ``new_df`` whose hashed ``key_col`` never occurs in
+    ``old_df`` — EXACT anti-join semantics, Bloom-accelerated.
+
+    Within-batch duplicates are preserved (run ``exact_dedup`` on the
+    batch separately if wanted); NULL keys hash to NULL and are treated
+    as new (never joinable), matching SQL NOT EXISTS.
+
+    Returns ``(result_df, stats)`` with stats =
+    {n_new_batch, n_definite_new, n_candidates, n_dup_keys, m_bits, k,
+    verify_path}. Runs eager census jobs (build + candidate count) and
+    persists the prefiltered batch via the shared tracked-cache registry
+    (released by ``lsh.release_census_caches()`` / pipeline end).
+    """
+    spark = new_df.sparkSession
+    if hash_fn == "md5":
+        hexpr = lambda c: F.md5(F.col(c))  # noqa: E731
+    elif hash_fn == "sha1":
+        hexpr = lambda c: F.sha1(F.col(c))  # noqa: E731
+    else:
+        raise ValueError(f"hash_fn must be md5|sha1, got {hash_fn!r}")
+
+    if bloom is None:
+        bloom = bloom_build(old_df, hexpr(key_col), fpp=fpp)
+    maybe = bloom_might_contain(spark, bloom, hexpr(key_col))
+    tagged = _persist_tracked(
+        new_df.withColumn("_k", hexpr(key_col)).withColumn(
+            "_maybe", F.coalesce(maybe, F.lit(False))
+        )
+    )
+    n_batch = tagged.count()  # eager: materialize the cache once
+    n_cands = tagged.filter("_maybe").count()
+
+    out_cols = list(new_df.columns)
+    if out_hash_col is not None:
+        out_cols.append(out_hash_col)
+        tagged = tagged.withColumn(out_hash_col, F.col("_k"))
+    definite = tagged.filter(~F.col("_maybe")).select(*out_cols)
+    cands = tagged.filter("_maybe")
+    old_keys = old_df.select(hexpr(key_col).alias("_k")).filter(
+        F.col("_k").isNotNull()
+    )
+
+    if n_cands == 0:
+        return definite, {
+            "n_new_batch": n_batch,
+            "n_definite_new": n_batch,
+            "n_candidates": 0,
+            "n_dup_keys": 0,
+            "m_bits": bloom.m_bits,
+            "k": bloom.k,
+            "verify_path": "none",
+        }
+
+    if n_cands <= candidate_broadcast_threshold:
+        # Historical corpus is never shuffled: candidate keys broadcast
+        # into a map-side semi-join over old, then the (small) true-dup
+        # key set broadcasts back into the anti-join.
+        verify_path = "broadcast"
+        cand_keys = cands.select("_k").distinct()
+        dup_keys = _persist_tracked(
+            old_keys.join(F.broadcast(cand_keys), "_k", "left_semi").distinct()
+        )
+        n_dup_keys = dup_keys.count()
+        survivors = cands.join(F.broadcast(dup_keys), "_k", "left_anti")
+    else:
+        verify_path = "shuffle"
+        n_dup_keys = -1  # not separately counted on the shuffle path
+        survivors = cands.join(old_keys, "_k", "left_anti")
+
+    result = definite.unionByName(survivors.select(*out_cols))
+    return result, {
+        "n_new_batch": n_batch,
+        "n_definite_new": n_batch - n_cands,
+        "n_candidates": n_cands,
+        "n_dup_keys": n_dup_keys,
+        "m_bits": bloom.m_bits,
+        "k": bloom.k,
+        "verify_path": verify_path,
+    }

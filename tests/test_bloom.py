@@ -1,0 +1,150 @@
+"""Bloom-prefiltered incremental dedup (operators/bloom.py).
+
+The product contract is EXACT anti-join semantics — the Bloom filter may
+only route rows (definitely-new vs needs-verify), never decide them — so
+every path (broadcast verify, shuffle verify, no candidates) is compared
+against a plain left_anti join on the same corpus.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.operators.bloom import (
+    BloomFilter,
+    bloom_build,
+    bloom_might_contain,
+    bloom_params,
+    incremental_new_rows,
+)
+
+
+def _corpus(spark, lo, hi, dup_every=3):
+    """doc_id in [lo, hi); every dup_every-th doc repeats the text of the
+    previous multiple, so batches overlap content-wise across id ranges."""
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("text-"), ((F.col("id") / dup_every).cast("long") * dup_every)
+        ).alias("text"),
+    )
+
+
+def _expected_new(new, old):
+    return sorted(
+        r.doc_id
+        for r in new.join(
+            old.select(F.md5("text").alias("k")).distinct(),
+            F.md5(new["text"]) == F.col("k"),
+            "left_anti",
+        ).collect()
+    )
+
+
+def test_bloom_params_sizing():
+    m, k = bloom_params(1000, 0.01)
+    assert m % 64 == 0 and 9000 < m < 11000  # ~9.59 bits/item
+    assert 5 <= k <= 9
+    m1, k1 = bloom_params(0, 0.5)  # degenerate: still a valid tiny filter
+    assert m1 == 64 and k1 >= 1
+    with pytest.raises(ValueError):
+        bloom_params(10, 1.5)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    n = 2000
+    df = spark.range(n).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    bloom = bloom_build(df, F.col("key"), fpp=0.01)
+    hits = df.withColumn(
+        "m", bloom_might_contain(spark, bloom, F.col("key"))
+    ).filter("m")
+    assert hits.count() == n  # a Bloom filter NEVER false-negatives
+    probes = spark.range(n, 21 * n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    fp = (
+        probes.withColumn("m", bloom_might_contain(spark, bloom, F.col("key")))
+        .filter("m")
+        .count()
+    )
+    assert fp / (20 * n) < 0.05  # sized for 1%; generous slack for variance
+
+
+def test_max_bits_guard(spark):
+    df = spark.range(1).select(F.col("id").cast("string").alias("key"))
+    with pytest.raises(ValueError, match="shard the key space"):
+        bloom_build(
+            df, F.col("key"), expected_items=10**12, fpp=1e-3, max_bits=1 << 31
+        )
+
+
+@pytest.mark.parametrize("threshold", [2_000_000, 0])
+def test_incremental_matches_anti_join(spark, threshold):
+    old = _corpus(spark, 0, 900)
+    new = _corpus(spark, 600, 1500)
+    res, stats = incremental_new_rows(
+        new,
+        old,
+        key_col="text",
+        candidate_broadcast_threshold=threshold,
+        out_hash_col="h",
+    )
+    got = sorted(r.doc_id for r in res.collect())
+    assert got == _expected_new(new, old)
+    assert stats["verify_path"] == ("shuffle" if threshold == 0 else "broadcast")
+    assert stats["n_definite_new"] + stats["n_candidates"] == stats["n_new_batch"]
+    # every true dup must be routed through the candidate path
+    n_true_dups = stats["n_new_batch"] - len(got)
+    assert stats["n_candidates"] >= n_true_dups
+    # the hash column matches Spark's md5 of the text
+    bad = res.filter(F.col("h") != F.md5("text")).count()
+    assert bad == 0
+
+
+def test_incremental_empty_old_and_all_dup(spark):
+    new = _corpus(spark, 0, 300)
+    empty = new.filter("doc_id < 0")
+    res, stats = incremental_new_rows(new, empty, key_col="text")
+    assert res.count() == 300 and stats["verify_path"] == "none"
+    res2, stats2 = incremental_new_rows(new, new, key_col="text")
+    assert res2.count() == 0
+    assert stats2["n_candidates"] == 300  # all routed to verify
+
+
+def test_incremental_null_keys_are_new(spark):
+    old = _corpus(spark, 0, 100)
+    new = spark.createDataFrame(
+        [(1, "text-0"), (2, None), (3, "fresh")], ["doc_id", "text"]
+    )
+    res, _ = incremental_new_rows(new, old, key_col="text")
+    assert sorted(r.doc_id for r in res.collect()) == [2, 3]  # NULL ⇒ new
+
+
+def test_incremental_within_batch_dups_preserved(spark):
+    old = _corpus(spark, 0, 10)
+    new = spark.createDataFrame(
+        [(100, "same"), (101, "same")], ["doc_id", "text"]
+    )
+    res, _ = incremental_new_rows(new, old, key_col="text")
+    assert res.count() == 2  # batch-internal dedup is a separate concern
+
+
+def test_prebuilt_bloom_reuse(spark):
+    """A persisted filter (e.g. rebuilt from a checkpoint) can be passed
+    in, skipping the corpus scan — the daily-recrawl calling pattern."""
+    old = _corpus(spark, 0, 500)
+    bloom = bloom_build(old, F.md5("text"), fpp=1e-3)
+    assert isinstance(bloom, BloomFilter) and bloom.n_bytes == bloom.m_bits // 8
+    new = _corpus(spark, 400, 700)
+    res, stats = incremental_new_rows(new, old, key_col="text", bloom=bloom)
+    assert sorted(r.doc_id for r in res.collect()) == _expected_new(new, old)
+    assert stats["m_bits"] == bloom.m_bits
+
+
+def test_membership_udf_empty_partition(spark):
+    df = spark.range(0).select(F.col("id").cast("string").alias("key"))
+    bloom = BloomFilter(
+        words=np.zeros(4, dtype=np.int64), m_bits=256, k=3, n_items=1
+    )
+    out = df.withColumn("m", bloom_might_contain(spark, bloom, F.col("key")))
+    assert out.count() == 0

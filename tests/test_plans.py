@@ -75,3 +75,61 @@ def test_span_keep_first_plan_combines_map_side(spark):
     exch = re.search(r"\((\d+)\) Exchange", plan)
     assert agg and exch, plan
     assert int(agg.group(1)) < int(exch.group(1)), plan
+
+
+def test_latest_snapshot_plan_combines_map_side(spark):
+    """Same skew posture as the span keep-first: a url recrawled millions
+    of times must collapse per map partition (partial max before the
+    shuffle), never funnel through one window task."""
+    import re
+
+    from deduplication_framework_spark.operators.snapshots import (
+        latest_snapshot,
+    )
+
+    df = spark.createDataFrame(
+        [("u", 1, 10, "a"), ("u", 2, 11, "b")],
+        ["url", "warc_ts", "cap_id", "text"],
+    )
+    plan = _plan(latest_snapshot(df, ["url"], "warc_ts", ["cap_id"]))
+    assert "Window" not in plan, plan
+    agg = re.search(r"\((\d+)\) \w*Aggregate\n(?:.*\n)*?.*partial_max", plan)
+    exch = re.search(r"\((\d+)\) Exchange", plan)
+    assert agg and exch, plan
+    assert int(agg.group(1)) < int(exch.group(1)), plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join evidence: two tables bucketed by the join key into
+    the same bucket count join WITHOUT any shuffle — the physical plan has
+    zero Exchange nodes. This is the repeated-join posture for corpus-scale
+    tables (signature/edge checkpoints keyed by doc_id): pay the
+    partitioning once at write time, reuse it every join."""
+    from pyspark.sql import functions as F
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("b")
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df in [("_bkt_l", left), ("_bkt_r", right)]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.bucketBy(8, "doc_id")
+                .sortBy("doc_id")
+                .option("path", str(tmp_path / name))
+                .saveAsTable(name)
+            )
+        joined = spark.table("_bkt_l").join(spark.table("_bkt_r"), "doc_id")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS _bkt_l")
+        spark.sql("DROP TABLE IF EXISTS _bkt_r")
