@@ -219,6 +219,102 @@ def skew_salting_evidence(spark, n_docs: int = 2000, bucket_cap: int = 8):
     }
 
 
+def incremental_bloom_evidence(spark, pages):
+    """Recrawl dedup evidence: the Bloom-prefiltered incremental path
+    (operators/bloom.py) must return EXACTLY the plain anti-join's answer
+    while routing only candidates into a join. The batch is the corpus's
+    'new quarter' plus a re-crawled slice of the historical corpus under
+    fresh ids — ~1/3 of the batch is already in history, the recrawl
+    shape. The JSON carries candidate routing counts, the measured
+    false-positive count (asserted under 1% of the definitely-new mass),
+    and single-shot walls for both paths (context only — host-supply
+    noise; the tracked minimum lives in the workload list)."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.bloom import (
+        incremental_new_rows,
+    )
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    old = pages.filter("doc_order % 4 != 0").select("doc_order", "text")
+    fresh = pages.filter("doc_order % 4 = 0").select("doc_order", "text")
+    recrawl = old.filter("doc_order % 8 = 1").select(
+        (F.col("doc_order") + 10_000_000).alias("doc_order"), "text"
+    )
+    new = fresh.unionByName(recrawl)
+
+    t0 = time.time()
+    res, stats = incremental_new_rows(new, old, key_col="text")
+    n_bloom = res.count()
+    t_bloom = time.time() - t0
+
+    t0 = time.time()
+    plain = new.join(
+        old.select(F.md5("text").alias("_k")).distinct(),
+        F.md5(new["text"]) == F.col("_k"),
+        "left_anti",
+    )
+    n_plain = plain.count()
+    t_plain = time.time() - t0
+
+    diff = (
+        res.select("doc_order").exceptAll(plain.select("doc_order")).count()
+        + plain.select("doc_order").exceptAll(res.select("doc_order")).count()
+    )
+    assert diff == 0 and n_bloom == n_plain, (
+        f"bloom path diverged from anti-join: {n_bloom} vs {n_plain}, "
+        f"symdiff {diff}"
+    )
+    n_true_dups = stats["n_new_batch"] - n_plain
+    n_fp = stats["n_candidates"] - n_true_dups
+    assert 0 <= n_fp <= max(20, 0.01 * stats["n_definite_new"] + 10), (
+        f"bloom false positives out of budget: {n_fp}"
+    )
+    release_census_caches()
+    spark.catalog.clearCache()
+    return {
+        "n_batch": stats["n_new_batch"],
+        "n_history": old.count(),
+        "n_new": n_plain,
+        "n_definite_new": stats["n_definite_new"],
+        "n_candidates": stats["n_candidates"],
+        "n_false_positive": n_fp,
+        "verify_path": stats["verify_path"],
+        "m_bits": stats["m_bits"],
+        "k": stats["k"],
+        "wall_bloom_once": round(t_bloom, 3),
+        "wall_antijoin_once": round(t_plain, 3),
+    }
+
+
+def bench_incremental_bloom(spark, pages):
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.bloom import (
+        incremental_new_rows,
+    )
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    old = pages.filter("doc_order % 4 != 0").select("doc_order", "text")
+    fresh = pages.filter("doc_order % 4 = 0").select("doc_order", "text")
+    recrawl = old.filter("doc_order % 8 = 1").select(
+        (F.col("doc_order") + 10_000_000).alias("doc_order"), "text"
+    )
+    new = fresh.unionByName(recrawl)
+
+    def run():
+        res, _ = incremental_new_rows(new, old, key_col="text")
+        n = res.count()
+        release_census_caches()
+        return n
+
+    return run
+
+
 def main():
     scaling = "--scaling" in sys.argv
     reps = int(os.environ.get("BENCH_REPS", "2"))
@@ -246,6 +342,7 @@ def main():
     ]
     cc_run, cc_stats = bench_distributed_cc(spark)
     workloads.append(("cc_distributed_chain_1m2_edges", cc_run))
+    workloads.append(("incremental_bloom_e2e", bench_incremental_bloom(spark, pages)))
     workloads += [
         (f"q_{name}", (lambda n: lambda: qs[n](spark, SF_DIR).count())(name))
         for name in [
@@ -301,6 +398,7 @@ def main():
 
     recall = minhash_recall_evidence(spark)
     skew = skew_salting_evidence(spark)
+    inc_bloom = incremental_bloom_evidence(spark, pages)
 
     scaling_report = None
     if scaling:
@@ -320,6 +418,7 @@ def main():
         "minhash_recall_vs_oracle": recall,
         "distributed_cc": cc_stats,
         "skew_salting": skew,
+        "incremental_bloom": inc_bloom,
     }
     if scaling_report:
         line["scaling"] = scaling_report

@@ -43,6 +43,12 @@ def main(argv=None) -> int:
                         "span (split on SEP_REGEX, default newline) whose "
                         "text occurred earlier in the corpus, then dedup the "
                         "reassembled docs; docs left empty are removed")
+    p.add_argument("--dedup-against", default=None, metavar="PATH",
+                   help="incremental recrawl mode: parquet of the "
+                        "historical corpus (any frame with a text column); "
+                        "batch docs whose md5(text) already occurs there "
+                        "are dropped BEFORE the pipeline via a Bloom "
+                        "prefilter + exact verify join (operators/bloom.py)")
     p.add_argument("--sweep", default=None,
                    help="comma list of thresholds: run the threshold sweep "
                         "(reference clean_batch_dataset analog) instead of a "
@@ -77,12 +83,25 @@ def main(argv=None) -> int:
     detectors = [d.strip() for d in args.detectors.split(",") if d.strip()]
 
     span_metrics: dict = {}
-    input_tag = ""
+    input_tags = []
+    if args.dedup_against is not None:
+        if args.sweep:
+            p.error("--dedup-against is not supported with --sweep")
+        pages, inc_metrics = _incremental_pages(
+            spark, pages, args.dedup_against
+        )
+        span_metrics.update(inc_metrics)
+        # resume key carries the PATH, not the content — re-point the
+        # flag (or clear the checkpoint) if the historical corpus at the
+        # same path changes, the same contract --input itself has
+        input_tags.append(f"dedup_against:{args.dedup_against}")
     if args.span_dedup is not None:
         if args.sweep:
             p.error("--span-dedup is not supported with --sweep")
-        pages, span_metrics = _span_dedup_pages(pages, sep=args.span_dedup)
-        input_tag = f"span_dedup:{args.span_dedup}"
+        pages, sd_metrics = _span_dedup_pages(pages, sep=args.span_dedup)
+        span_metrics.update(sd_metrics)
+        input_tags.append(f"span_dedup:{args.span_dedup}")
+    input_tag = "|".join(input_tags)
 
     if args.sweep:
         import os
@@ -161,6 +180,34 @@ def main(argv=None) -> int:
     with open(f"{args.output}/report.md", "w") as fh:
         fh.write(report)
     return 0
+
+
+def _incremental_pages(spark, pages, against_path: str):
+    """pages → (pages minus docs whose md5(text) occurs in the historical
+    corpus at ``against_path``, metrics). Runs BEFORE --span-dedup and the
+    pipeline: the cheapest prefilter first, and span/near-dup detection
+    then only sees genuinely new documents — the daily-recrawl posture
+    (the historical corpus is scanned once for the Bloom build and for
+    the map-side verify semi-join, never shuffled)."""
+    from deduplication_framework_spark.operators.bloom import (
+        incremental_new_rows,
+    )
+
+    old = spark.read.parquet(against_path)
+    if "text" not in old.columns:
+        raise ValueError(
+            f"--dedup-against parquet at {against_path} has no text column "
+            f"(columns: {old.columns})"
+        )
+    out, stats = incremental_new_rows(pages, old, key_col="text")
+    metrics = {
+        "incremental.n_batch": float(stats["n_new_batch"]),
+        "incremental.n_definite_new": float(stats["n_definite_new"]),
+        "incremental.n_candidates": float(stats["n_candidates"]),
+        # survivors of the verify join are counted by the pipeline itself
+        # (summary "docs" = post-filter batch size)
+    }
+    return out, metrics
 
 
 def _span_dedup_pages(pages, sep: str):

@@ -109,7 +109,23 @@ def assemble_dedup(
     the shared shuffle plan. ``doc_ids`` carries every document that must
     appear in the output, including those whose spans all deduped away."""
     kept = dedup_spans_df(spans, id_col=id_col, order_col=order_col)
+    return reassemble_spans(
+        doc_ids, spans, kept, id_col=id_col, join_sep=join_sep
+    )
 
+
+def reassemble_spans(
+    doc_ids: DataFrame,
+    spans: DataFrame,
+    kept: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """(all spans, surviving spans) → per-doc (id, n_spans, n_kept,
+    text_dedup) with survivors re-joined in original position order —
+    the reassembly half of ``assemble_dedup``, reusable by any keep
+    policy (exact keep-first, near-dup cluster keep-first, ...)."""
     per_doc_total = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
     per_doc_kept = kept.groupBy(id_col).agg(
         F.count("*").alias("n_kept"),
@@ -132,3 +148,93 @@ def assemble_dedup(
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
+
+
+def near_dedup_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    join_sep: str = "\n",
+    order_col: str | None = None,
+    cfg=None,
+) -> tuple[DataFrame, dict]:
+    """Fuzzy span-level dedup: keep the global FIRST occurrence of each
+    NEAR-duplicate span cluster (Jaccard >= cfg.dedup.threshold), drop
+    every other member — the near-dup generalization of ``dedup_spans``
+    (SlimPajama/Dolma-style paragraph dedup where lightly-edited
+    boilerplate must still collapse).
+
+    Reuses the document pipeline's detector machinery at span
+    granularity, with the exact pass as a rep-collapse prefix (the same
+    structural win as suffix_array's collapse_exact):
+
+    1. exact keep-first (``dedup_spans_df``) collapses byte-identical
+       spans to their earliest occurrence — a million-copy boilerplate
+       span enters MinHash ONCE;
+    2. reps get a 64-bit identity ``xxhash64(span)`` (distinct texts by
+       construction; a collision would weld two clusters at ~2^-64 per
+       rep pair — the budget already accepted by ``operators/exact.py``);
+    3. datasketch-spec MinHash signatures → LSH bands →
+       ``candidate_pairs`` (salted/capped hot buckets) → exact-Jaccard
+       verification (``verify_jaccard``) → connected components;
+    4. per cluster, the surviving span is the rep with the smallest
+       (order, pos) — min-of-struct, map-side combinable;
+    5. reassembly via the shared ``reassemble_spans`` shuffle plan.
+
+    Returns (per-doc frame like ``dedup_spans``, info dict with
+    ``cc_rounds`` and the LSH ``bucket_stats`` frame). Persists the rep
+    frame via the shared tracked-cache registry — call
+    ``lsh.release_census_caches()`` (or run inside the pipeline) to free.
+    """
+    from ..config import PipelineConfig
+    from ..functions import kernels as K
+    from ..functions.text import make_minhash_udf, make_shingles_udf
+    from .connected_components import connected_components
+    from .lsh import _persist_tracked, candidate_pairs, minhash_bands
+    from .verify import verify_jaccard
+
+    cfg = cfg or PipelineConfig()
+    order_col = order_col or id_col
+
+    spans = explode_spans(docs, id_col=id_col, text_col=text_col, sep=sep)
+    reps = _persist_tracked(
+        dedup_spans_df(spans, id_col=id_col, order_col=order_col)
+        .withColumn("_rid", F.xxhash64("span"))
+    )
+    n_reps = reps.count()  # eager: one materialization before the fan-out
+
+    sig_udf = make_minhash_udf(cfg.embedding, cfg.dedup)
+    b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
+    bands = minhash_bands(
+        reps.select("_rid", sig_udf(F.col("span")).alias("sig")),
+        b, r, id_col="_rid",
+    )
+    pairs, bucket_stats = candidate_pairs(
+        bands, bucket_cap=cfg.spark.bucket_cap, id_col="_rid"
+    )
+    shingle_udf = make_shingles_udf(cfg.embedding)
+    feats = reps.select("_rid", shingle_udf(F.col("span")).alias("shingles"))
+    edges = verify_jaccard(
+        pairs, feats, cfg.dedup.threshold, id_col="_rid", feat_col="shingles"
+    )
+    labels, cc_rounds = connected_components(edges)
+
+    clustered = reps.join(
+        labels.withColumnRenamed("doc_id", "_rid"), "_rid", "left"
+    ).withColumn("_cl", F.coalesce("cluster_id", F.col("_rid")))
+    keepers = (
+        clustered.groupBy("_cl")
+        .agg(F.min(F.struct(order_col, "pos", "_rid")).alias("_w"))
+        .select(F.col("_w._rid").alias("_rid"))
+    )
+    kept = reps.join(keepers, "_rid", "left_semi").drop("_rid")
+    out = reassemble_spans(
+        docs.select(id_col), spans, kept, id_col=id_col, join_sep=join_sep
+    )
+    return out, {
+        "cc_rounds": cc_rounds,
+        "n_exact_reps": n_reps,
+        "bucket_stats": bucket_stats,
+    }

@@ -55,3 +55,62 @@ def test_cli_sweep(spark, tmp_path):
     # one persisted keeper set per theta
     assert os.path.isdir(os.path.join(out, "sweep_keepers", "theta=0.5"))
     assert os.path.isdir(os.path.join(out, "sweep_keepers", "theta=0.9"))
+
+
+def test_cli_dedup_against(spark, tmp_path):
+    """Incremental recrawl mode: docs whose text already exists in the
+    historical parquet are dropped before the pipeline; the resume key is
+    isolated from a non-incremental run on the same checkpoint dir."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.sources.pages import generate_pages
+
+    hist = str(tmp_path / "hist")
+    # history = half the batch's texts (same generator, same seed)
+    corpus = generate_pages(spark, 200)
+    corpus.filter(F.col("doc_order") < 100).select("text").write.parquet(hist)
+    out = str(tmp_path / "out_inc")
+    rc = main(
+        [
+            "--synthetic", "200",
+            "--output", out,
+            "--detectors", "exact,minhash",
+            "--checkpoint-dir", str(tmp_path / "ckpt_inc"),
+            "--dedup-against", hist,
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "summary.json")) as fh:
+        summary = json.load(fh)
+    m = summary["metrics"]
+    assert m["incremental.n_batch"] == 200
+    # every historical text must be routed through the candidate path...
+    assert m["incremental.n_candidates"] >= 100
+    # ...and the pipeline only saw the genuinely new docs (docs 100..199,
+    # except batch-internal exact dups of historical texts also drop)
+    assert summary["docs"] <= 100
+    assert summary["docs"] >= 50
+
+
+def test_cli_dedup_against_rejects_sweep_and_bad_input(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--synthetic", "50",
+                "--output", str(tmp_path / "o1"),
+                "--sweep", "0.8",
+                "--dedup-against", str(tmp_path / "nope"),
+            ]
+        )
+    # parquet without a text column → named ValueError
+    spark.range(5).write.parquet(str(tmp_path / "notext"))
+    with pytest.raises(ValueError, match="no text column"):
+        main(
+            [
+                "--synthetic", "50",
+                "--output", str(tmp_path / "o2"),
+                "--dedup-against", str(tmp_path / "notext"),
+            ]
+        )

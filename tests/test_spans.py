@@ -144,3 +144,145 @@ def test_dedup_spans_df_order_col(spark):
     )
     kept = dedup_spans_df(spans, order_col="doc_order").collect()
     assert [(r.doc_id, r.span) for r in kept] == [(20, "dup")]
+
+
+class TestNearDedupSpans:
+    """near_dedup_spans vs a sequential exact-Jaccard oracle computed
+    from the SAME spec kernels (normalize + multigranularity grams) the
+    verify UDF uses — clusters are CC over all-pairs J >= threshold on
+    distinct span texts, keeper = earliest (doc, pos) occurrence.
+    Planted near-dups sit at J >= 0.9, far above the 0.8 threshold, so
+    LSH band capture is deterministic-complete at this scale."""
+
+    SEP = "\n"
+
+    def _corpus(self):
+        rng = random.Random(13)
+        base = ("this boilerplate footer sentence repeats across many "
+                "pages with only tiny edits over time word " * 2).strip()
+        variants = [
+            base,
+            base.replace("tiny", "small"),
+            base.replace("time", "months"),
+            base + " extra",
+        ]
+        docs = []
+        for i in range(30):
+            paras = [
+                f"unique paragraph {i}-{j} " + " ".join(
+                    rng.choice("red green blue cyan violet".split())
+                    for _ in range(8)
+                )
+                for j in range(2)
+            ]
+            if i % 3 == 0:
+                paras.insert(1, variants[(i // 3) % len(variants)])
+            docs.append((i, self.SEP.join(paras)))
+        return docs
+
+    def _oracle_fuzzy(self, docs, threshold):
+        from deduplication_framework_spark.config import PipelineConfig
+        from deduplication_framework_spark.functions import kernels as K
+
+        emb = PipelineConfig().embedding
+        first = {}  # span text -> (doc, pos)
+        order = []
+        for doc_id, text in docs:
+            for pos, s in enumerate(text.split(self.SEP)):
+                if s.strip() == "":
+                    continue
+                if s not in first:
+                    first[s] = (doc_id, pos)
+                    order.append(s)
+        feats = {
+            s: set(
+                K.multigranularity_ngrams(
+                    K.normalize_text(
+                        s, emb.lowercase, emb.strip_non_alnum,
+                        emb.collapse_whitespace, emb.strip_mode,
+                    ),
+                    emb.ngram_size,
+                )
+            )
+            for s in order
+        }
+        parent = {s: s for s in order}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, a in enumerate(order):
+            for b in order[i + 1:]:
+                fa, fb = feats[a], feats[b]
+                if not fa and not fb:
+                    continue
+                j = len(fa & fb) / len(fa | fb)
+                if j >= threshold:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[rb] = ra
+        keeper = {}
+        for s in order:
+            r = find(s)
+            if r not in keeper or first[s] < first[keeper[r]]:
+                keeper[r] = s
+        survivors = {keeper[find(s)] for s in order}
+        out = {}
+        for doc_id, text in docs:
+            spans = [s for s in text.split(self.SEP) if s.strip() != ""]
+            kept = [
+                s for pos, s in enumerate(spans)
+                if s in survivors and first[s] == (doc_id, pos)
+            ]
+            out[doc_id] = (len(spans), len(kept), self.SEP.join(kept))
+        return out
+
+    def test_matches_sequential_fuzzy_oracle(self, spark):
+        from deduplication_framework_spark.operators.lsh import (
+            release_census_caches,
+        )
+        from deduplication_framework_spark.operators.spans import (
+            near_dedup_spans,
+        )
+
+        docs = self._corpus()
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out, info = near_dedup_spans(df, sep=self.SEP)
+        got = {
+            r.doc_id: (r.n_spans, r.n_kept, r.text_dedup)
+            for r in out.collect()
+        }
+        assert got == self._oracle_fuzzy(docs, 0.8)
+        # the 4 boilerplate variants collapsed into ONE surviving span
+        # (0-1,0-2,0-3 verify >= 0.8; 1-2 at 0.72 joins transitively)
+        n_docs_with = sum(
+            1 for v in got.values() if "boilerplate footer" in v[2]
+        )
+        assert n_docs_with == 1
+        assert info["n_exact_reps"] > 0 and info["cc_rounds"] >= 0
+        release_census_caches()
+
+    def test_threshold_above_one_degenerates_to_exact(self, spark):
+        from deduplication_framework_spark.config import PipelineConfig
+        from deduplication_framework_spark.operators.lsh import (
+            release_census_caches,
+        )
+        from deduplication_framework_spark.operators.spans import (
+            near_dedup_spans,
+        )
+
+        docs = self._corpus()
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        cfg = PipelineConfig()
+        cfg.dedup.threshold = 1.5  # no edge can verify -> exact semantics
+        out, _ = near_dedup_spans(df, sep=self.SEP, cfg=cfg)
+        exact = dedup_spans(df, sep=self.SEP)
+        got = {r.doc_id: (r.n_spans, r.n_kept, r.text_dedup)
+               for r in out.collect()}
+        want = {r.doc_id: (r.n_spans, r.n_kept, r.text_dedup)
+                for r in exact.collect()}
+        assert got == want
+        release_census_caches()
