@@ -219,6 +219,20 @@ def skew_salting_evidence(spark, n_docs: int = 2000, bucket_cap: int = 8):
     }
 
 
+def _bloom_recrawl_frames(pages):
+    """(old, new) batch shapes shared by the timed workload AND the
+    parity-asserted evidence — one construction, so they cannot
+    desynchronize (same rule as the skew bench's shared helper)."""
+    from pyspark.sql import functions as F
+
+    old = pages.filter("doc_order % 4 != 0").select("doc_order", "text")
+    fresh = pages.filter("doc_order % 4 = 0").select("doc_order", "text")
+    recrawl = old.filter("doc_order % 8 = 1").select(
+        (F.col("doc_order") + 10_000_000).alias("doc_order"), "text"
+    )
+    return old, fresh.unionByName(recrawl)
+
+
 def incremental_bloom_evidence(spark, pages):
     """Recrawl dedup evidence: the Bloom-prefiltered incremental path
     (operators/bloom.py) must return EXACTLY the plain anti-join's answer
@@ -238,15 +252,11 @@ def incremental_bloom_evidence(spark, pages):
         release_census_caches,
     )
 
-    old = pages.filter("doc_order % 4 != 0").select("doc_order", "text")
-    fresh = pages.filter("doc_order % 4 = 0").select("doc_order", "text")
-    recrawl = old.filter("doc_order % 8 = 1").select(
-        (F.col("doc_order") + 10_000_000).alias("doc_order"), "text"
-    )
-    new = fresh.unionByName(recrawl)
+    old, new = _bloom_recrawl_frames(pages)
 
     t0 = time.time()
     res, stats = incremental_new_rows(new, old, key_col="text")
+    res = res.persist()  # consumed by count + two exceptAll sides
     n_bloom = res.count()
     t_bloom = time.time() - t0
 
@@ -255,7 +265,7 @@ def incremental_bloom_evidence(spark, pages):
         old.select(F.md5("text").alias("_k")).distinct(),
         F.md5(new["text"]) == F.col("_k"),
         "left_anti",
-    )
+    ).persist()
     n_plain = plain.count()
     t_plain = time.time() - t0
 
@@ -272,6 +282,8 @@ def incremental_bloom_evidence(spark, pages):
     assert 0 <= n_fp <= max(20, 0.01 * stats["n_definite_new"] + 10), (
         f"bloom false positives out of budget: {n_fp}"
     )
+    res.unpersist()
+    plain.unpersist()
     release_census_caches()
     spark.catalog.clearCache()
     return {
@@ -290,8 +302,6 @@ def incremental_bloom_evidence(spark, pages):
 
 
 def bench_incremental_bloom(spark, pages):
-    from pyspark.sql import functions as F
-
     from deduplication_framework_spark.operators.bloom import (
         incremental_new_rows,
     )
@@ -299,12 +309,7 @@ def bench_incremental_bloom(spark, pages):
         release_census_caches,
     )
 
-    old = pages.filter("doc_order % 4 != 0").select("doc_order", "text")
-    fresh = pages.filter("doc_order % 4 = 0").select("doc_order", "text")
-    recrawl = old.filter("doc_order % 8 = 1").select(
-        (F.col("doc_order") + 10_000_000).alias("doc_order"), "text"
-    )
-    new = fresh.unionByName(recrawl)
+    old, new = _bloom_recrawl_frames(pages)
 
     def run():
         res, _ = incremental_new_rows(new, old, key_col="text")

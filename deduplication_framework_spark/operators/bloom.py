@@ -41,7 +41,8 @@ is a pure vectorized numpy bit-gather over Arrow batches.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+import weakref
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -56,6 +57,7 @@ __all__ = [
     "bloom_build",
     "bloom_might_contain",
     "incremental_new_rows",
+    "release_bloom_broadcasts",
 ]
 
 # Second-hash salt column: xxhash64(key, lit(_H2_SALT)) is independent of
@@ -64,7 +66,8 @@ _H2_SALT = "dedup-bloom-h2"
 _MAX_K = 32
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)  # eq=False: identity hash (ndarray field;
+# also lets the broadcast cache weak-key on the instance)
 class BloomFilter:
     """Driver-side model: ``words[i]`` holds bits [64*i, 64*i+64)."""
 
@@ -72,10 +75,37 @@ class BloomFilter:
     m_bits: int
     k: int
     n_items: int  # expected_items the sizing was computed for
+    # descriptor of the key expression the bits were built from ("" =
+    # unchecked, for hand-constructed filters); incremental_new_rows
+    # refuses a prebuilt filter whose descriptor names a DIFFERENT key —
+    # probing md5 keys against raw-text bits would silently leak dups
+    key_desc: str = ""
 
     @property
     def n_bytes(self) -> int:
         return int(self.words.nbytes)
+
+
+def _key_desc(key: Column) -> str:
+    return str(key)
+
+
+# one broadcast per BloomFilter instance for the session's lifetime
+# (weak keys: a dropped filter lets its entry go; the JVM-side broadcast
+# itself is freed by release_bloom_broadcasts)
+_BC_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def release_bloom_broadcasts() -> int:
+    """Destroy every cached bit-array broadcast (driver + executors).
+    Call between batches in a long-lived session once the filters are no
+    longer needed — mirrors ``lsh.release_census_caches``."""
+    n = 0
+    for bc in list(_BC_CACHE.values()):
+        bc.destroy()
+        n += 1
+    _BC_CACHE.clear()
+    return n
 
 
 def bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
@@ -140,14 +170,23 @@ def bloom_build(
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
-        .collect()
+        # Arrow transfer: a dense filter returns up to m/64 rows, and
+        # collect()'s per-Row Python objects (~100 B each) would dwarf
+        # the numpy array the max_bits guard budgets for
+        .toPandas()
     )
     words = np.zeros(m_bits // 64, dtype=np.int64)
-    if rows:
-        idx = np.fromiter((r["word"] for r in rows), dtype=np.int64, count=len(rows))
-        bits = np.fromiter((r["bits"] for r in rows), dtype=np.int64, count=len(rows))
-        words[idx] = bits
-    return BloomFilter(words=words, m_bits=m_bits, k=k, n_items=int(expected_items))
+    if len(rows):
+        words[rows["word"].to_numpy(dtype=np.int64)] = rows["bits"].to_numpy(
+            dtype=np.int64
+        )
+    return BloomFilter(
+        words=words,
+        m_bits=m_bits,
+        k=k,
+        n_items=int(expected_items),
+        key_desc=_key_desc(key),
+    )
 
 
 def bloom_might_contain(
@@ -156,10 +195,15 @@ def bloom_might_contain(
     """boolean Column: False ⇒ key is DEFINITELY absent from the build set;
     True ⇒ present or a false positive (rate ≈ fpp at the sized n).
 
-    The bit array ships once per executor as a Spark broadcast; the UDF is
-    a vectorized uint64 gather — no Python hashing, no per-row work.
+    The bit array ships once per executor as a Spark broadcast (cached
+    per filter instance — repeated calls in a long session reuse it; see
+    ``release_bloom_broadcasts``); the UDF is a vectorized uint64 gather
+    — no Python hashing, no per-row work.
     """
-    bc = spark.sparkContext.broadcast(bloom.words)
+    bc = _BC_CACHE.get(bloom)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(bloom.words)
+        _BC_CACHE[bloom] = bc
     k = bloom.k
 
     @pandas_udf("boolean")
@@ -206,9 +250,22 @@ def incremental_new_rows(
         hexpr = lambda c: F.sha1(F.col(c))  # noqa: E731
     else:
         raise ValueError(f"hash_fn must be md5|sha1, got {hash_fn!r}")
+    reserved = {"_k", "_maybe"}
+    clash = reserved & set(new_df.columns)
+    if clash or (out_hash_col and out_hash_col in new_df.columns):
+        raise ValueError(
+            f"new_df columns collide with internal/output names: "
+            f"{sorted(clash) or [out_hash_col]}"
+        )
 
     if bloom is None:
         bloom = bloom_build(old_df, hexpr(key_col), fpp=fpp)
+    elif bloom.key_desc and bloom.key_desc != _key_desc(hexpr(key_col)):
+        raise ValueError(
+            f"prebuilt bloom was built over key {bloom.key_desc} but this "
+            f"call probes {_key_desc(hexpr(key_col))} — a key mismatch "
+            "would silently leak duplicates past the filter"
+        )
     maybe = bloom_might_contain(spark, bloom, hexpr(key_col))
     tagged = _persist_tracked(
         new_df.withColumn("_k", hexpr(key_col)).withColumn(

@@ -199,6 +199,10 @@ def near_dedup_spans(
     order_col = order_col or id_col
 
     spans = explode_spans(docs, id_col=id_col, text_col=text_col, sep=sep)
+    if order_col != id_col:
+        # explode_spans emits only (id, pos, span); re-attach the explicit
+        # order column so keep-first ranks by it
+        spans = spans.join(docs.select(id_col, order_col), id_col)
     reps = _persist_tracked(
         dedup_spans_df(spans, id_col=id_col, order_col=order_col)
         .withColumn("_rid", F.xxhash64("span"))

@@ -148,3 +148,39 @@ def test_membership_udf_empty_partition(spark):
     )
     out = df.withColumn("m", bloom_might_contain(spark, bloom, F.col("key")))
     assert out.count() == 0
+
+
+def test_prebuilt_bloom_key_mismatch_rejected(spark):
+    old = _corpus(spark, 0, 50)
+    raw_bloom = bloom_build(old, F.col("text"), fpp=1e-3)  # RAW text keys
+    new = _corpus(spark, 0, 50)
+    with pytest.raises(ValueError, match="key mismatch|built over key"):
+        incremental_new_rows(new, old, key_col="text", bloom=raw_bloom)
+
+
+def test_reserved_column_collision_rejected(spark):
+    old = _corpus(spark, 0, 10)
+    bad = spark.createDataFrame([(1, "x", "y")], ["doc_id", "text", "_k"])
+    with pytest.raises(ValueError, match="collide"):
+        incremental_new_rows(bad, old, key_col="text")
+    new = _corpus(spark, 0, 10)
+    with pytest.raises(ValueError, match="collide"):
+        incremental_new_rows(new, old, key_col="text", out_hash_col="text")
+
+
+def test_broadcast_cached_per_filter_and_released(spark):
+    from deduplication_framework_spark.operators.bloom import (
+        _BC_CACHE,
+        release_bloom_broadcasts,
+    )
+
+    release_bloom_broadcasts()
+    df = spark.range(100).select(F.col("id").cast("string").alias("key"))
+    bloom = bloom_build(df, F.col("key"), fpp=0.01)
+    for _ in range(3):  # repeated probes reuse ONE broadcast
+        df.withColumn(
+            "m", bloom_might_contain(spark, bloom, F.col("key"))
+        ).filter("m").count()
+    assert len(_BC_CACHE) == 1
+    assert release_bloom_broadcasts() == 1
+    assert len(_BC_CACHE) == 0

@@ -286,3 +286,23 @@ class TestNearDedupSpans:
                 for r in exact.collect()}
         assert got == want
         release_census_caches()
+
+
+def test_near_dedup_spans_explicit_order_col(spark):
+    """order_col != id_col: keep-first ranks by the explicit order (the
+    regression where explode_spans dropped the order column)."""
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+    from deduplication_framework_spark.operators.spans import near_dedup_spans
+
+    rows = [  # doc 10 comes FIRST by doc_order despite the larger id
+        (10, 0, "shared span text here\nother a"),
+        (3, 1, "shared span text here\nother b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "doc_order", "text"])
+    out, _ = near_dedup_spans(df, order_col="doc_order")
+    got = {r.doc_id: r.text_dedup for r in out.collect()}
+    assert got[10] == "shared span text here\nother a"
+    assert got[3] == "other b"
+    release_census_caches()

@@ -100,6 +100,7 @@ def main():
     res, stats = incremental_new_rows(
         new, old, key_col="text", bloom=bloom
     )
+    res = res.persist()  # count + two exceptAll consumers
     n_res = res.count()
     t2 = time.time()
 
@@ -108,7 +109,7 @@ def main():
         old.select(F.md5("text").alias("_k")).distinct(),
         F.md5(new["text"]) == F.col("_k"),
         "left_anti",
-    ).select("doc_id")
+    ).select("doc_id").persist()
     symdiff = (
         res.select("doc_id").exceptAll(plain).count()
         + plain.exceptAll(res.select("doc_id")).count()
