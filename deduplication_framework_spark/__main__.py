@@ -43,6 +43,11 @@ def main(argv=None) -> int:
                         "span (split on SEP_REGEX, default newline) whose "
                         "text occurred earlier in the corpus, then dedup the "
                         "reassembled docs; docs left empty are removed")
+    p.add_argument("--span-dedup-fuzzy", action="store_true",
+                   help="with --span-dedup: ALSO collapse near-duplicate "
+                        "spans (MinHash/LSH + exact-Jaccard >= the config "
+                        "threshold at span granularity; keeper = earliest "
+                        "occurrence of each cluster)")
     p.add_argument("--dedup-against", default=None, metavar="PATH",
                    help="incremental recrawl mode: parquet of the "
                         "historical corpus (any frame with a text column); "
@@ -95,12 +100,17 @@ def main(argv=None) -> int:
         # flag (or clear the checkpoint) if the historical corpus at the
         # same path changes, the same contract --input itself has
         input_tags.append(f"dedup_against:{args.dedup_against}")
+    if args.span_dedup_fuzzy and args.span_dedup is None:
+        p.error("--span-dedup-fuzzy requires --span-dedup")
     if args.span_dedup is not None:
         if args.sweep:
             p.error("--span-dedup is not supported with --sweep")
-        pages, sd_metrics = _span_dedup_pages(pages, sep=args.span_dedup)
+        pages, sd_metrics = _span_dedup_pages(
+            pages, sep=args.span_dedup, fuzzy=args.span_dedup_fuzzy, cfg=cfg
+        )
         span_metrics.update(sd_metrics)
-        input_tags.append(f"span_dedup:{args.span_dedup}")
+        mode = "span_dedup_fuzzy" if args.span_dedup_fuzzy else "span_dedup"
+        input_tags.append(f"{mode}:{args.span_dedup}")
     input_tag = "|".join(input_tags)
 
     if args.sweep:
@@ -210,7 +220,7 @@ def _incremental_pages(spark, pages, against_path: str):
     return out, metrics
 
 
-def _span_dedup_pages(pages, sep: str):
+def _span_dedup_pages(pages, sep: str, fuzzy: bool = False, cfg=None):
     """pages → (pages with span-deduped text, metrics). Doc identity/order
     comes from the pipeline's own ``prepare_docs`` (explicit doc_order when
     present, else the (warc_ts, url) dense rank — so recrawled urls stay
@@ -218,18 +228,30 @@ def _span_dedup_pages(pages, sep: str):
     counted in ``n_docs_emptied``; docs with no non-empty spans at all
     (empty/whitespace text) pass through unchanged — they were not deduped,
     and the non-span pipeline path keeps a representative for them too.
-    Survivor spans re-join with a plain newline (``sep`` may be a regex)."""
+    Survivor spans re-join with a plain newline (``sep`` may be a regex).
+    ``fuzzy`` switches keep-first to near-duplicate cluster keep-first
+    (``near_dedup_spans``; exact is its rep-collapse prefix)."""
     from pyspark.sql import functions as F
 
-    from deduplication_framework_spark.operators.spans import dedup_spans
+    from deduplication_framework_spark.operators.spans import (
+        dedup_spans,
+        near_dedup_spans,
+    )
     from deduplication_framework_spark.plans.pipeline import prepare_docs
 
     docs = prepare_docs(pages)
     # persisted: the metrics agg below materializes it, and the joined
     # output feeds every downstream pipeline action (CLAUDE.md persist rule)
-    sd = dedup_spans(
-        docs, id_col="doc_id", text_col="text", sep=sep, join_sep="\n"
-    ).persist()
+    if fuzzy:
+        sd, _info = near_dedup_spans(
+            docs, id_col="doc_id", text_col="text", sep=sep,
+            join_sep="\n", cfg=cfg,
+        )
+        sd = sd.persist()
+    else:
+        sd = dedup_spans(
+            docs, id_col="doc_id", text_col="text", sep=sep, join_sep="\n"
+        ).persist()
     agg = sd.agg(
         F.sum("n_spans").alias("spans"),
         F.sum("n_kept").alias("kept"),

@@ -56,6 +56,7 @@ __all__ = [
     "BloomFilter",
     "bloom_build",
     "bloom_might_contain",
+    "bloom_tag",
     "incremental_new_rows",
     "release_bloom_broadcasts",
 ]
@@ -121,16 +122,59 @@ def bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
 
 
 def _positions(key: Column, k: int, m_bits: int) -> Column:
-    """array<long> of the k bit positions for ``key``.
+    """array<long> of the k bit positions for ``key`` as ONE expression.
 
     ANSI-safe: both hashes are reduced mod m BEFORE the i*h2 multiply, so
     with m ≤ 2^31 and k ≤ 32 every intermediate stays under 2^37 — no
     64-bit overflow for Spark's ANSI mode to reject.
-    """
+
+    ONLY for cheap ``key`` columns (a plain attribute): the h1/h2
+    subexpressions repeat k times here, and an expensive key repeats
+    2k times — fine under whole-stage codegen's subexpression
+    elimination, but measured at ~10× task CPU when codegen evaluation
+    intermittently degrades at 10^7-row scale. Hot paths use
+    ``_attach_positions``, whose chained projections make
+    once-per-row evaluation STRUCTURAL rather than CSE-dependent."""
     m = F.lit(m_bits)
     h1 = F.pmod(F.xxhash64(key), m)
     h2 = F.pmod(F.xxhash64(key, F.lit(_H2_SALT)), m)
     return F.array(*[F.pmod(h1 + F.lit(i) * h2, m) for i in range(k)])
+
+
+_POS_COLS = ("_bloom_k", "_bloom_h1", "_bloom_h2")
+
+
+def _attach_positions(
+    df: DataFrame, key: Column, k: int, m_bits: int, pos_col: str
+) -> DataFrame:
+    """df + ``pos_col`` (array<long> of the k bit positions), via CHAINED
+    projections: key → (h1, h2) → positions. Each intermediate is a
+    non-cheap expression referenced more than once by the next
+    projection, so Catalyst's CollapseProject keeps the barriers and
+    every hash is evaluated exactly once per row — independent of
+    codegen subexpression elimination (see ``_positions``)."""
+    clash = set(_POS_COLS + (pos_col,)) & set(df.columns)
+    if clash:
+        raise ValueError(f"columns collide with bloom internals: {sorted(clash)}")
+    m = F.lit(m_bits)
+    out = df.columns
+    keyed = df.withColumn("_bloom_k", key)
+    hashed = keyed.select(
+        *out,
+        F.pmod(F.xxhash64("_bloom_k"), m).alias("_bloom_h1"),
+        F.pmod(F.xxhash64("_bloom_k", F.lit(_H2_SALT)), m).alias("_bloom_h2"),
+    )
+    return hashed.select(
+        *out,
+        F.array(
+            *[
+                F.pmod(
+                    F.col("_bloom_h1") + F.lit(i) * F.col("_bloom_h2"), m
+                )
+                for i in range(k)
+            ]
+        ).alias(pos_col),
+    )
 
 
 def bloom_build(
@@ -159,7 +203,25 @@ def bloom_build(
             "one filter per shard, or raise max_bits explicitly"
         )
     rows = (
-        df.select(F.explode(_positions(key, k, m_bits)).alias("pos"))
+        # pre-project the key to one column, then chained-projection
+        # hashing: an expensive key (md5 of a web page) and both xxhash64
+        # values are each evaluated exactly once per row STRUCTURALLY —
+        # the inline _positions form costs 2k key evaluations per row
+        # whenever codegen subexpression elimination degrades (measured
+        # ~10× build task CPU at 16M docs, BENCH/scale_bloom_runs.jsonl)
+        _attach_positions(
+            df.select(key.alias("_bloom_key")),
+            F.col("_bloom_key"),
+            k,
+            m_bits,
+            "_bloom_pos",
+        )
+        # explode_OUTER, deliberately: positions are never null/empty
+        # (k >= 1, xxhash64 is total), so it's row-identical to explode —
+        # but plain explode triggers InferFiltersFromGenerate, whose
+        # size(..)>0 filter gets pushed below the projections and
+        # re-inlines the whole 2k-hash expression per row
+        .select(F.explode_outer("_bloom_pos").alias("pos"))
         .select(
             F.shiftright(F.col("pos"), 6).alias("word"),
             # pyspark's shiftleft() wrapper only takes a literal shift;
@@ -189,17 +251,12 @@ def bloom_build(
     )
 
 
-def bloom_might_contain(
-    spark: SparkSession, bloom: BloomFilter, key: Column
-) -> Column:
-    """boolean Column: False ⇒ key is DEFINITELY absent from the build set;
-    True ⇒ present or a false positive (rate ≈ fpp at the sized n).
-
-    The bit array ships once per executor as a Spark broadcast (cached
-    per filter instance — repeated calls in a long session reuse it; see
-    ``release_bloom_broadcasts``); the UDF is a vectorized uint64 gather
-    — no Python hashing, no per-row work.
-    """
+def _contains_udf(spark: SparkSession, bloom: BloomFilter):
+    """Vectorized membership UDF over a positions array column. The bit
+    array ships once per executor as a Spark broadcast (cached per filter
+    instance — repeated calls in a long session reuse it; see
+    ``release_bloom_broadcasts``); pure uint64 gather — no Python hashing,
+    no per-row work."""
     bc = _BC_CACHE.get(bloom)
     if bc is None:
         bc = spark.sparkContext.broadcast(bloom.words)
@@ -216,7 +273,35 @@ def bloom_might_contain(
         hit = (words[mat >> 6] >> bit) & np.uint64(1)
         return pd.Series(hit.all(axis=1))
 
-    return _contains(_positions(key, k, bloom.m_bits))
+    return _contains
+
+
+def bloom_might_contain(
+    spark: SparkSession, bloom: BloomFilter, key: Column
+) -> Column:
+    """boolean Column: False ⇒ key is DEFINITELY absent from the build set;
+    True ⇒ present or a false positive (rate ≈ fpp at the sized n).
+
+    Column-API convenience — ONLY for cheap ``key`` columns (see
+    ``_positions``); hot paths with computed keys use ``bloom_tag``.
+    """
+    return _contains_udf(spark, bloom)(_positions(key, bloom.k, bloom.m_bits))
+
+
+def bloom_tag(df: DataFrame, bloom: BloomFilter, key: Column, flag_col: str) -> DataFrame:
+    """df + boolean ``flag_col`` (False ⇒ key definitely absent) — the
+    hot-path form of ``bloom_might_contain``: the key and both xxhash64
+    values are evaluated exactly once per row via ``_attach_positions``'s
+    chained projections, independent of codegen subexpression elimination
+    (the Column form degrades to 2k key evaluations per row when CSE
+    does — measured ~10× task CPU at 10^7-row scale)."""
+    if flag_col in df.columns:
+        raise ValueError(f"flag_col {flag_col!r} already exists in df")
+    tagged = _attach_positions(df, key, bloom.k, bloom.m_bits, "_bloom_pos")
+    contains = _contains_udf(df.sparkSession, bloom)
+    return tagged.withColumn(
+        flag_col, F.coalesce(contains(F.col("_bloom_pos")), F.lit(False))
+    ).drop("_bloom_pos")
 
 
 def incremental_new_rows(
@@ -243,7 +328,6 @@ def incremental_new_rows(
     persists the prefiltered batch via the shared tracked-cache registry
     (released by ``lsh.release_census_caches()`` / pipeline end).
     """
-    spark = new_df.sparkSession
     if hash_fn == "md5":
         hexpr = lambda c: F.md5(F.col(c))  # noqa: E731
     elif hash_fn == "sha1":
@@ -266,10 +350,14 @@ def incremental_new_rows(
             f"call probes {_key_desc(hexpr(key_col))} — a key mismatch "
             "would silently leak duplicates past the filter"
         )
-    maybe = bloom_might_contain(spark, bloom, hexpr(key_col))
+    # hash once into _k, then bloom_tag probes the _k ATTRIBUTE — the
+    # md5 and both xxhash64 calls each run once per row structurally
     tagged = _persist_tracked(
-        new_df.withColumn("_k", hexpr(key_col)).withColumn(
-            "_maybe", F.coalesce(maybe, F.lit(False))
+        bloom_tag(
+            new_df.withColumn("_k", hexpr(key_col)),
+            bloom,
+            F.col("_k"),
+            "_maybe",
         )
     )
     n_batch = tagged.count()  # eager: materialize the cache once

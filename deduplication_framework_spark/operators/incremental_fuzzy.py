@@ -1,0 +1,223 @@
+"""Bloom-prefiltered incremental NEAR-dup dedup (fuzzy recrawl mode).
+
+Completes the incremental matrix alongside ``operators/bloom.py`` (exact
+batch anti-join) and ``streaming/stateful.py`` (stateful micro-batch LSH):
+a re-crawled batch is deduplicated against the historical corpus at
+MinHash-LSH near-dup semantics without ever shuffling history rows per
+batch.
+
+Reference semantics: the query-then-insert loop of
+``text/method/pipeline_api.py:434-475`` run with the index FROZEN at the
+historical corpus — each new doc asks "is a near-dup already present in
+history?"; new docs do NOT dedup against each other (within-batch
+near-dups are the batch pipeline's job — run it separately if wanted),
+mirroring ``incremental_new_rows``'s within-batch contract.
+
+Spark form, scale posture:
+
+* history is featurized ONCE per batch here — at real recrawl scale its
+  band table is PRECOMPUTED and append-only, so pass ``old_features``
+  (and reuse the returned ``bloom`` across batches) and the history scan
+  disappears from the per-batch cost entirely;
+* a Bloom filter over history's ~n_old*b band keys ships broadcast; the
+  new batch's band rows are tagged MAP-SIDE. Bloom filters have no false
+  negatives, so a new doc with ZERO hit bands shares no band bucket with
+  history — definitely new at LSH-candidate semantics — and skips every
+  join. On a fresh-content crawl that is most of the batch;
+* only HIT band rows join history's band table (band-key equi-join,
+  history side semi-joined down to the hit keys first — broadcast under
+  ``hit_broadcast_threshold``, shuffle fallback above), and only the
+  resulting (new, old) pairs are verified with the exact sorted-merge
+  Jaccard >= threshold. Bloom false positives only ADD candidate pairs
+  that verification removes — the answer EQUALS the no-bloom bipartite
+  band join + verify, independent of fpp (pinned by
+  tests/test_incremental_fuzzy.py::test_tiny_bloom_same_answer);
+* recall is the LSH S-curve, same as the batch pipeline and the stateful
+  streaming operator; ``old_bucket_cap`` bounds a pathological hot
+  history bucket with OBSERVABLE accounting (``n_capped_band_keys``,
+  ``max_old_bucket``), mirroring streaming ``state_cap`` — the capped
+  subplan is only built when the census actually sees a hot key.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..functions import kernels as K
+from ..functions.text import make_fused_features_udf
+from .bloom import BloomFilter, bloom_build, bloom_tag
+from .lsh import _persist_tracked, minhash_bands
+from .verify import make_sorted_jaccard_udf
+
+__all__ = ["incremental_near_new_rows"]
+
+
+def _featurize(df: DataFrame, cfg: PipelineConfig, id_col: str, text_col: str):
+    fused = make_fused_features_udf(
+        cfg.embedding, cfg.dedup, with_minhash=True, with_lsh_feats=True
+    )
+    return df.select(
+        F.col(id_col).alias("_id"), fused(text_col).alias("f")
+    ).select("_id", "f.*")
+
+
+def incremental_near_new_rows(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    cfg: Optional[PipelineConfig] = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fpp: float = 1e-3,
+    old_features: Optional[DataFrame] = None,
+    bloom: Optional[BloomFilter] = None,
+    old_bucket_cap: int = 10_000,
+    hit_broadcast_threshold: int = 2_000_000,
+) -> Tuple[DataFrame, dict]:
+    """Rows of ``new_df`` with NO near-duplicate in ``old_df`` — near-dup
+    = exact feature Jaccard >= ``cfg.dedup.threshold`` among MinHash-LSH
+    band-bucket candidates, the batch pipeline's own verified-edge
+    semantics applied bipartite (new × history).
+
+    ``old_features`` (columns ``(<id_col>, sig, shingles)``, e.g. a stored
+    frame from a previous run's featurization) skips re-featurizing
+    history; ``bloom`` (from a previous batch's ``stats["bloom"]``) skips
+    rebuilding the band-key filter. Returns ``(result_df, stats)``; stats
+    includes the built ``bloom`` for reuse plus routing counters. Runs
+    eager census jobs and persists via the shared tracked-cache registry
+    (released by ``lsh.release_census_caches()``).
+    """
+    cfg = cfg or PipelineConfig()
+    b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
+
+    if old_features is None:
+        old_feats = _featurize(old_df, cfg, id_col, text_col)
+    else:
+        old_feats = old_features.select(
+            F.col(id_col).alias("_id"), "sig", "shingles"
+        )
+    # consumed by the bloom build AND (hit keys only) the candidate join
+    # + verify — persist and materialize once before fan-out
+    old_feats = _persist_tracked(old_feats)
+    n_old = old_feats.count()
+    old_bands = _persist_tracked(
+        minhash_bands(old_feats.select("_id", "sig"), b, r, id_col="_id")
+    )
+    if bloom is None:
+        # duplicates in the key stream just re-set bits — skip the
+        # distinct() shuffle and size for the upper bound n_old*b
+        bloom = bloom_build(
+            old_bands,
+            F.col("band_key"),
+            expected_items=max(n_old * b, 1),
+            fpp=fpp,
+        )
+
+    new_feats = _persist_tracked(_featurize(new_df, cfg, id_col, text_col))
+    n_batch = new_feats.count()
+    tagged = _persist_tracked(
+        bloom_tag(
+            minhash_bands(new_feats.select("_id", "sig"), b, r, id_col="_id"),
+            bloom,
+            F.col("band_key"),
+            "_maybe",
+        )
+    )
+    n_band_rows = tagged.count()
+    hits = tagged.filter("_maybe").select("_id", "band_key")
+    n_hit_rows = hits.count()
+
+    stats = {
+        "n_new_batch": n_batch,
+        "n_old": n_old,
+        "b": b,
+        "r": r,
+        "n_band_rows": n_band_rows,
+        "n_hit_band_rows": n_hit_rows,
+        "m_bits": bloom.m_bits,
+        "k": bloom.k,
+        "bloom": bloom,
+        "n_capped_band_keys": 0,
+        "max_old_bucket": 0,
+    }
+    if n_hit_rows == 0:
+        stats.update(
+            n_candidate_docs=0,
+            n_definite_new=n_batch,
+            n_candidate_pairs=0,
+            n_dup_docs=0,
+            verify_path="none",
+        )
+        return new_df, stats
+
+    n_cand_docs = hits.select("_id").distinct().count()
+    stats["n_candidate_docs"] = n_cand_docs
+    stats["n_definite_new"] = n_batch - n_cand_docs
+
+    # history side reduced to the hit keys BEFORE any pair work: broadcast
+    # semi-join when the hit set is small (history is never shuffled),
+    # shuffle fallback above the threshold — bloom.py's verify posture
+    hit_keys = hits.select("band_key").distinct()
+    if n_hit_rows <= hit_broadcast_threshold:
+        stats["verify_path"] = "broadcast"
+        hit_keys = F.broadcast(hit_keys)
+    else:
+        stats["verify_path"] = "shuffle"
+    old_hit = _persist_tracked(
+        old_bands.join(hit_keys, "band_key", "left_semi")
+    )
+    sizes = old_hit.groupBy("band_key").agg(F.count("*").alias("n"))
+    census = sizes.agg(
+        F.max("n").alias("mx"),
+        F.sum(F.when(F.col("n") > old_bucket_cap, 1).otherwise(0)).alias(
+            "nc"
+        ),
+    ).first()
+    stats["max_old_bucket"] = int(census["mx"] or 0)
+    stats["n_capped_band_keys"] = int(census["nc"] or 0)
+    if stats["n_capped_band_keys"] > 0:
+        # hot-bucket cap with observable accounting (streaming state_cap
+        # discipline): keep the cap lowest old ids per key, deterministic
+        w = Window.partitionBy("band_key").orderBy("_id")
+        old_hit = (
+            old_hit.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= old_bucket_cap)
+            .drop("_rn")
+        )
+
+    pairs = _persist_tracked(
+        hits.join(
+            old_hit.select(F.col("_id").alias("_old_id"), "band_key"),
+            "band_key",
+        )
+        .select("_id", "_old_id")
+        .distinct()
+    )
+    stats["n_candidate_pairs"] = pairs.count()
+
+    th = float(cfg.dedup.threshold)
+    pv = pairs.join(
+        new_feats.select("_id", F.col("shingles").alias("_sh_n")), "_id"
+    ).join(
+        old_feats.select(
+            F.col("_id").alias("_old_id"), F.col("shingles").alias("_sh_o")
+        ),
+        "_old_id",
+    )
+    if th > 0:
+        sa, sb = F.size("_sh_n"), F.size("_sh_o")
+        pv = pv.filter((sa >= th * sb) & (sb >= th * sa))
+    sim = make_sorted_jaccard_udf()(F.col("_sh_n"), F.col("_sh_o"))
+    dup_ids = _persist_tracked(
+        pv.withColumn("_sim", sim)
+        .filter(F.col("_sim") >= th)
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    stats["n_dup_docs"] = dup_ids.count()
+    result = new_df.join(dup_ids, id_col, "left_anti")
+    return result, stats

@@ -184,3 +184,64 @@ def test_broadcast_cached_per_filter_and_released(spark):
     assert len(_BC_CACHE) == 1
     assert release_bloom_broadcasts() == 1
     assert len(_BC_CACHE) == 0
+
+
+def test_bloom_tag_matches_column_api(spark):
+    from deduplication_framework_spark.operators.bloom import bloom_tag
+
+    old = _corpus(spark, 0, 200)
+    bloom = bloom_build(old, F.md5("text"), fpp=1e-3)
+    probe = _corpus(spark, 150, 350)
+    via_col = probe.withColumn(
+        "m", bloom_might_contain(spark, bloom, F.md5("text"))
+    )
+    via_df = bloom_tag(
+        probe.withColumn("_k", F.md5("text")), bloom, F.col("_k"), "m"
+    ).drop("_k")
+    assert sorted((r.doc_id, r.m) for r in via_col.collect()) == sorted(
+        (r.doc_id, r.m) for r in via_df.collect()
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        bloom_tag(probe, bloom, F.md5("text"), "text")
+    with pytest.raises(ValueError, match="collide"):
+        bloom_tag(
+            probe.withColumn("_bloom_h1", F.lit(1)), bloom, F.md5("text"), "m"
+        )
+
+
+def test_bloom_hashing_once_per_row_structural(spark):
+    """The 16M-doc build regression (BENCH/scale_bloom_runs.jsonl: 10x task
+    CPU when codegen CSE degraded) stays fixed: in the OPTIMIZED plan the
+    key expression appears once and xxhash64 exactly twice — k positions
+    reference the h1/h2 attributes, they never re-inline the hashes."""
+    from deduplication_framework_spark.operators.bloom import (
+        _attach_positions,
+        bloom_tag,
+    )
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("text"))
+
+    build_side = _attach_positions(
+        df.select(F.md5("text").alias("_bloom_key")),
+        F.col("_bloom_key"),
+        10,
+        1 << 20,
+        "_bloom_pos",
+    ).select(F.explode_outer("_bloom_pos").alias("pos"))
+    # explode_outer as in bloom_build: plain explode's inferred
+    # size(..)>0 filter pushes below the projections and re-inlines
+    # the 2k-hash expression — the regression this test pins against
+    plan = build_side._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("xxhash64") == 2, plan
+    assert plan.count("md5") == 1, plan
+
+    bloom = BloomFilter(
+        words=np.zeros(1 << 10, dtype=np.int64),
+        m_bits=(1 << 10) * 64,
+        k=10,
+        n_items=1000,
+    )
+    probe_side = bloom_tag(df, bloom, F.md5("text"), "maybe")
+    plan = probe_side._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("xxhash64") == 2, plan
+    assert plan.count("md5") == 1, plan

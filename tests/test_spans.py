@@ -306,3 +306,50 @@ def test_near_dedup_spans_explicit_order_col(spark):
     assert got[10] == "shared span text here\nother a"
     assert got[3] == "other b"
     release_census_caches()
+
+
+def test_cli_span_dedup_fuzzy(spark, tmp_path):
+    """--span-dedup --span-dedup-fuzzy: a lightly-edited boilerplate span
+    in a later doc collapses onto the first occurrence (exact mode would
+    keep both); flag without --span-dedup is an argparse error."""
+    import json
+
+    import pytest
+
+    from deduplication_framework_spark.__main__ import main
+
+    base = ("long boilerplate footer text repeated across pages with "
+            "only a tiny edit over time here " * 2).strip()
+    # J = 0.952 vs base -> 5 of 9 bands collide at (b=9, r=13): capture
+    # is deterministic-robust (a 0.83-J single-word edit can miss LSH
+    # banding legitimately — near-threshold misses are the S-curve, not
+    # a bug)
+    edited = base + " extra"
+    inp = str(tmp_path / "pages_f")
+    spark.createDataFrame(
+        [
+            (0, "u0", f"intro zero\n{base}\nbody zero", "en"),
+            (1, "u1", f"intro one\n{edited}\nbody one", "en"),
+        ],
+        ["doc_order", "url", "text", "lang"],
+    ).write.parquet(inp)
+    out = str(tmp_path / "out_f")
+    assert main([
+        "--input", inp, "--output", out,
+        "--detectors", "exact", "--span-dedup", "--span-dedup-fuzzy",
+    ]) == 0
+    summary = json.loads((tmp_path / "out_f" / "summary.json").read_text())
+    assert summary["metrics"]["span_dedup.n_spans"] == 6.0
+    assert summary["metrics"]["span_dedup.n_spans_kept"] == 5.0
+    keepers = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{out}/keepers").collect()
+    }
+    assert keepers[0] == f"intro zero\n{base}\nbody zero"
+    assert keepers[1] == "intro one\nbody one"
+
+    with pytest.raises(SystemExit):
+        main([
+            "--input", inp, "--output", str(tmp_path / "o_err"),
+            "--span-dedup-fuzzy",
+        ])

@@ -81,24 +81,34 @@ def main():
         },
     )
 
-    old = spark.range(n_old, numPartitions=cores * 2).select(
+    # corpus materialized to parquet OUTSIDE the timed window: the JVM
+    # generator (5 md5 calls/doc) would otherwise dominate the history
+    # scan and the anchor would measure corpus synthesis, not the operator
+    corpus_dir = tempfile.mkdtemp(prefix="scale-bloom-corpus-")
+    spark.range(n_old, numPartitions=cores * 2).select(
         F.col("id").alias("doc_id"), _text_expr(F.col("id")).alias("text")
-    )
+    ).write.mode("overwrite").parquet(f"{corpus_dir}/old")
     j = F.col("id")
-    new = spark.range(n_new, numPartitions=cores * 2).select(
+    spark.range(n_new, numPartitions=cores * 2).select(
         (j + 10_000_000_000).alias("doc_id"),
         F.when(j % 3 == 0, _text_expr((j * 7) % n_old))
         .otherwise(_text_expr(j + 20_000_000_000))
         .alias("text"),
-    )
+    ).write.mode("overwrite").parquet(f"{corpus_dir}/new")
+    old = spark.read.parquet(f"{corpus_dir}/old")
+    new = spark.read.parquet(f"{corpus_dir}/new")
 
     t0 = time.time()
     bloom = bloom_build(
         old, F.md5("text"), expected_items=n_old, fpp=1e-3
     )
     t1 = time.time()
+    # SCALE_BLOOM_SHUFFLE=1 forces the shuffle verify path (the posture
+    # for batches whose candidate set is too big to broadcast)
+    thresh = 0 if os.environ.get("SCALE_BLOOM_SHUFFLE") else 2_000_000
     res, stats = incremental_new_rows(
-        new, old, key_col="text", bloom=bloom
+        new, old, key_col="text", bloom=bloom,
+        candidate_broadcast_threshold=thresh,
     )
     res = res.persist()  # count + two exceptAll consumers
     n_res = res.count()
@@ -121,6 +131,9 @@ def main():
         f"false positives out of budget: {n_fp}"
     )
     spark.stop()
+    import shutil
+
+    shutil.rmtree(corpus_dir, ignore_errors=True)
 
     build_sec = t1 - t0
     filter_sec = t2 - t1
