@@ -1,0 +1,191 @@
+"""Fuzzy incremental recrawl dedup (operators/incremental_fuzzy.py).
+
+The product contract: result == the no-bloom bipartite band-join +
+exact-Jaccard-verify answer (the batch pipeline's verified-edge semantics
+applied new × history). The Bloom filter may only ROUTE band rows —
+definitely-new skips joins, false positives add candidates that
+verification removes — never change the answer. The oracle below
+recomputes that answer driver-side from the same featurization (fused-UDF
+parity is pinned separately in test_fused_features.py) with an
+independent pair/verify/anti-join spine in plain python.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.config import PipelineConfig
+from deduplication_framework_spark.functions import kernels as K
+from deduplication_framework_spark.operators.incremental_fuzzy import (
+    _featurize,
+    incremental_near_new_rows,
+)
+from deduplication_framework_spark.operators.lsh import (
+    minhash_bands,
+    release_census_caches,
+)
+
+
+def _oracle_new_ids(spark, new, old, cfg=None):
+    """Driver-side bipartite LSH + exact-Jaccard reference (no bloom)."""
+    cfg = cfg or PipelineConfig()
+    b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
+    th = cfg.dedup.threshold
+
+    def side(df):
+        feats = _featurize(df, cfg, "doc_id", "text")
+        bands = {}
+        shingles = {}
+        for row in feats.collect():
+            shingles[row["_id"]] = np.asarray(row["shingles"] or [])
+        for row in minhash_bands(
+            feats.select("_id", "sig"), b, r, id_col="_id"
+        ).collect():
+            bands.setdefault(row["band_key"], set()).add(row["_id"])
+        return bands, shingles
+
+    ob, osh = side(old)
+    nb, nsh = side(new)
+    dup = set()
+    for key, nids in nb.items():
+        for nid in nids:
+            for oid in ob.get(key, ()):
+                a, c = nsh[nid], osh[oid]
+                if len(a) == 0 and len(c) == 0:
+                    sim = 1.0
+                elif len(a) == 0 or len(c) == 0:
+                    sim = 0.0
+                else:
+                    inter = np.intersect1d(a, c, assume_unique=True).size
+                    sim = inter / (len(a) + len(c) - inter)
+                if sim >= th:
+                    dup.add(nid)
+    return sorted(
+        r.doc_id for r in new.select("doc_id").collect() if r.doc_id not in dup
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog again and again with "
+    "plenty of shared words in this long boilerplate sentence "
+)
+
+
+def _corpora(spark):
+    old = spark.createDataFrame(
+        [(i, BASE + f"history doc {i} unique tail content {i * 7}")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    rows = []
+    for j in range(100, 130):
+        if j % 3 == 0:  # near-copy of a history doc (one-token edit)
+            rows.append(
+                (j, BASE + f"history doc {j % 40} unique tail content "
+                    f"{(j % 40) * 7} x")
+            )
+        elif j % 3 == 1:  # fresh content
+            rows.append((j, f"totally fresh content number {j} " * 6))
+        else:  # exact copy of a history doc
+            rows.append(
+                (j, BASE + f"history doc {j % 40} unique tail content "
+                    f"{(j % 40) * 7}")
+            )
+    return old, spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_matches_no_bloom_reference(spark):
+    old, new = _corpora(spark)
+    res, stats = incremental_near_new_rows(new, old)
+    got = sorted(r.doc_id for r in res.collect())
+    assert got == _oracle_new_ids(spark, new, old)
+    # the corpus plants near + exact dups on j%3 in {0, 2}
+    assert got == [j for j in range(100, 130) if j % 3 == 1]
+    assert stats["n_definite_new"] + stats["n_candidate_docs"] == 30
+    assert stats["n_dup_docs"] == 20
+    assert stats["verify_path"] == "broadcast"
+    release_census_caches()
+
+
+def test_tiny_bloom_same_answer(spark):
+    """fpp near 1: almost every band row becomes a candidate, yet the
+    answer is unchanged — the filter routes rows, never decides them."""
+    old, new = _corpora(spark)
+    loose, s_loose = incremental_near_new_rows(new, old, fpp=0.9)
+    tight, s_tight = incremental_near_new_rows(new, old, fpp=1e-6)
+    assert sorted(r.doc_id for r in loose.collect()) == sorted(
+        r.doc_id for r in tight.collect()
+    )
+    assert s_loose["n_hit_band_rows"] >= s_tight["n_hit_band_rows"]
+    assert s_loose["m_bits"] < s_tight["m_bits"]
+    release_census_caches()
+
+
+def test_within_batch_dups_preserved_and_empty_history(spark):
+    _, new = _corpora(spark)
+    twin = new.union(new)  # every doc twice: within-batch dups
+    empty_old = new.limit(0)
+    res, stats = incremental_near_new_rows(twin, empty_old)
+    assert res.count() == 60  # nothing removed: history is empty
+    assert stats["verify_path"] == "none"
+    assert stats["n_definite_new"] == 60
+    release_census_caches()
+
+
+def test_precomputed_features_and_bloom_reuse(spark):
+    """Recrawl posture: history features + the bloom are computed once
+    and reused across batches."""
+    old, new = _corpora(spark)
+    cfg = PipelineConfig()
+    old_feats = (
+        _featurize(old, cfg, "doc_id", "text")
+        .select(F.col("_id").alias("doc_id"), "sig", "shingles")
+        .persist()
+    )
+    res1, stats1 = incremental_near_new_rows(new, old, old_features=old_feats)
+    res2, stats2 = incremental_near_new_rows(
+        new, old, old_features=old_feats, bloom=stats1["bloom"]
+    )
+    base = sorted(r.doc_id for r in incremental_near_new_rows(new, old)[0].collect())
+    assert sorted(r.doc_id for r in res1.collect()) == base
+    assert sorted(r.doc_id for r in res2.collect()) == base
+    assert stats2["bloom"] is stats1["bloom"]
+    old_feats.unpersist()
+    release_census_caches()
+
+
+def test_hot_history_bucket_cap_accounted(spark):
+    """old_bucket_cap: a hot history band bucket (many identical docs) is
+    capped with observable accounting; the kept representative still
+    catches the dup, so the answer survives the cap here."""
+    old = spark.createDataFrame(
+        [(i, BASE + "identical boilerplate page") for i in range(30)]
+        + [(100, BASE + "some other history page entirely")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(200, BASE + "identical boilerplate page"),
+         (201, "fresh new content " * 10)],
+        ["doc_id", "text"],
+    )
+    res, stats = incremental_near_new_rows(new, old, old_bucket_cap=3)
+    assert stats["n_capped_band_keys"] > 0
+    assert stats["max_old_bucket"] == 30
+    assert sorted(r.doc_id for r in res.collect()) == [201]
+    # uncapped run agrees
+    res2, stats2 = incremental_near_new_rows(new, old)
+    assert stats2["n_capped_band_keys"] == 0
+    assert sorted(r.doc_id for r in res2.collect()) == [201]
+    release_census_caches()
+
+
+def test_shuffle_verify_path_same_answer(spark):
+    old, new = _corpora(spark)
+    res, stats = incremental_near_new_rows(
+        new, old, hit_broadcast_threshold=0
+    )
+    assert stats["verify_path"] == "shuffle"
+    assert sorted(r.doc_id for r in res.collect()) == [
+        j for j in range(100, 130) if j % 3 == 1
+    ]
+    release_census_caches()
