@@ -202,6 +202,16 @@ def _lsh_feature_list_sql() -> str:
                )"""
 
 
+# _NORM_CLASS normalization as a DuckDB expression over a text column —
+# kernel parity: functions/kernels.py:43 (lowercase, non-[word/CJK] → space,
+# whitespace collapse, trim)
+def _norm_sql(col: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), "
+        "'[^a-z0-9_\\s一-鿿]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
 # recursive min-label connected components over an edge CTE named `e` —
 # shared tail of the detector-pipeline cluster oracles (cluster_id =
 # component minimum, singletons label themselves)
@@ -1087,6 +1097,29 @@ def q_incremental_new_docs(spark, sf_dir):
     return res.select("doc_id", "text_md5")
 
 
+def q_incremental_fuzzy_new_docs(spark, sf_dir):
+    """Bloom-prefiltered incremental NEAR-dup dedup (fuzzy recrawl mode):
+    docs of the 'new batch' (doc_id % 4 == 0) with no MinHash-LSH
+    near-duplicate (exact feature Jaccard >= 0.8 among band candidates)
+    in the 'historical corpus' (doc_id % 4 != 0). The Bloom filter only
+    routes band rows — the answer equals the no-bloom bipartite band join
+    + verify (operators/incremental_fuzzy.py), and on this corpus that
+    equals raw-string-feature Jaccard >= 0.8 NOT EXISTS (the bipartite
+    restriction of the minhash_clusters precondition, pinned per SF in
+    tests/test_oracle_assumptions.py)."""
+    from deduplication_framework_spark.operators.incremental_fuzzy import (
+        incremental_near_new_rows,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "text", "n_chars"
+    )
+    res, _stats = incremental_near_new_rows(new, old)
+    return res.select("doc_id", "n_chars")
+
+
 def q_latest_events(spark, sf_dir):
     """Keep-latest snapshot per (user_id, event_type) — the (url, warc_ts)
     recrawl pattern; max-of-struct aggregation with map-side combine, not
@@ -1152,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_ish_token_counts": q_bpe_ish_token_counts,
         "lang_source_cube": q_lang_source_cube,
         "incremental_new_docs": q_incremental_new_docs,
+        "incremental_fuzzy_new_docs": q_incremental_fuzzy_new_docs,
         "latest_events": q_latest_events,
     }
 
@@ -1264,11 +1298,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(DISTINCT md5(text)) AS n_dupes
             FROM documents
         """,
-        "normalize_text": """
-            SELECT doc_id,
-                   trim(regexp_replace(regexp_replace(lower(text),
-                        '[^a-z0-9_\\s一-鿿]', ' ', 'g'), '\\s+', ' ', 'g'))
-                   AS normalized
+        "normalize_text": f"""
+            SELECT doc_id, {_norm_sql('text')} AS normalized
             FROM documents
         """,
         "char_ngram_counts": """
@@ -1473,6 +1504,33 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (
                   SELECT 1 FROM documents o
                   WHERE o.doc_id % 4 <> 0 AND md5(o.text) = md5(n.text)
+              )
+        """,
+        # fuzzy recrawl semantics: bipartite LSH-candidate + exact-Jaccard
+        # verify == raw-string-feature J>=0.8 NOT EXISTS on this corpus
+        # (bipartite restriction of the minhash_clusters precondition;
+        # pinned per SF in tests/test_oracle_assumptions.py). The symmetric
+        # size prefilter is a necessary condition for J>=0.8 (recall-safe);
+        # two empty feature sets are J=1 dups, matching the kernel.
+        "incremental_fuzzy_new_docs": f"""
+            WITH norm AS (
+                SELECT doc_id, {_norm_sql('text')} AS nt FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, {_lsh_feature_list_sql()} AS fs FROM norm
+            )
+            SELECT d.doc_id, d.n_chars
+            FROM documents d JOIN feats n ON d.doc_id = n.doc_id
+            WHERE d.doc_id % 4 = 0
+              AND NOT EXISTS (
+                  SELECT 1 FROM feats o
+                  WHERE o.doc_id % 4 <> 0
+                    AND len(o.fs) >= 0.8 * len(n.fs)
+                    AND len(n.fs) >= 0.8 * len(o.fs)
+                    AND ((len(n.fs) = 0 AND len(o.fs) = 0)
+                         OR len(list_intersect(n.fs, o.fs))::DOUBLE
+                            / (len(n.fs) + len(o.fs)
+                               - len(list_intersect(n.fs, o.fs))) >= 0.8)
               )
         """,
         "latest_events": """
@@ -1716,10 +1774,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT rep AS src, doc_id AS dst FROM grp WHERE doc_id <> rep
             ),
             norm AS (
-                SELECT d.doc_id,
-                       trim(regexp_replace(regexp_replace(lower(d.text),
-                            '[^a-z0-9_\\s一-鿿]', ' ', 'g'),
-                            '\\s+', ' ', 'g')) AS nt
+                SELECT d.doc_id, {_norm_sql('d.text')} AS nt
                 FROM documents d
                 JOIN grp g ON d.doc_id = g.doc_id AND d.doc_id = g.rep
             ),

@@ -216,6 +216,66 @@ def test_minhash_edges_match_raw_jaccard_oracle(sf_dir, spark):
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_incremental_fuzzy_matches_raw_jaccard_oracle(sf_dir, spark):
+    """The incremental_fuzzy_new_docs DuckDB oracle is a bipartite
+    NOT EXISTS over raw-string-feature Jaccard >= 0.8. Pin that the
+    operator's answer on the driver split (new = doc_id % 4 == 0,
+    history = the rest) is IDENTICAL — this subsumes bipartite LSH
+    candidate recall = 1.0, no 32-bit feature-hash collision flipping a
+    verify decision, and the Bloom filter + hot-bucket cap losing no
+    true pair on this corpus."""
+    from deduplication_framework_spark.config import PipelineConfig
+    from deduplication_framework_spark.functions import kernels as K
+    from deduplication_framework_spark.operators.incremental_fuzzy import (
+        incremental_near_new_rows,
+    )
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res, _stats = incremental_near_new_rows(
+        docs.filter("doc_id % 4 = 0").select("doc_id", "text"),
+        docs.filter("doc_id % 4 != 0"),
+    )
+    got = sorted(r.doc_id for r in res.select("doc_id").collect())
+    release_census_caches()
+
+    d = _docs(sf_dir)
+    cfg = PipelineConfig()
+
+    def feat_set(text):
+        norm = K.normalize_text(text)
+        fs = set(K.lsh_word_tokens(norm, cfg.dedup.max_words))
+        fs |= set(
+            K.lsh_char_grams(
+                norm, cfg.embedding.ngram_size, cfg.dedup.max_char_grams
+            )
+        )
+        return fs
+
+    feats = {int(i): feat_set(t) for i, t in zip(d.doc_id, d.text)}
+    old_ids = [i for i in feats if i % 4 != 0]
+    expect = []
+    for nid in sorted(i for i in feats if i % 4 == 0):
+        fn = feats[nid]
+        dup = False
+        for oid in old_ids:
+            fo = feats[oid]
+            union = len(fn | fo)
+            if union == 0 or len(fn & fo) / union >= cfg.dedup.threshold:
+                dup = True
+                break
+        if not dup:
+            expect.append(nid)
+    assert got == expect, (
+        f"operator answer != raw-Jaccard NOT EXISTS oracle: "
+        f"missing={sorted(set(expect) - set(got))[:5]} "
+        f"extra={sorted(set(got) - set(expect))[:5]}"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_winnow_fingerprints_sql_matches_kernel(sf_dir):
     """The substring_clusters oracle's fingerprint CTEs (Karp-Rabin +
     splitmix64 + window-min in HUGEINT arithmetic) reproduce
