@@ -1507,31 +1507,37 @@ def oracle_sql() -> dict[str, str]:
               )
         """,
         # fuzzy recrawl semantics: bipartite LSH-candidate + exact-Jaccard
-        # verify == raw-string-feature J>=0.8 NOT EXISTS on this corpus
-        # (bipartite restriction of the minhash_clusters precondition;
-        # pinned per SF in tests/test_oracle_assumptions.py). The symmetric
-        # size prefilter is a necessary condition for J>=0.8 (recall-safe);
-        # two empty feature sets are J=1 dups, matching the kernel.
+        # verify == raw-string-feature J>=0.8 "no history near-dup" on
+        # this corpus (bipartite restriction of the minhash_clusters
+        # precondition; pinned per SF in tests/test_oracle_assumptions.py).
+        # The symmetric size prefilter is a necessary condition for J>=0.8
+        # (recall-safe); two empty feature sets are J=1 dups, matching the
+        # kernel. Materialized pair CTE (not a correlated NOT EXISTS over
+        # feats) so list_intersect runs ONCE per prefiltered pair — 10x.
         "incremental_fuzzy_new_docs": f"""
             WITH norm AS (
                 SELECT doc_id, {_norm_sql('text')} AS nt FROM documents
             ),
             feats AS (
                 SELECT doc_id, {_lsh_feature_list_sql()} AS fs FROM norm
+            ),
+            cand AS (
+                SELECT n.doc_id AS nid, len(n.fs) AS ln, len(o.fs) AS lo,
+                       len(list_intersect(n.fs, o.fs)) AS li
+                FROM feats n JOIN feats o
+                  ON n.doc_id % 4 = 0 AND o.doc_id % 4 <> 0
+                 AND len(o.fs) >= 0.8 * len(n.fs)
+                 AND len(n.fs) >= 0.8 * len(o.fs)
+            ),
+            dup AS (
+                SELECT DISTINCT nid AS doc_id FROM cand
+                WHERE (ln = 0 AND lo = 0)
+                   OR li::DOUBLE / (ln + lo - li) >= 0.8
             )
             SELECT d.doc_id, d.n_chars
-            FROM documents d JOIN feats n ON d.doc_id = n.doc_id
+            FROM documents d
             WHERE d.doc_id % 4 = 0
-              AND NOT EXISTS (
-                  SELECT 1 FROM feats o
-                  WHERE o.doc_id % 4 <> 0
-                    AND len(o.fs) >= 0.8 * len(n.fs)
-                    AND len(n.fs) >= 0.8 * len(o.fs)
-                    AND ((len(n.fs) = 0 AND len(o.fs) = 0)
-                         OR len(list_intersect(n.fs, o.fs))::DOUBLE
-                            / (len(n.fs) + len(o.fs)
-                               - len(list_intersect(n.fs, o.fs))) >= 0.8)
-              )
+              AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = d.doc_id)
         """,
         "latest_events": """
             SELECT user_id, event_type,

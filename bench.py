@@ -301,6 +301,77 @@ def incremental_bloom_evidence(spark, pages):
     }
 
 
+def incremental_fuzzy_evidence(spark, pages):
+    """Fuzzy recrawl evidence (operators/incremental_fuzzy.py): the same
+    recrawl batch deduplicated against history at NEAR-dup semantics
+    (MinHash-LSH candidates + exact-Jaccard verify, bipartite). Exact
+    re-crawled copies are a recall GUARANTEE, not a probability: an
+    identical text has an identical signature (collides in every band,
+    Bloom filters have no false negatives) and verifies at J=1 — so every
+    +10M recrawl id must be flagged dup, asserted hard. Full no-bloom
+    parity is pinned in tests/test_incremental_fuzzy.py; this keeps the
+    scale evidence measurable round-over-round."""
+    from deduplication_framework_spark.operators.incremental_fuzzy import (
+        incremental_near_new_rows,
+    )
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    old, new = _bloom_recrawl_frames(pages)
+    res, stats = incremental_near_new_rows(
+        new, old, id_col="doc_order", text_col="text"
+    )
+    kept = {r.doc_order for r in res.select("doc_order").collect()}
+    recrawl_ids = {
+        r.doc_order
+        for r in new.filter("doc_order >= 10000000")
+        .select("doc_order")
+        .collect()
+    }
+    missed = recrawl_ids & kept
+    assert not missed, (
+        f"exact recrawl copies survived fuzzy incremental dedup: "
+        f"{sorted(missed)[:5]}"
+    )
+    release_census_caches()
+    spark.catalog.clearCache()
+    return {
+        "n_batch": stats["n_new_batch"],
+        "n_history": stats["n_old"],
+        "n_new": len(kept),
+        "n_definite_new": stats["n_definite_new"],
+        "n_candidate_pairs": stats.get("n_candidate_pairs", 0),
+        "n_dup_docs": stats.get("n_dup_docs", 0),
+        "n_recrawl_exact": len(recrawl_ids),
+        "recrawl_exact_caught": len(recrawl_ids - kept),
+        "verify_path": stats["verify_path"],
+        "max_old_bucket": stats["max_old_bucket"],
+        "n_capped_band_keys": stats["n_capped_band_keys"],
+    }
+
+
+def bench_incremental_fuzzy(spark, pages):
+    from deduplication_framework_spark.operators.incremental_fuzzy import (
+        incremental_near_new_rows,
+    )
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    old, new = _bloom_recrawl_frames(pages)
+
+    def run():
+        res, _ = incremental_near_new_rows(
+            new, old, id_col="doc_order", text_col="text"
+        )
+        n = res.count()
+        release_census_caches()
+        return n
+
+    return run
+
+
 def bench_incremental_bloom(spark, pages):
     from deduplication_framework_spark.operators.bloom import (
         incremental_new_rows,
@@ -348,6 +419,7 @@ def main():
     cc_run, cc_stats = bench_distributed_cc(spark)
     workloads.append(("cc_distributed_chain_1m2_edges", cc_run))
     workloads.append(("incremental_bloom_e2e", bench_incremental_bloom(spark, pages)))
+    workloads.append(("incremental_fuzzy_e2e", bench_incremental_fuzzy(spark, pages)))
     workloads += [
         (f"q_{name}", (lambda n: lambda: qs[n](spark, SF_DIR).count())(name))
         for name in [
@@ -404,6 +476,7 @@ def main():
     recall = minhash_recall_evidence(spark)
     skew = skew_salting_evidence(spark)
     inc_bloom = incremental_bloom_evidence(spark, pages)
+    inc_fuzzy = incremental_fuzzy_evidence(spark, pages)
 
     scaling_report = None
     if scaling:
@@ -424,6 +497,7 @@ def main():
         "distributed_cc": cc_stats,
         "skew_salting": skew,
         "incremental_bloom": inc_bloom,
+        "incremental_fuzzy": inc_fuzzy,
     }
     if scaling_report:
         line["scaling"] = scaling_report

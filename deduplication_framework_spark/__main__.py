@@ -54,6 +54,14 @@ def main(argv=None) -> int:
                         "batch docs whose md5(text) already occurs there "
                         "are dropped BEFORE the pipeline via a Bloom "
                         "prefilter + exact verify join (operators/bloom.py)")
+    p.add_argument("--dedup-against-fuzzy", action="store_true",
+                   help="with --dedup-against: ALSO drop batch docs with a "
+                        "NEAR-duplicate in the historical corpus "
+                        "(MinHash-LSH candidates + exact-Jaccard >= the "
+                        "config threshold, bipartite; "
+                        "operators/incremental_fuzzy.py). The exact Bloom "
+                        "prefilter runs first, so only survivors are "
+                        "featurized")
     p.add_argument("--sweep", default=None,
                    help="comma list of thresholds: run the threshold sweep "
                         "(reference clean_batch_dataset analog) instead of a "
@@ -89,6 +97,8 @@ def main(argv=None) -> int:
 
     span_metrics: dict = {}
     input_tags = []
+    if args.dedup_against_fuzzy and args.dedup_against is None:
+        p.error("--dedup-against-fuzzy requires --dedup-against")
     if args.dedup_against is not None:
         if args.sweep:
             p.error("--dedup-against is not supported with --sweep")
@@ -100,6 +110,14 @@ def main(argv=None) -> int:
         # flag (or clear the checkpoint) if the historical corpus at the
         # same path changes, the same contract --input itself has
         input_tags.append(f"dedup_against:{args.dedup_against}")
+        if args.dedup_against_fuzzy:
+            pages, fz_metrics = _incremental_fuzzy_pages(
+                spark, pages, args.dedup_against, cfg
+            )
+            span_metrics.update(fz_metrics)
+            input_tags.append(
+                f"dedup_against_fuzzy:{args.dedup_against}"
+            )
     if args.span_dedup_fuzzy and args.span_dedup is None:
         p.error("--span-dedup-fuzzy requires --span-dedup")
     if args.span_dedup is not None:
@@ -216,6 +234,51 @@ def _incremental_pages(spark, pages, against_path: str):
         "incremental.n_candidates": float(stats["n_candidates"]),
         # survivors of the verify join are counted by the pipeline itself
         # (summary "docs" = post-filter batch size)
+    }
+    return out, metrics
+
+
+def _incremental_fuzzy_pages(spark, pages, against_path: str, cfg):
+    """pages → (pages minus docs with a NEAR-duplicate in the historical
+    corpus, metrics). Runs AFTER the exact Bloom prefilter (so only
+    exact-new survivors pay featurization) and BEFORE --span-dedup / the
+    pipeline. Doc identity comes from the pipeline's own ``prepare_docs``
+    (explicit doc_order when present, else the (warc_ts, url) dense rank);
+    history rows get md5(text) ids and identical history texts collapse to
+    one representative — membership semantics are unchanged, featurization
+    cost drops. Output is the span-path's (doc_order, url, text, lang)
+    shape. The operator's tracked caches are released by the pipeline's
+    own end-of-run ``release_census_caches()``."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.incremental_fuzzy import (
+        incremental_near_new_rows,
+    )
+    from deduplication_framework_spark.plans.pipeline import prepare_docs
+
+    old = (
+        spark.read.parquet(against_path)
+        .select(F.md5("text").alias("doc_id"), "text")
+        .dropDuplicates(["doc_id"])
+    )
+    docs = prepare_docs(pages)
+    kept, stats = incremental_near_new_rows(
+        docs.select("doc_id", "text"), old, cfg, id_col="doc_id"
+    )
+    out = (
+        docs.drop("text")
+        .join(kept, "doc_id")
+        .select(
+            F.col("doc_id").alias("doc_order"), "url", "text", "lang"
+        )
+    )
+    metrics = {
+        "incremental_fuzzy.n_batch": float(stats["n_new_batch"]),
+        "incremental_fuzzy.n_definite_new": float(stats["n_definite_new"]),
+        "incremental_fuzzy.n_candidate_pairs": float(
+            stats.get("n_candidate_pairs", 0)
+        ),
+        "incremental_fuzzy.n_dup_docs": float(stats.get("n_dup_docs", 0)),
     }
     return out, metrics
 

@@ -15,10 +15,12 @@ mirroring ``incremental_new_rows``'s within-batch contract.
 
 Spark form, scale posture:
 
-* history is featurized ONCE per batch here — at real recrawl scale its
-  band table is PRECOMPUTED and append-only, so pass ``old_features``
-  (and reuse the returned ``bloom`` across batches) and the history scan
-  disappears from the per-batch cost entirely;
+* history is featurized ONCE per batch here — at real recrawl scale the
+  feature and band tables are PRECOMPUTED and append-only, so pass
+  ``old_features`` + ``old_bands`` (and reuse the returned ``bloom``
+  across batches): the per-batch history cost is then the hit-key
+  semi-join over the stored band table + the per-pair verify join,
+  ∝ the batch's collision footprint, not the corpus;
 * a Bloom filter over history's ~n_old*b band keys ships broadcast; the
   new batch's band rows are tagged MAP-SIDE. Bloom filters have no false
   negatives, so a new doc with ZERO hit bands shares no band bucket with
@@ -74,6 +76,7 @@ def incremental_near_new_rows(
     text_col: str = "text",
     fpp: float = 1e-3,
     old_features: Optional[DataFrame] = None,
+    old_bands: Optional[DataFrame] = None,
     bloom: Optional[BloomFilter] = None,
     old_bucket_cap: int = 10_000,
     hit_broadcast_threshold: int = 2_000_000,
@@ -85,11 +88,18 @@ def incremental_near_new_rows(
 
     ``old_features`` (columns ``(<id_col>, sig, shingles)``, e.g. a stored
     frame from a previous run's featurization) skips re-featurizing
-    history; ``bloom`` (from a previous batch's ``stats["bloom"]``) skips
-    rebuilding the band-key filter. Returns ``(result_df, stats)``; stats
-    includes the built ``bloom`` for reuse plus routing counters. Runs
-    eager census jobs and persists via the shared tracked-cache registry
-    (released by ``lsh.release_census_caches()``).
+    history; ``old_bands`` (columns ``(<id_col>, band_key)``, e.g. the
+    band table stored as a parquet/Iceberg index and appended to as docs
+    are admitted) additionally skips the per-batch history band explosion
+    — with all of ``old_features``/``old_bands``/``bloom`` supplied the
+    steady-state history cost is ONE count + the hit-key semi-join over
+    the stored band table + the per-pair verify join, all ∝ the batch's
+    collision footprint, never the corpus; ``bloom`` (from a previous
+    batch's ``stats["bloom"]``) skips rebuilding the band-key filter.
+    Returns ``(result_df, stats)``; stats includes the built ``bloom``
+    for reuse plus routing counters. Runs eager census jobs and persists
+    via the shared tracked-cache registry (released by
+    ``lsh.release_census_caches()``).
     """
     cfg = cfg or PipelineConfig()
     b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
@@ -100,13 +110,20 @@ def incremental_near_new_rows(
         old_feats = old_features.select(
             F.col(id_col).alias("_id"), "sig", "shingles"
         )
-    # consumed by the bloom build AND (hit keys only) the candidate join
-    # + verify — persist and materialize once before fan-out
-    old_feats = _persist_tracked(old_feats)
-    n_old = old_feats.count()
-    old_bands = _persist_tracked(
-        minhash_bands(old_feats.select("_id", "sig"), b, r, id_col="_id")
-    )
+    if old_bands is None:
+        # features are consumed by the band explosion AND (hit keys only)
+        # the verify join — persist and materialize before the fan-out
+        old_feats = _persist_tracked(old_feats)
+        n_old = old_feats.count()
+        old_bands = _persist_tracked(
+            minhash_bands(old_feats.select("_id", "sig"), b, r, id_col="_id")
+        )
+    else:
+        # stored index path: bands (and usually bloom) are precomputed, so
+        # features have a single consumer (the verify join) — do NOT cache
+        # a corpus-scale frame for it; the count is a column-pruned scan
+        n_old = old_feats.count()
+        old_bands = old_bands.select(F.col(id_col).alias("_id"), "band_key")
     if bloom is None:
         # duplicates in the key stream just re-set bits — skip the
         # distinct() shuffle and size for the upper bound n_old*b

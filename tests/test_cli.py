@@ -92,6 +92,63 @@ def test_cli_dedup_against(spark, tmp_path):
     assert summary["docs"] >= 50
 
 
+def test_cli_dedup_against_fuzzy(spark, tmp_path):
+    """Fuzzy recrawl mode: history holds exact copies of docs 0..99 AND
+    near-copies (one appended token) of docs 100..149; the exact Bloom
+    layer drops the former, the fuzzy layer drops (almost all of — the
+    LSH S-curve, not a bug) the latter, and only genuinely new docs reach
+    the pipeline."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.sources.pages import generate_pages
+
+    hist = str(tmp_path / "hist_fz")
+    corpus = generate_pages(spark, 200)
+    exact_part = corpus.filter(F.col("doc_order") < 100).select("text")
+    near_part = (
+        corpus.filter(
+            (F.col("doc_order") >= 100) & (F.col("doc_order") < 150)
+        )
+        .select(F.concat(F.col("text"), F.lit(" tailword")).alias("text"))
+    )
+    exact_part.unionByName(near_part).write.parquet(hist)
+    out = str(tmp_path / "out_fz")
+    rc = main(
+        [
+            "--synthetic", "200",
+            "--output", out,
+            "--detectors", "exact,minhash",
+            "--checkpoint-dir", str(tmp_path / "ckpt_fz"),
+            "--dedup-against", hist,
+            "--dedup-against-fuzzy",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "summary.json")) as fh:
+        summary = json.load(fh)
+    m = summary["metrics"]
+    assert m["incremental.n_batch"] == 200
+    # the fuzzy layer only sees exact-new survivors
+    assert m["incremental_fuzzy.n_batch"] <= 100
+    # near-copied docs 100..149 are its true dups (high-J pairs; allow
+    # a few S-curve misses)
+    assert m["incremental_fuzzy.n_dup_docs"] >= 40
+    assert summary["docs"] <= 60
+
+
+def test_cli_dedup_against_fuzzy_requires_base_flag(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--synthetic", "50",
+                "--output", str(tmp_path / "o_fz"),
+                "--dedup-against-fuzzy",
+            ]
+        )
+
+
 def test_cli_dedup_against_rejects_sweep_and_bad_input(spark, tmp_path):
     import pytest
 

@@ -154,6 +154,53 @@ def test_precomputed_features_and_bloom_reuse(spark):
     release_census_caches()
 
 
+def test_precomputed_band_table_same_answer(spark):
+    """Stored-index posture: with old_features AND old_bands AND bloom all
+    precomputed (the parquet/Iceberg band-index shape), the per-batch plan
+    never re-featurizes or re-explodes history — and the answer is
+    identical to the cold run."""
+    from deduplication_framework_spark.functions import kernels as K
+    from deduplication_framework_spark.operators.lsh import minhash_bands
+
+    old, new = _corpora(spark)
+    cfg = PipelineConfig()
+    b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
+    old_feats = (
+        _featurize(old, cfg, "doc_id", "text")
+        .select(F.col("_id").alias("doc_id"), "sig", "shingles")
+        .persist()
+    )
+    band_table = (
+        minhash_bands(
+            old_feats.select(F.col("doc_id").alias("_id"), "sig"),
+            b,
+            r,
+            id_col="_id",
+        )
+        .select(F.col("_id").alias("doc_id"), "band_key")
+        .persist()
+    )
+    cold, s_cold = incremental_near_new_rows(new, old)
+    warm, s_warm = incremental_near_new_rows(
+        new,
+        old,
+        old_features=old_feats,
+        old_bands=band_table,
+        bloom=s_cold["bloom"],
+    )
+    assert sorted(r_.doc_id for r_ in warm.collect()) == sorted(
+        r_.doc_id for r_ in cold.collect()
+    )
+    assert s_warm["n_dup_docs"] == s_cold["n_dup_docs"]
+    assert s_warm["n_candidate_pairs"] == s_cold["n_candidate_pairs"]
+    # history is never re-featurized or re-exploded on this path by
+    # construction: _featurize/minhash_bands are only reachable when the
+    # corresponding argument is None (see operator source)
+    old_feats.unpersist()
+    band_table.unpersist()
+    release_census_caches()
+
+
 def test_hot_history_bucket_cap_accounted(spark):
     """old_bucket_cap: a hot history band bucket (many identical docs) is
     capped with observable accounting; the kept representative still
