@@ -1094,7 +1094,17 @@ def q_incremental_new_docs(spark, sf_dir):
     res, _stats = incremental_new_rows(
         new, old, key_col="text", out_hash_col="text_md5"
     )
-    return res.select("doc_id", "text_md5")
+    # materialize + release the operator's tracked caches (batch-scale
+    # here, but the gate session shouldn't accumulate them)
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    out = res.select("doc_id", "text_md5")
+    rows = out.collect()
+    schema = out.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
 
 
 def q_incremental_fuzzy_new_docs(spark, sf_dir):
@@ -1111,13 +1121,24 @@ def q_incremental_fuzzy_new_docs(spark, sf_dir):
         incremental_near_new_rows,
     )
 
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
     docs = _docs(spark, sf_dir)
     old = docs.filter(F.col("doc_id") % 4 != 0)
     new = docs.filter(F.col("doc_id") % 4 == 0).select(
         "doc_id", "text", "n_chars"
     )
     res, _stats = incremental_near_new_rows(new, old)
-    return res.select("doc_id", "n_chars")
+    # the operator persists ~7 corpus-scale tracked frames; materialize
+    # the (small) answer and release them HERE so a gate/sweep session
+    # doesn't accumulate them across queries — schema preserved exactly
+    out = res.select("doc_id", "n_chars")
+    rows = out.collect()
+    schema = out.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
 
 
 def q_latest_events(spark, sf_dir):

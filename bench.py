@@ -308,7 +308,9 @@ def incremental_fuzzy_evidence(spark, pages):
     re-crawled copies are a recall GUARANTEE, not a probability: an
     identical text has an identical signature (collides in every band,
     Bloom filters have no false negatives) and verifies at J=1 — so every
-    +10M recrawl id must be flagged dup, asserted hard. Full no-bloom
+    +10M recrawl id must be flagged dup, asserted hard. The guarantee's
+    precondition (no history bucket hit old_bucket_cap, which is
+    documented-lossy) is asserted first. Full no-bloom
     parity is pinned in tests/test_incremental_fuzzy.py; this keeps the
     scale evidence measurable round-over-round."""
     from deduplication_framework_spark.operators.incremental_fuzzy import (
@@ -329,6 +331,11 @@ def incremental_fuzzy_evidence(spark, pages):
         .select("doc_order")
         .collect()
     }
+    # the guarantee only holds when no history bucket was capped (capping
+    # is documented-lossy with accounting); assert the precondition first
+    assert stats["n_capped_band_keys"] == 0, (
+        f"unexpected capped history buckets at bench scale: {stats}"
+    )
     missed = recrawl_ids & kept
     assert not missed, (
         f"exact recrawl copies survived fuzzy incremental dedup: "

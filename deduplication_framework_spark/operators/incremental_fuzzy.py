@@ -104,25 +104,29 @@ def incremental_near_new_rows(
     cfg = cfg or PipelineConfig()
     b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
 
-    if old_features is None:
+    computed_feats = old_features is None
+    if computed_feats:
         old_feats = _featurize(old_df, cfg, id_col, text_col)
     else:
         old_feats = old_features.select(
             F.col(id_col).alias("_id"), "sig", "shingles"
         )
-    if old_bands is None:
-        # features are consumed by the band explosion AND (hit keys only)
-        # the verify join — persist and materialize before the fan-out
+    if computed_feats or old_bands is None:
+        # features we computed here (Arrow UDF over the corpus) are
+        # consumed by the stats count AND the verify join — and, when the
+        # bands must be built too, by the band explosion: persist and
+        # materialize before the fan-out. Provided features with provided
+        # bands skip this: two column-pruned scans of a STORED frame beat
+        # caching a corpus-scale frame
         old_feats = _persist_tracked(old_feats)
-        n_old = old_feats.count()
+    n_old = old_feats.count()
+    if old_bands is None:
         old_bands = _persist_tracked(
             minhash_bands(old_feats.select("_id", "sig"), b, r, id_col="_id")
         )
     else:
-        # stored index path: bands (and usually bloom) are precomputed, so
-        # features have a single consumer (the verify join) — do NOT cache
-        # a corpus-scale frame for it; the count is a column-pruned scan
-        n_old = old_feats.count()
+        # stored index path: the band table is precomputed (parquet/
+        # Iceberg, append-only), so history is never re-exploded per batch
         old_bands = old_bands.select(F.col(id_col).alias("_id"), "band_key")
     if bloom is None:
         # duplicates in the key stream just re-set bits — skip the

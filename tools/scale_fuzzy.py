@@ -12,13 +12,17 @@ edit (raw-feature J ~ 0.9, a true near-dup), the rest is fresh content
 
 Three timed phases per leg:
 * index build — featurize history (fused Arrow UDF, kr32 throughput
-  family) + persist + Bloom over its band keys. Per-corpus, amortized
-  across every subsequent batch;
-* cold batch — incremental_near_new_rows with the precomputed features
-  but building the Bloom (first batch of a day);
-* warm batch — the steady state: features AND Bloom reused, so the
-  per-batch cost is featurizing the BATCH, map-side Bloom routing, and
-  the hit-key-only verify join.
+  family), explode its band table, build the Bloom over the band keys.
+  Per-corpus, amortized across every subsequent batch
+  (``index_build_sec``);
+* first batch — incremental_near_new_rows with features + bands + Bloom
+  all injected, JIT/Arrow first-use cold (``first_batch_sec``);
+* warm batch — the same call again, the steady state
+  (``warm_batch_sec``): per-batch cost is featurizing the BATCH,
+  map-side Bloom routing, the hit-key semi-join over the STORED band
+  table, and the per-pair verify join — history is never re-featurized
+  or re-exploded (the ``old_bands`` stored-index path, exercised here
+  at scale, parity-pinned in tests/test_incremental_fuzzy.py).
 
 Hard assertions (the bench discipline: a regression fails the tool):
 * every byte-identical recrawl id is removed — exact copies share every
@@ -102,9 +106,14 @@ def main():
     old = spark.read.parquet(f"{corpus_dir}/old")
     new = spark.read.parquet(f"{corpus_dir}/new")
 
-    # phase 1: index build (amortized per-corpus cost). old_features'
-    # contract names the id column id_col (= doc_id here); _featurize
-    # emits "_id"
+    # phase 1: index build (amortized per-corpus cost): features + band
+    # table + Bloom. old_features'/old_bands' contract names the id
+    # column id_col (= doc_id here); _featurize emits "_id"
+    from deduplication_framework_spark.functions import kernels as K
+    from deduplication_framework_spark.operators.bloom import bloom_build
+    from deduplication_framework_spark.operators.lsh import minhash_bands
+
+    b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
     t0 = time.time()
     old_feats = (
         _featurize(old, cfg, "doc_id", "text")
@@ -112,28 +121,49 @@ def main():
         .persist()
     )
     old_feats.count()
-    res1, stats1 = incremental_near_new_rows(
-        new, old, cfg, old_features=old_feats
+    band_table = (
+        minhash_bands(
+            old_feats.select(F.col("doc_id").alias("_id"), "sig"),
+            b,
+            r,
+            id_col="_id",
+        )
+        .select(F.col("_id").alias("doc_id"), "band_key")
+        .persist()
     )
-    n_res_cold = res1.count()
+    n_band_rows = band_table.count()
+    bloom = bloom_build(
+        band_table, F.col("band_key"), expected_items=n_band_rows, fpp=1e-3
+    )
     t1 = time.time()
 
-    # phase 2: warm steady-state batch — features AND bloom reused
-    bloom = stats1["bloom"]
+    # phase 2: first batch, stored index injected (JIT/Arrow cold)
+    res1, stats1 = incremental_near_new_rows(
+        new, old, cfg,
+        old_features=old_feats, old_bands=band_table, bloom=bloom,
+    )
+    n_res_cold = res1.count()
+    t2a = time.time()
+
+    # phase 3: warm steady-state batch — the same stored-index call
     release_census_caches()
     t2 = time.time()
     res2, stats2 = incremental_near_new_rows(
-        new, old, cfg, old_features=old_feats, bloom=bloom
+        new, old, cfg,
+        old_features=old_feats, old_bands=band_table, bloom=bloom,
     )
     res2 = res2.persist()  # count (timed) + correctness collect (untimed)
     n_res_warm = res2.count()
     t3 = time.time()
     kept = {r.doc_id for r in res2.select("doc_id").collect()}
 
-    assert n_res_cold == n_res_warm, "bloom reuse changed the answer"
+    assert n_res_cold == n_res_warm, "index reuse changed the answer"
     exact_ids = {10_000_000_000 + i for i in range(0, n_new, 3)}
     near_ids = {10_000_000_000 + i for i in range(1, n_new, 3)}
     fresh_ids = {10_000_000_000 + i for i in range(2, n_new, 3)}
+    # the exact-catch guarantee's precondition: no capped history bucket
+    # (old_bucket_cap is documented-lossy with accounting)
+    assert stats2["n_capped_band_keys"] == 0, stats2
     missed_exact = exact_ids & kept
     assert not missed_exact, (
         f"exact recrawl copies survived: {sorted(missed_exact)[:5]}"
@@ -150,7 +180,8 @@ def main():
 
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
-    cold_sec = t1 - t0
+    index_sec = t1 - t0
+    first_sec = t2a - t1
     warm_sec = t3 - t2
     cpu_sec, run_sec, n_tasks = _task_metrics(evdir, t2 * 1000, t3 * 1000)
     shutil.rmtree(evdir, ignore_errors=True)
@@ -161,7 +192,9 @@ def main():
         "b": stats2["b"],
         "r": stats2["r"],
         "m_bits": stats2["m_bits"],
-        "cold_sec": round(cold_sec, 2),
+        "index_build_sec": round(index_sec, 2),
+        "index_docs_per_sec": round(n_old / index_sec, 1),
+        "first_batch_sec": round(first_sec, 2),
         "warm_batch_sec": round(warm_sec, 2),
         "warm_batch_docs_per_sec": round(n_new / warm_sec, 1),
         "n_new_result": n_res_warm,
