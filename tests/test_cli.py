@@ -136,6 +136,41 @@ def test_cli_dedup_against_fuzzy(spark, tmp_path):
     assert summary["docs"] <= 60
 
 
+def test_cli_dedup_against_fuzzy_chains_with_span_dedup(spark, tmp_path):
+    """The preprocessing layers compose: exact Bloom recrawl filter →
+    fuzzy recrawl filter (reshapes pages to (doc_order, url, text, lang))
+    → span dedup (consumes that shape via prepare_docs) → pipeline; all
+    three fold into the stage-resume input tag."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.sources.pages import generate_pages
+
+    hist = str(tmp_path / "hist_combo")
+    generate_pages(spark, 100).filter(F.col("doc_order") < 50).select(
+        "text"
+    ).write.parquet(hist)
+    out = str(tmp_path / "out_combo")
+    rc = main(
+        [
+            "--synthetic", "100",
+            "--output", out,
+            "--detectors", "exact,minhash",
+            "--checkpoint-dir", str(tmp_path / "ckpt_combo"),
+            "--dedup-against", hist,
+            "--dedup-against-fuzzy",
+            "--span-dedup", r"\s+",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "summary.json")) as fh:
+        summary = json.load(fh)
+    m = summary["metrics"]
+    assert m["incremental.n_batch"] == 100
+    assert "incremental_fuzzy.n_batch" in m
+    assert m["span_dedup.n_spans"] > 0
+    assert summary["docs"] <= 50
+
+
 def test_cli_dedup_against_fuzzy_requires_base_flag(spark, tmp_path):
     import pytest
 
