@@ -133,3 +133,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS _bkt_l")
         spark.sql("DROP TABLE IF EXISTS _bkt_r")
+
+
+def test_broadcast_semi_join_never_shuffles_probe_side(spark, tmp_path):
+    """The verify routes of operators/bloom.py and
+    operators/incremental_fuzzy.py reduce corpus-scale history (keys /
+    band table) to the batch's hit keys with
+    history.join(broadcast(hit_keys), key, "left_semi"). Pin the plan
+    shape that posture relies on: the broadcast hint yields a
+    BroadcastHashJoin LeftSemi and the HISTORY side is read straight from
+    its scan — no Exchange (shuffle) of the corpus-scale probe side, even
+    with auto-broadcast disabled."""
+    from pyspark.sql import functions as F
+
+    hist = str(tmp_path / "hist_bands")
+    spark.range(0, 50_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 9973).alias("band_key"),
+    ).write.parquet(hist)
+    history = spark.read.parquet(hist)
+    hit_keys = spark.range(0, 40).select(
+        (F.col("id") * 7).alias("band_key")
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        semi = history.join(F.broadcast(hit_keys), "band_key", "left_semi")
+        plan = _plan(semi)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "Exchange" not in plan.replace(
+            "BroadcastExchange", "BroadcastXchg"
+        ), plan
+        # band_key = id % 9973 over ids 0..49999: keys < 135 occur 6x,
+        # the rest 5x; hit keys are 0,7,...,273 -> 20 keys in each class
+        assert semi.count() == 20 * 6 + 20 * 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
