@@ -213,9 +213,11 @@ def _norm_sql(col: str) -> str:
 
 
 # recursive min-label connected components over an edge CTE named `e` —
-# shared tail of the detector-pipeline cluster oracles (cluster_id =
-# component minimum, singletons label themselves)
-_RECURSIVE_CC_TAIL = """
+# shared by the detector-pipeline cluster oracles (cluster_id = component
+# minimum, singletons label themselves). _CTES ends with a `cc` CTE so
+# downstream oracles (keeper selection) can keep composing; _TAIL is the
+# stand-alone form the cluster oracles finish with.
+_RECURSIVE_CC_CTES = """
             sym AS (
                 SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
             ),
@@ -224,9 +226,15 @@ _RECURSIVE_CC_TAIL = """
                 UNION
                 SELECT s.dst, r.lbl FROM reach r JOIN sym s
                   ON s.src = r.doc_id
+            ),
+            cc AS (
+                SELECT doc_id, min(lbl) AS cluster_id FROM reach
+                GROUP BY doc_id
             )
-            SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
 """
+_RECURSIVE_CC_TAIL = (
+    _RECURSIVE_CC_CTES + "\n            SELECT doc_id, cluster_id FROM cc"
+)
 
 
 def _normalize_expr(col):
@@ -333,16 +341,9 @@ def q_length_band_candidates(spark, sf_dir):
     )
 
 
-def q_ngram_jaccard_edges(spark, sf_dir):
-    """J1/J2 as a driver-checkable surface: exact char-3-gram Jaccard >= 0.8
-    duplicate edges over length-banded candidates (the P9 ratio-[0.5,2]
-    prefilter as a log2-bucket equi-join), integer-only output. The
-    threshold compare carries no float hazard: |∩| and |∪| are identical
-    integers in both engines and the nearest pair sits 0.066 from 0.8.
-    Exact all-pairs Jaccard is the ORACLE surface for small blocks — the
-    corpus-scale path for >= θ Jaccard dedup is MinHash-LSH banding + the
-    same exact-Jaccard verification (q_minhash_clusters)."""
-    d = _docs(spark, sf_dir)
+def _char3_jaccard_edges(d: DataFrame) -> DataFrame:
+    """Exact char-3-gram Jaccard >= 0.8 edges (src < dst) over length-banded
+    candidates — shared by q_ngram_jaccard_edges and the keeper query."""
     grams = F.array_distinct(
         F.expr(
             "transform(sequence(1, greatest(length(text)-2, 1)),"
@@ -374,6 +375,47 @@ def q_ngram_jaccard_edges(spark, sf_dir):
         )
         .filter(inter / union >= 0.8)
         .select("src", "dst")
+    )
+
+
+def q_ngram_jaccard_edges(spark, sf_dir):
+    """J1/J2 as a driver-checkable surface: exact char-3-gram Jaccard >= 0.8
+    duplicate edges over length-banded candidates (the P9 ratio-[0.5,2]
+    prefilter as a log2-bucket equi-join), integer-only output. The
+    threshold compare carries no float hazard: |∩| and |∪| are identical
+    integers in both engines and the nearest pair sits 0.066 from 0.8.
+    Exact all-pairs Jaccard is the ORACLE surface for small blocks — the
+    corpus-scale path for >= θ Jaccard dedup is MinHash-LSH banding + the
+    same exact-Jaccard verification (q_minhash_clusters)."""
+    return _char3_jaccard_edges(_docs(spark, sf_dir))
+
+
+def q_jaccard_cluster_keepers(spark, sf_dir):
+    """Quality-priority keeper selection (W1/W2/W5) driver-verified: CC over
+    the exact char-3-gram Jaccard >= 0.8 edge set (the q_ngram_jaccard_edges
+    surface), then keeper = the LONGEST member per cluster (max n_chars,
+    tie min doc_id) — the 'keep the richest copy' policy of
+    reference pipeline_api.py's first-seen keeper generalized to a scored
+    one. Spark side picks via a max-of-struct aggregation (map-side
+    combine, operators/cluster.py::score_keepers), not a window, so a
+    boilerplate mega-cluster cannot straggle one task."""
+    from deduplication_framework_spark.operators.cluster import (
+        clusters_from_edges,
+        score_keepers,
+    )
+
+    d = _docs(spark, sf_dir)
+    edges = _char3_jaccard_edges(d)
+    clusters, _rounds = clusters_from_edges(
+        d, edges, id_col="doc_id", driver_threshold=100_000
+    )
+    members = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    keep = score_keepers(members, "n_chars")
+    return members.join(keep, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).cast("int").alias("is_keeper"),
     )
 
 
@@ -537,6 +579,39 @@ def q_span_dedup_chunks(spark, sf_dir):
     return assemble_dedup(
         d.select("doc_id"), spans, id_col="doc_id", join_sep=" "
     )
+
+
+def q_decontaminate_eval_overlap(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): flag every
+    'train' doc (doc_id % 20 != 0) that shares any exact lowercased word
+    8-gram with the 'eval' split (doc_id % 20 == 0) — the GPT-3/Llama-2
+    n-gram overlap hygiene pass. Eval grams broadcast after an eager
+    census; the exploded train grams never shuffle (plan pinned in
+    tests/test_decontaminate.py). Integer-only output: per train doc the
+    distinct-gram count, hit count and 0/1 flag."""
+    from deduplication_framework_spark.operators.decontaminate import (
+        ngram_overlap_flags,
+    )
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    res, _stats = ngram_overlap_flags(train, ev, n=8)
+    out = res.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+        "is_contaminated",
+    )
+    # materialize, then release the operator's tracked census caches so a
+    # gate/sweep session doesn't accumulate them across queries
+    rows = out.collect()
+    schema = out.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -1164,6 +1239,49 @@ def q_latest_events(spark, sf_dir):
     )
 
 
+# synthetic capture urls for the canonicalization query — one SQL snippet
+# valid in BOTH engines (concat/CASE/upper only), five recrawl-style
+# variants per 5-doc block: plain, shouty www+default-port+fragment,
+# tracking params, trailing-slash + unordered params, default port +
+# ordered params. Variants 3 and 4 canonicalize to the same key (real
+# params survive), 0/1/2 to another.
+_SYNTH_URL_SQL = """CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN concat('https://', source, '.example.com/doc/',
+                     doc_id - doc_id % 5)
+  WHEN 1 THEN concat('HTTPS://WWW.', upper(source), '.EXAMPLE.COM:443/doc/',
+                     doc_id - doc_id % 5, '#frag')
+  WHEN 2 THEN concat('https://', source, '.example.com/doc/',
+                     doc_id - doc_id % 5, '?utm_source=feed&gclid=', doc_id)
+  WHEN 3 THEN concat('https://', source, '.example.com/doc/',
+                     doc_id - doc_id % 5, '/?b=2&a=1')
+  ELSE concat('https://', source, '.example.com:443/doc/',
+              doc_id - doc_id % 5, '?a=1&b=2')
+END"""
+
+
+def q_url_canonical_groups(spark, sf_dir):
+    """URL canonicalization as the recrawl dedup key (functions/urls.py):
+    deterministic capture-url variants are synthesized per doc from
+    (doc_id, source) via _SYNTH_URL_SQL — the SAME snippet the oracle
+    runs — then canonicalized (pure JVM regexp/array expressions; the
+    oracle runs the generated DuckDB twin) and counted per canonical
+    key. Exercises host/scheme case folding, www + default-port +
+    fragment + tracking-param stripping, param sorting and trailing
+    slashes in one driver-verified surface."""
+    from deduplication_framework_spark.functions.urls import (
+        canonical_url_expr,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SYNTH_URL_SQL).alias("url")
+    )
+    c = d.select("doc_id", canonical_url_expr("url").alias("canon"))
+    w = Window.partitionBy("canon")
+    return c.select(
+        "doc_id", "canon", F.count("*").over(w).alias("n_same")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -1174,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "length_band_candidates": q_length_band_candidates,
         "ngram_jaccard_edges": q_ngram_jaccard_edges,
+        "jaccard_cluster_keepers": q_jaccard_cluster_keepers,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "source_rollup": q_source_rollup,
         "quality_scores": q_quality_scores,
@@ -1181,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "top_ngram_stats": q_top_ngram_stats,
         "span_dedup_chunks": q_span_dedup_chunks,
+        "decontaminate_eval_overlap": q_decontaminate_eval_overlap,
         "embedding_norms": q_embedding_norms,
         "cosine_neighbor_counts": q_cosine_neighbor_counts,
         "embedding_dup_edges": q_embedding_dup_edges,
@@ -1208,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_new_docs": q_incremental_new_docs,
         "incremental_fuzzy_new_docs": q_incremental_fuzzy_new_docs,
         "latest_events": q_latest_events,
+        "url_canonical_groups": q_url_canonical_groups,
     }
 
 
@@ -1217,6 +1338,9 @@ def oracle_sql() -> dict[str, str]:
     from deduplication_framework_spark.functions.langid import (
         PROFILES as _LID_PROFILES,
         lang_id_sql as _lang_id_sql,
+    )
+    from deduplication_framework_spark.functions.urls import (
+        canonical_url_sql as _canon_url_sql,
     )
 
     _lid = _lang_id_sql()
@@ -1358,6 +1482,75 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / (len(a.grams) + len(b.grams)
                      - len(list_intersect(a.grams, b.grams))) >= 0.8
+        """,
+        # same edge semantics as ngram_jaccard_edges (intersect computed
+        # ONCE in a materialized pair CTE — the correlated form defeats
+        # DuckDB's join planner), then recursive min-label CC and the
+        # longest-member keeper re-derived independently
+        "jaccard_cluster_keepers": f"""
+            WITH RECURSIVE
+            g AS (
+                SELECT doc_id, n_chars,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(text)-1, 2)),
+                           i -> substring(text, i::INT, 3))) AS grams
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst,
+                       len(list_intersect(a.grams, b.grams)) AS i,
+                       len(a.grams) + len(b.grams) AS s
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                 AND a.n_chars >= 0.5 * b.n_chars
+                 AND a.n_chars <= 2.0 * b.n_chars
+            ),
+            e AS (
+                SELECT src, dst FROM pairs
+                WHERE i::DOUBLE / (s - i) >= 0.8
+            ),
+            {_RECURSIVE_CC_CTES},
+            m AS (
+                SELECT cc.doc_id, cc.cluster_id, d.n_chars
+                FROM cc JOIN documents d USING (doc_id)
+            ),
+            k AS (
+                SELECT cluster_id, doc_id AS keeper_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM m
+            )
+            SELECT m.doc_id, m.cluster_id, k.keeper_id,
+                   (m.doc_id = k.keeper_id)::INT AS is_keeper
+            FROM m JOIN k ON m.cluster_id = k.cluster_id AND k.rn = 1
+        """,
+        "decontaminate_eval_overlap": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, greatest(len(w) - 7, 0)),
+                           i -> array_to_string(
+                               list_slice(w, i + 1, i + 8), ' '))) AS grams
+                FROM w
+            ), eg AS (
+                SELECT DISTINCT unnest(grams) AS gr FROM g
+                WHERE doc_id % 20 = 0
+            ), tr AS (
+                SELECT doc_id, grams FROM g WHERE doc_id % 20 <> 0
+            ), tg AS (
+                SELECT doc_id, unnest(grams) AS gr FROM tr
+            ), hits AS (
+                SELECT tg.doc_id, count(*)::BIGINT AS n_hit
+                FROM tg JOIN eg USING (gr) GROUP BY tg.doc_id
+            )
+            SELECT t.doc_id,
+                   len(t.grams)::BIGINT AS n_grams,
+                   coalesce(h.n_hit, 0) AS n_hit_grams,
+                   (coalesce(h.n_hit, 0) > 0)::INT AS is_contaminated
+            FROM tr t LEFT JOIN hits h USING (doc_id)
         """,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,
@@ -1571,6 +1764,20 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        # same synthesized capture urls (shared _SYNTH_URL_SQL snippet),
+        # canonicalized by the DuckDB twin GENERATED from the same regex
+        # and tracking-param constants as the Spark expression
+        "url_canonical_groups": f"""
+            WITH u AS (
+                SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+            ),
+            c AS (
+                SELECT doc_id, {_canon_url_sql("url")} AS canon FROM u
+            )
+            SELECT doc_id, canon,
+                   count(*) OVER (PARTITION BY canon) AS n_same
+            FROM c
         """,
         # the suffix-array detector's semantics ARE SQL-expressible even
         # though its implementation (128-bit L-gram bucketing + distributed

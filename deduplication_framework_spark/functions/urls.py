@@ -1,0 +1,118 @@
+"""URL canonicalization — the dedup key for web-page recrawl corpora.
+
+Common-Crawl-style pipelines key exact dedup and keep-latest snapshots by
+url (reference: the per-url byte-identity invariant; operators/snapshots
+implements the keep-latest half). Raw capture urls differ in ways that
+never change the fetched document: host case, ``www.``, default ports,
+fragments, tracker query params, param order, trailing slash. This module
+canonicalizes them with PURE JVM column expressions (regexp + array ops,
+no UDF), and generates the equivalent DuckDB SQL from the SAME constants
+so the two sides cannot drift (the ``langid`` pattern).
+
+Rules (conservative — each one is identity-preserving for the fetch):
+
+* scheme and host lowercased; leading ``www.`` dropped
+* default port dropped (``:80`` http, ``:443`` https); others kept
+* fragment dropped
+* tracking params dropped: ``utm_*`` prefixes + exact names in
+  :data:`TRACKING_PARAMS`
+* surviving query params sorted (param order never reaches the server
+  as semantics); empty query drops its ``?``
+* trailing ``/`` dropped from a non-root path; empty path becomes ``/``
+* a string that does not parse as ``scheme://authority...`` is returned
+  trimmed but otherwise untouched (never invent structure)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["TRACKING_PARAMS", "canonical_url_expr", "canonical_url_sql"]
+
+# exact param names dropped wherever they appear; utm_* is a prefix rule
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref", "ocid")
+
+# one RE both engines accept (Java regex + RE2): scheme://authority
+# path [?query] [#fragment] — authority/path classes exclude the next
+# delimiter, so each group is unambiguous
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def _param_keep_sql_pred(var: str) -> str:
+    """Shared filter predicate over one ``k=v`` param string (valid in
+    both Spark SQL and DuckDB): drop empties, utm_* and tracking names."""
+    names = ", ".join(f"'{n}'" for n in TRACKING_PARAMS)
+    # substring, not LIKE: LIKE-escape handling of '_' differs between
+    # Spark string literals and DuckDB, substring is identical in both
+    return (
+        f"{var} <> '' "
+        f"AND substring(split_part({var}, '=', 1), 1, 4) <> 'utm_' "
+        f"AND NOT (split_part({var}, '=', 1) IN ({names}))"
+    )
+
+
+def canonical_url_expr(col: str) -> Column:
+    """Canonical form of a url column (pass the COLUMN NAME — the
+    expression references it several times and Spark SQL strings keep
+    that readable). Pure JVM: regexp_extract + array filter/sort.
+
+    Spark SQL string literals process backslash escapes, so the regex
+    backslashes are doubled here (DuckDB literals are verbatim). Every
+    extract is coalesced: a non-participating optional group is NULL in
+    DuckDB and '' in Spark — parity pinned in tests/test_urls.py."""
+    rx = _URL_RE.replace("\\", "\\\\")
+    scheme = f"lower(coalesce(regexp_extract({col}, '{rx}', 1), ''))"
+    rawhost = f"lower(coalesce(regexp_extract({col}, '{rx}', 2), ''))"
+    path = f"coalesce(regexp_extract({col}, '{rx}', 3), '')"
+    query = f"coalesce(regexp_extract({col}, '{rx}', 4), '')"
+    host = (
+        f"regexp_replace(regexp_replace({rawhost}, '^www\\\\.', ''), "
+        f"CASE WHEN {scheme} = 'http' THEN ':80$' "
+        f"     WHEN {scheme} = 'https' THEN ':443$' ELSE ':\\\\b\\\\B$' END, '')"
+    )
+    cpath = (
+        f"CASE WHEN {path} = '' THEN '/' "
+        f"WHEN {path} <> '/' AND {path} LIKE '%/' "
+        f"THEN substring({path}, 1, length({path}) - 1) ELSE {path} END"
+    )
+    cquery = (
+        f"array_join(array_sort(filter(split({query}, '&'), "
+        f"p -> {_param_keep_sql_pred('p')})), '&')"
+    )
+    return F.expr(
+        f"CASE WHEN {scheme} = '' THEN trim({col}) ELSE "
+        f"concat({scheme}, '://', {host}, {cpath}, "
+        f"CASE WHEN {cquery} = '' THEN '' ELSE concat('?', {cquery}) END) END"
+    )
+
+
+def canonical_url_sql(col: str) -> str:
+    """DuckDB SQL computing the same canonical form of ``col`` —
+    generated from the same regex and param constants."""
+    scheme = f"lower(coalesce(regexp_extract({col}, '{_URL_RE}', 1), ''))"
+    rawhost = f"lower(coalesce(regexp_extract({col}, '{_URL_RE}', 2), ''))"
+    path = f"coalesce(regexp_extract({col}, '{_URL_RE}', 3), '')"
+    query = f"coalesce(regexp_extract({col}, '{_URL_RE}', 4), '')"
+    host = (
+        f"regexp_replace(regexp_replace({rawhost}, '^www\\.', ''), "
+        f"CASE WHEN {scheme} = 'http' THEN ':80$' "
+        f"     WHEN {scheme} = 'https' THEN ':443$' ELSE ':\\b\\B$' END, '')"
+    )
+    cpath = (
+        f"CASE WHEN {path} = '' THEN '/' "
+        f"WHEN {path} <> '/' AND {path} LIKE '%/' "
+        f"THEN substring({path}, 1, length({path}) - 1) ELSE {path} END"
+    )
+    # DuckDB's array_to_string of an EMPTY list is NULL, not '' — coalesce
+    # to keep the no-surviving-params case identical to Spark
+    cquery = (
+        f"coalesce(array_to_string(list_sort(list_filter("
+        f"string_split({query}, '&'), "
+        f"p -> {_param_keep_sql_pred('p')})), '&'), '')"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' THEN trim({col}) ELSE "
+        f"concat({scheme}, '://', {host}, {cpath}, "
+        f"CASE WHEN {cquery} = '' THEN '' ELSE concat('?', {cquery}) END) END"
+    )

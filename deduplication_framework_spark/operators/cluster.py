@@ -93,6 +93,40 @@ def keepers(docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> Dat
     )
 
 
+def score_keepers(
+    members: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Keep-priority selection (SURVEY.md W2) over scored cluster members:
+    per cluster, the member with the HIGHEST numeric score, ties to the
+    smallest id — the 'keep the richest copy' policy generalizing the
+    min-id keeper. Computed as a min-of-struct((-score, id)) aggregation
+    so it map-side combines; a window rank would funnel each cluster
+    through one task and straggle on boilerplate mega-clusters.
+
+    Returns one row per cluster: (cluster_col, keeper_id, keeper_score).
+    NULL scores lose to every real score via an explicit is-null sort key
+    (struct NULL-field ordering is not relied on); an all-NULL cluster
+    keeps its min id with keeper_score NULL."""
+    score = F.col(score_col)
+    pick = members.groupBy(cluster_col).agg(
+        F.min(
+            F.struct(
+                score.isNull().cast("int").alias("_null"),
+                (-F.coalesce(score, F.lit(0))).alias("_ns"),
+                F.col(id_col).alias("_id"),
+            )
+        ).alias("_m")
+    )
+    return pick.select(
+        cluster_col,
+        F.col("_m._id").alias("keeper_id"),
+        F.when(F.col("_m._null") == 0, -F.col("_m._ns")).alias("keeper_score"),
+    )
+
+
 def dup_pairs_from_clusters(clusters: DataFrame) -> DataFrame:
     """(doc_id, cluster_id) → all intra-cluster pairs (src < dst), expressed
     as each member paired with every later member *via the cluster key* —

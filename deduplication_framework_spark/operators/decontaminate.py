@@ -1,0 +1,134 @@
+"""Benchmark decontamination: exact word-n-gram overlap vs an eval set.
+
+The standard LLM training-data hygiene pass (GPT-3 appendix C, Llama 2
+A.6: flag or drop training documents that share any exact word n-gram
+with an evaluation benchmark). The reference's exact-hash prefilter
+(``new_algorithm/pipeline_api.py`` stage 1) is the within-corpus cousin;
+this is the bipartite variant against a second, much smaller corpus.
+
+Scale posture (100 TB train side, MB-GB eval side):
+
+* Eval grams are exploded + ``distinct`` — the shuffle touches only the
+  eval side (tiny by construction).
+* Train grams are generated JVM-side (``split`` + ``transform`` over
+  ``sequence``; no Python, no per-row UDF) and joined to the eval gram
+  set ADAPTIVELY: a broadcast hash join when the eval-gram census fits
+  (the normal case — 1e6..1e7 grams), shuffle join above it. On the
+  broadcast path the exploded train rows NEVER shuffle; only per-doc
+  partial hit counts move (map-side combine before the doc-keyed
+  exchange).
+* Hit counts join back onto the train docs the same way: at most one
+  row per contaminated doc, broadcast under a census threshold.
+* The train corpus is scanned twice (hit pass + flag pass) and never
+  persisted — at target scale the exploded gram stream cannot be
+  cached, and a re-scan of a columnar source beats materializing it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deduplication_framework_spark.operators.lsh import _persist_tracked
+
+__all__ = ["word_ngram_expr", "ngram_overlap_flags"]
+
+
+def word_ngram_expr(words_col: str, n: int) -> Column:
+    """``array<string>`` of the whitespace-token n-grams of a
+    pre-split words column (``split(trim(text), '\\s+')``); empty when
+    the doc has fewer than ``n`` tokens. Pure JVM expression."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return F.expr(
+        f"CASE WHEN size({words_col}) >= {n} THEN "
+        f"transform(sequence(0, size({words_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({words_col}, i + 1, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def ngram_overlap_flags(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    eval_broadcast_threshold: int = 5_000_000,
+    hits_broadcast_threshold: int = 2_000_000,
+) -> tuple[DataFrame, dict]:
+    """Per-train-doc contamination flags vs the eval corpus.
+
+    Returns ``(flags_df, stats)`` where ``flags_df`` has one row per
+    ``train_df`` row: ``(id_col, n_grams, n_hit_grams,
+    is_contaminated)`` — ``n_grams`` distinct word n-grams in the doc,
+    ``n_hit_grams`` of them occurring anywhere in ``eval_df``, and the
+    0/1 flag. Duplicate grams within a doc count once (set semantics,
+    both sides). ``stats`` = ``{n_eval_grams, n_contaminated,
+    eval_join_path, flags_join_path}``.
+
+    Runs two eager census jobs (eval gram count, contaminated-doc
+    count) to pick the join strategies; the frames they persist are
+    registered with the shared tracked-cache registry (released by
+    ``lsh.release_census_caches()`` / pipeline end).
+    """
+    reserved = {"_w", "_grams", "_g", "n_hit", "n_grams"}
+    clash = reserved & set(train_df.columns)
+    if clash:
+        raise ValueError(
+            f"train_df columns collide with internal names: {sorted(clash)}"
+        )
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        txt = F.col(text_col)
+        if lowercase:
+            txt = F.lower(txt)
+        return df.withColumn(
+            "_w", F.split(F.trim(txt), r"\s+")
+        ).withColumn("_grams", F.array_distinct(word_ngram_expr("_w", n)))
+
+    eval_grams = _persist_tracked(
+        grams_of(eval_df).select(F.explode("_grams").alias("_g")).distinct()
+    )
+    n_eval_grams = eval_grams.count()
+    eval_join_path = (
+        "broadcast" if n_eval_grams <= eval_broadcast_threshold else "shuffle"
+    )
+    eval_side = (
+        F.broadcast(eval_grams) if eval_join_path == "broadcast" else eval_grams
+    )
+
+    train_grams = grams_of(train_df)
+    hits = _persist_tracked(
+        train_grams.select(id_col, F.explode("_grams").alias("_g"))
+        .join(eval_side, "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_contaminated = hits.count()
+    flags_join_path = (
+        "broadcast" if n_contaminated <= hits_broadcast_threshold else "shuffle"
+    )
+    hits_side = F.broadcast(hits) if flags_join_path == "broadcast" else hits
+
+    out = (
+        train_grams.select(id_col, F.size("_grams").alias("n_grams"))
+        .join(hits_side, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit", F.lit(0)) > 0).cast("int").alias(
+                "is_contaminated"
+            ),
+        )
+    )
+    stats = {
+        "n_eval_grams": n_eval_grams,
+        "n_contaminated": n_contaminated,
+        "eval_join_path": eval_join_path,
+        "flags_join_path": flags_join_path,
+    }
+    return out, stats

@@ -1,0 +1,82 @@
+"""URL canonicalization (functions/urls.py): semantics + engine parity."""
+
+import duckdb
+import pytest
+
+from deduplication_framework_spark.functions.urls import (
+    canonical_url_expr,
+    canonical_url_sql,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("https://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+     "https://example.com/a/b?a=1&b=2"),
+    ("http://example.com:80/", "http://example.com/"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),  # non-default port kept
+    ("HTTPS://example.com", "https://example.com/"),             # empty path -> /
+    ("https://example.com/a//b/", "https://example.com/a//b"),   # inner // kept
+    ("https://example.com/?fbclid=abc", "https://example.com/"),
+    ("https://example.com/p?ref=rss&z=9&a&a=2&A=3",
+     "https://example.com/p?A=3&a&a=2&z=9"),                     # sorted, dups kept
+    ("not a url at all  ", "not a url at all"),                  # unparseable -> trim only
+    ("ftp://Files.example.com:21/pub/", "ftp://files.example.com:21/pub"),
+    ("https://example.com/p?utm_campaign=&utmx=keep&gclid=1",
+     "https://example.com/p?utmx=keep"),                         # utm_ prefix, not utm*
+    ("http://www.example.com:80/x/?utm_medium=a", "http://example.com/x"),
+    ("", ""),
+    ("https://example.com/#", "https://example.com/"),
+    ("https://example.com/x?#y", "https://example.com/x"),
+    ("https://sub.www.example.com/x", "https://sub.www.example.com/x"),  # www. only at start
+]
+
+
+@pytest.fixture(scope="module")
+def canon_pairs(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"])
+    got = [
+        r.c for r in df.select(canonical_url_expr("url").alias("c")).collect()
+    ]
+    return got
+
+
+def test_canonical_semantics(canon_pairs):
+    for (raw, want), got in zip(CASES, canon_pairs):
+        assert got == want, f"{raw!r}: {got!r} != {want!r}"
+
+
+def test_duckdb_twin_is_bit_identical(canon_pairs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, _ in CASES])
+    dd = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonical_url_sql('url')} FROM t"
+        ).fetchall()
+    ]
+    assert dd == canon_pairs
+
+
+def test_canonical_is_idempotent(spark):
+    df = spark.createDataFrame([(c,) for _, c in CASES if c], ["url"])
+    again = [
+        r.c for r in df.select(canonical_url_expr("url").alias("c")).collect()
+    ]
+    assert again == [c for _, c in CASES if c]
+
+
+def test_recrawl_variants_collapse_to_one_key(spark):
+    """The operational point: five captures of the same page, one key."""
+    variants = [
+        "https://news.example.com/story/42",
+        "HTTPS://WWW.NEWS.EXAMPLE.COM:443/story/42",
+        "https://news.example.com/story/42/",
+        "https://news.example.com/story/42?utm_source=tw&fbclid=x",
+        "https://news.example.com/story/42#comments",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], ["url"])
+    keys = {
+        r.c for r in df.select(canonical_url_expr("url").alias("c")).collect()
+    }
+    assert keys == {"https://news.example.com/story/42"}
