@@ -614,6 +614,37 @@ def q_decontaminate_eval_overlap(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_decontaminate_span_removal(spark, sf_dir):
+    """Surgical decontamination (operators/decontaminate.py::
+    remove_contaminated_spans): same train/eval split as
+    decontaminate_eval_overlap, but instead of flagging, every word
+    position covered by an eval-overlapping 8-gram is REMOVED and the
+    survivor text reassembled — the Dolma-style span-removal variant.
+    The oracle re-derives covered-index sets and the filtered reassembly
+    independently (1-based DuckDB list lambdas vs 0-based Spark)."""
+    from deduplication_framework_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    res, _stats = remove_contaminated_spans(train, ev, n=8)
+    out = res.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "text_clean",
+    )
+    rows = out.collect()
+    schema = out.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
+
+
 def q_embedding_norms(spark, sf_dir):
     """Vector plumbing: L2 norm per embedding (rounded for hash stability)."""
     sumsq = F.aggregate(
@@ -1301,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_stats": q_top_ngram_stats,
         "span_dedup_chunks": q_span_dedup_chunks,
         "decontaminate_eval_overlap": q_decontaminate_eval_overlap,
+        "decontaminate_span_removal": q_decontaminate_span_removal,
         "embedding_norms": q_embedding_norms,
         "cosine_neighbor_counts": q_cosine_neighbor_counts,
         "embedding_dup_edges": q_embedding_dup_edges,
@@ -1551,6 +1583,44 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hit, 0) AS n_hit_grams,
                    (coalesce(h.n_hit, 0) > 0)::INT AS is_contaminated
             FROM tr t LEFT JOIN hits h USING (doc_id)
+        """,
+        "decontaminate_span_removal": r"""
+            WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ), gr AS (
+                SELECT doc_id, w,
+                       list_transform(
+                           range(0, greatest(len(w) - 7, 0)),
+                           i -> {'i': i,
+                                 'g': lower(array_to_string(
+                                     list_slice(w, i + 1, i + 8), ' '))}
+                       ) AS grams
+                FROM w
+            ), eg AS (
+                SELECT DISTINCT g FROM (
+                    SELECT unnest(grams, recursive := true) FROM gr
+                    WHERE doc_id % 20 = 0)
+            ), tg AS (
+                SELECT doc_id, unnest(grams, recursive := true) FROM gr
+                WHERE doc_id % 20 <> 0
+            ), hit AS (
+                SELECT tg.doc_id, tg.i FROM tg JOIN eg USING (g)
+            ), cov AS (
+                SELECT DISTINCT doc_id, wi FROM (
+                    SELECT doc_id, unnest(range(i, i + 8)) AS wi FROM hit)
+            ), cv AS (
+                SELECT doc_id, list(wi) AS cov FROM cov GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   len(t.w)::BIGINT AS n_words,
+                   coalesce(len(cv.cov), 0)::BIGINT AS n_removed,
+                   coalesce(array_to_string(list_filter(t.w,
+                       (x, i) -> NOT list_contains(
+                           coalesce(cv.cov, []), i - 1)), ' '), '')
+                       AS text_clean
+            FROM (SELECT doc_id, w FROM gr WHERE doc_id % 20 <> 0) t
+            LEFT JOIN cv USING (doc_id)
         """,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,

@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 
 from deduplication_framework_spark.operators.lsh import _persist_tracked
 
-__all__ = ["word_ngram_expr", "ngram_overlap_flags"]
+__all__ = [
+    "word_ngram_expr",
+    "ngram_overlap_flags",
+    "remove_contaminated_spans",
+]
 
 
 def word_ngram_expr(words_col: str, n: int) -> Column:
@@ -130,5 +134,107 @@ def ngram_overlap_flags(
         "n_contaminated": n_contaminated,
         "eval_join_path": eval_join_path,
         "flags_join_path": flags_join_path,
+    }
+    return out, stats
+
+
+def remove_contaminated_spans(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    eval_broadcast_threshold: int = 5_000_000,
+    cov_broadcast_threshold: int = 2_000_000,
+) -> tuple[DataFrame, dict]:
+    """Surgical decontamination: instead of dropping a flagged doc, remove
+    every WORD POSITION covered by any eval-overlapping n-gram and
+    reassemble the survivor text (the Dolma/'span removal' variant of the
+    doc-level pass — operators/spans.py does the same for within-corpus
+    duplicate spans).
+
+    A hit n-gram starting at word index ``i`` covers indices
+    ``[i, i+n)``; overlapping hits merge naturally through the covered-
+    index set. Matching is on ``lowercase`` grams; reassembly preserves
+    the ORIGINAL tokens. Whitespace runs collapse to single spaces (the
+    doc is reassembled from its tokens).
+
+    Returns ``(df, stats)`` with one row per train row:
+    ``(id_col, n_words, n_removed, text_clean)`` — original token count,
+    removed-token count, surviving text ('' when fully covered). Stats =
+    ``{n_eval_grams, n_contaminated, eval_join_path, cov_join_path}``.
+
+    Scale posture matches :func:`ngram_overlap_flags`: eval grams
+    broadcast after an eager census, the exploded train grams never
+    shuffle on that path, the covered-index sets (one row per
+    contaminated doc) broadcast back for the map-side reassembly."""
+    reserved = {"_w", "_lw", "_grams", "_g", "_i", "_wi", "_cov"}
+    clash = reserved & set(train_df.columns)
+    if clash:
+        raise ValueError(
+            f"train_df columns collide with internal names: {sorted(clash)}"
+        )
+
+    def with_words(df: DataFrame) -> DataFrame:
+        out = df.withColumn("_w", F.split(F.trim(F.col(text_col)), r"\s+"))
+        lw = F.transform(F.col("_w"), F.lower) if lowercase else F.col("_w")
+        return out.withColumn("_lw", lw)
+
+    eval_grams = _persist_tracked(
+        with_words(eval_df)
+        .select(F.explode(word_ngram_expr("_lw", n)).alias("_g"))
+        .distinct()
+    )
+    n_eval_grams = eval_grams.count()
+    eval_join_path = (
+        "broadcast" if n_eval_grams <= eval_broadcast_threshold else "shuffle"
+    )
+    eval_side = (
+        F.broadcast(eval_grams) if eval_join_path == "broadcast" else eval_grams
+    )
+
+    train = with_words(train_df)
+    # hit grams with their start index -> covered word indices, one set
+    # row per contaminated doc
+    cov = _persist_tracked(
+        train.select(
+            id_col, F.posexplode(word_ngram_expr("_lw", n)).alias("_i", "_g")
+        )
+        .join(eval_side, "_g")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("_i"), F.col("_i") + (n - 1))).alias(
+                "_wi"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_wi").alias("_cov"))
+    )
+    n_contaminated = cov.count()
+    cov_join_path = (
+        "broadcast" if n_contaminated <= cov_broadcast_threshold else "shuffle"
+    )
+    cov_side = F.broadcast(cov) if cov_join_path == "broadcast" else cov
+
+    covered = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    survivors = F.filter(
+        F.col("_w"), lambda _x, i: ~F.array_contains(covered, i)
+    )
+    out = (
+        train.join(cov_side, id_col, "left")
+        .select(
+            id_col,
+            F.size("_w").alias("n_words"),
+            F.size(covered).alias("n_removed"),
+            F.concat_ws(" ", survivors).alias("text_clean"),
+        )
+    )
+    stats = {
+        "n_eval_grams": n_eval_grams,
+        "n_contaminated": n_contaminated,
+        "eval_join_path": eval_join_path,
+        "cov_join_path": cov_join_path,
     }
     return out, stats

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from deduplication_framework_spark.operators.decontaminate import (
     ngram_overlap_flags,
+    remove_contaminated_spans,
     word_ngram_expr,
 )
 from deduplication_framework_spark.operators.lsh import release_census_caches
@@ -125,6 +126,90 @@ def test_word_ngram_expr_short_and_exact_length(spark):
     assert got == [["a b c"], [], []]
     with pytest.raises(ValueError, match="n must be"):
         word_ngram_expr("_w", 0)
+
+
+def _py_span_removal(train, ev, n, lowercase=True):
+    """Independent reference: covered = union of [i, i+n) for every train
+    n-gram (lowercased) present anywhere in eval."""
+    eval_grams = set()
+    for _, t in ev:
+        eval_grams |= _py_ngrams(t, n, lowercase)
+    out = {}
+    for i, t in train:
+        w = t.strip().split() if t.strip() else [""]
+        lw = [x.lower() for x in w] if lowercase else w
+        cov = set()
+        for s in range(max(len(lw) - n + 1, 0)):
+            if " ".join(lw[s : s + n]) in eval_grams:
+                cov |= set(range(s, s + n))
+        clean = " ".join(x for j, x in enumerate(w) if j not in cov)
+        out[i] = (len(w), len(cov), clean)
+    return out
+
+
+SPAN_TRAIN = [
+    (0, "keep1 alpha beta gamma delta epsilon zeta eta theta keep2 keep3"),
+    (1, "too short doc"),
+    (2, ""),
+    # two hits overlapping: positions 0..8 covered (grams at 0 and 1)
+    (3, "alpha beta gamma delta epsilon zeta eta theta iota tail1 tail2"),
+    (4, "ALPHA beta gamma delta epsilon zeta eta THETA casefold tail"),
+    (5, "nothing shared with the eval corpus at all in this doc"),
+]
+SPAN_EVAL = [
+    (100, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    (101, ""),
+]
+
+
+def test_span_removal_matches_python_oracle(spark):
+    train = spark.createDataFrame(SPAN_TRAIN, ["doc_id", "text"])
+    ev = spark.createDataFrame(SPAN_EVAL, ["doc_id", "text"])
+    out, stats = remove_contaminated_spans(train, ev, n=8)
+    got = {
+        r.doc_id: (r.n_words, r.n_removed, r.text_clean)
+        for r in out.collect()
+    }
+    assert got == _py_span_removal(SPAN_TRAIN, SPAN_EVAL, 8)
+    # doc 0: one hit at start index 1 -> words 1..8 removed
+    assert got[0] == (11, 8, "keep1 keep2 keep3")
+    # doc 3: hits at 0 and 1 merge -> 9 covered, survivors are the tail
+    assert got[3] == (11, 9, "tail1 tail2")
+    # doc 4: case-folded match, ORIGINAL case survives nowhere in the
+    # removed span but the remaining words keep their case
+    assert got[4] == (10, 8, "casefold tail")
+    assert got[1] == (3, 0, "too short doc")
+    assert got[5][1] == 0
+    assert stats["n_contaminated"] == 3
+    assert stats["cov_join_path"] == "broadcast"
+    release_census_caches()
+
+
+def test_span_removal_full_coverage_empties_doc(spark):
+    train = spark.createDataFrame(
+        [(0, "a b c d e f g h")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    out, _ = remove_contaminated_spans(train, ev, n=8)
+    r = out.collect()[0]
+    assert (r.n_words, r.n_removed, r.text_clean) == (8, 8, "")
+    release_census_caches()
+
+
+def test_span_removal_shuffle_paths_same_answer(spark):
+    train = spark.createDataFrame(SPAN_TRAIN, ["doc_id", "text"])
+    ev = spark.createDataFrame(SPAN_EVAL, ["doc_id", "text"])
+    base, _ = remove_contaminated_spans(train, ev, n=8)
+    forced, stats = remove_contaminated_spans(
+        train, ev, n=8, eval_broadcast_threshold=0, cov_broadcast_threshold=0
+    )
+    assert stats["eval_join_path"] == "shuffle"
+    assert stats["cov_join_path"] == "shuffle"
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(base.collect(), key=key) == sorted(
+        forced.collect(), key=key
+    )
+    release_census_caches()
 
 
 def test_train_side_never_shuffles_on_broadcast_path(spark):
