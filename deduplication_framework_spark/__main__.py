@@ -62,6 +62,14 @@ def main(argv=None) -> int:
                         "operators/incremental_fuzzy.py). The exact Bloom "
                         "prefilter runs first, so only survivors are "
                         "featurized")
+    p.add_argument("--decontaminate-against", default=None, metavar="PATH",
+                   help="parquet eval/benchmark corpus (text column): REMOVE "
+                        "every word span covered by a shared n-gram from the "
+                        "input docs before the pipeline (span-level "
+                        "decontamination); fully-covered docs are dropped")
+    p.add_argument("--decontaminate-ngram", type=int, default=8, metavar="N",
+                   help="word n-gram size for --decontaminate-against "
+                        "(default 8)")
     p.add_argument("--sweep", default=None,
                    help="comma list of thresholds: run the threshold sweep "
                         "(reference clean_batch_dataset analog) instead of a "
@@ -129,6 +137,17 @@ def main(argv=None) -> int:
         span_metrics.update(sd_metrics)
         mode = "span_dedup_fuzzy" if args.span_dedup_fuzzy else "span_dedup"
         input_tags.append(f"{mode}:{args.span_dedup}")
+    if args.decontaminate_against is not None:
+        if args.sweep:
+            p.error("--decontaminate-against is not supported with --sweep")
+        pages, dc_metrics = _decontaminate_pages(
+            spark, pages, args.decontaminate_against, args.decontaminate_ngram
+        )
+        span_metrics.update(dc_metrics)
+        input_tags.append(
+            f"decontaminate:{args.decontaminate_against}"
+            f":{args.decontaminate_ngram}"
+        )
     input_tag = "|".join(input_tags)
 
     if args.sweep:
@@ -339,6 +358,61 @@ def _span_dedup_pages(pages, sep: str, fuzzy: bool = False, cfg=None):
         "span_dedup.n_spans": float(agg["spans"] or 0),
         "span_dedup.n_spans_kept": float(agg["kept"] or 0),
         "span_dedup.n_docs_emptied": float(agg["emptied"] or 0),
+    }
+    return out, metrics
+
+
+def _decontaminate_pages(spark, pages, eval_path: str, n: int):
+    """pages → (pages with eval-overlapping word spans removed, metrics).
+    Runs LAST in the preprocessing chain — after the recrawl prefilters
+    (which key on raw-text identity and must see the original bytes) and
+    after --span-dedup — so benchmark text never reaches the detectors.
+    Docs whose every word is covered are DROPPED and counted in
+    ``n_docs_emptied``. The operator's tracked caches are released by the
+    pipeline's end-of-run ``release_census_caches()``."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+    from deduplication_framework_spark.plans.pipeline import prepare_docs
+
+    ev = spark.read.parquet(eval_path)
+    if "text" not in ev.columns:
+        raise ValueError(
+            f"--decontaminate-against parquet at {eval_path} has no text "
+            f"column (columns: {ev.columns})"
+        )
+    docs = prepare_docs(pages)
+    res, stats = remove_contaminated_spans(
+        docs.select("doc_id", "text"), ev, n=n
+    )
+    # persisted + materialized by the metrics agg below; the joined output
+    # then feeds every downstream pipeline action (CLAUDE.md persist rule)
+    res = res.persist()
+    agg = res.agg(
+        F.sum("n_removed").alias("removed"),
+        F.sum(
+            ((F.col("n_removed") > 0)
+             & (F.col("n_removed") == F.col("n_words"))).cast("long")
+        ).alias("emptied"),
+    ).first()
+    out = (
+        docs.drop("text")
+        .join(res, "doc_id")
+        .filter(F.col("n_removed") < F.col("n_words"))
+        .select(
+            F.col("doc_id").alias("doc_order"),
+            "url",
+            F.col("text_clean").alias("text"),
+            "lang",
+        )
+    )
+    metrics = {
+        "decontaminate.n_eval_grams": float(stats["n_eval_grams"]),
+        "decontaminate.n_docs_hit": float(stats["n_contaminated"]),
+        "decontaminate.n_words_removed": float(agg["removed"] or 0),
+        "decontaminate.n_docs_emptied": float(agg["emptied"] or 0),
     }
     return out, metrics
 

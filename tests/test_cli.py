@@ -206,3 +206,57 @@ def test_cli_dedup_against_rejects_sweep_and_bad_input(spark, tmp_path):
                 "--dedup-against", str(tmp_path / "notext"),
             ]
         )
+
+
+def test_cli_decontaminate_against(spark, tmp_path):
+    """Span-level decontamination layer: docs byte-identical to an eval
+    doc are fully covered and dropped; near-copies lose only the shared
+    spans; metrics land in summary.json."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.sources.pages import generate_pages
+
+    ev = str(tmp_path / "evalset")
+    corpus = generate_pages(spark, 200)
+    corpus.filter(F.col("doc_order") < 10).select("text").write.parquet(ev)
+    out = str(tmp_path / "out_dc")
+    rc = main(
+        [
+            "--synthetic", "200",
+            "--output", out,
+            "--detectors", "exact",
+            "--checkpoint-dir", str(tmp_path / "ckpt_dc"),
+            "--decontaminate-against", ev,
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "summary.json")) as fh:
+        summary = json.load(fh)
+    m = summary["metrics"]
+    # the 10 evaled docs are their own exact overlaps (plus any planted
+    # dups of them in the corpus)
+    assert m["decontaminate.n_docs_hit"] >= 10
+    assert m["decontaminate.n_docs_emptied"] >= 10
+    assert m["decontaminate.n_words_removed"] > 0
+    assert summary["docs"] <= 190
+
+    # rejected under --sweep; eval parquet must carry a text column
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--synthetic", "50",
+                "--output", str(tmp_path / "o3"),
+                "--sweep", "0.8",
+                "--decontaminate-against", ev,
+            ]
+        )
+    spark.range(5).write.parquet(str(tmp_path / "notext_dc"))
+    with pytest.raises(ValueError, match="no text"):
+        main(
+            [
+                "--synthetic", "50",
+                "--output", str(tmp_path / "o4"),
+                "--decontaminate-against", str(tmp_path / "notext_dc"),
+            ]
+        )
