@@ -398,6 +398,97 @@ def bench_incremental_bloom(spark, pages):
     return run
 
 
+def _decontam_frames(pages):
+    """(train, eval) split shared by the timed workload and the evidence
+    (same one-construction rule as _bloom_recrawl_frames)."""
+    ev = pages.filter("doc_order % 8 = 0").select("doc_order", "text")
+    train = pages.filter("doc_order % 8 != 0").select("doc_order", "text")
+    return train, ev
+
+
+def bench_decontaminate(spark, pages):
+    from deduplication_framework_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    train, ev = _decontam_frames(pages)
+
+    def run():
+        res, _ = remove_contaminated_spans(
+            train, ev, n=8, id_col="doc_order"
+        )
+        n = res.count()
+        release_census_caches()
+        return n
+
+    return run
+
+
+def decontaminate_evidence(spark, pages):
+    """Span-removal decontamination evidence (operators/decontaminate.py):
+    an exact-twin GUARANTEE asserted hard — a train doc whose lowercased
+    token stream equals some eval doc's (≥ 8 tokens) shares every 8-gram
+    with it, so every word position is covered and the doc must come out
+    fully removed. The planted exact-dup classes in the bench corpus
+    straddle the %8 split, so the twin set is non-trivial at sf scale.
+    SQL-level answer parity is the driver gate's job
+    (decontaminate_span_removal); this keeps the guarantee measurable
+    round-over-round."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.decontaminate import (
+        remove_contaminated_spans,
+    )
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    train, ev = _decontam_frames(pages)
+    res, stats = remove_contaminated_spans(train, ev, n=8, id_col="doc_order")
+    res = res.persist()
+    agg = res.agg(
+        F.sum("n_removed").alias("rm"),
+        F.sum(
+            ((F.col("n_words") >= 8)
+             & (F.col("n_removed") == F.col("n_words"))).cast("long")
+        ).alias("emptied"),
+    ).first()
+
+    def keyed(df):
+        return df.select(
+            "doc_order",
+            F.md5(
+                F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+            ).alias("_k"),
+        )
+
+    twins = keyed(train).join(
+        keyed(ev).select("_k").distinct(), "_k", "left_semi"
+    )
+    twin_rows = twins.join(res, "doc_order").filter("n_words >= 8").persist()
+    n_twins = twin_rows.count()
+    n_missed = twin_rows.filter("n_removed <> n_words").count()
+    assert n_missed == 0, (
+        f"{n_missed} exact-twin train docs survived span decontamination"
+    )
+    res.unpersist()
+    twin_rows.unpersist()
+    release_census_caches()
+    spark.catalog.clearCache()
+    return {
+        "n_eval_grams": stats["n_eval_grams"],
+        "n_docs_hit": stats["n_contaminated"],
+        "n_words_removed": int(agg["rm"] or 0),
+        "n_docs_emptied": int(agg["emptied"] or 0),
+        "n_exact_twins": n_twins,
+        "exact_twins_fully_removed": n_twins - n_missed,
+        "eval_join_path": stats["eval_join_path"],
+    }
+
+
 def main():
     scaling = "--scaling" in sys.argv
     reps = int(os.environ.get("BENCH_REPS", "2"))
@@ -427,6 +518,7 @@ def main():
     workloads.append(("cc_distributed_chain_1m2_edges", cc_run))
     workloads.append(("incremental_bloom_e2e", bench_incremental_bloom(spark, pages)))
     workloads.append(("incremental_fuzzy_e2e", bench_incremental_fuzzy(spark, pages)))
+    workloads.append(("decontaminate_e2e", bench_decontaminate(spark, pages)))
     workloads += [
         (f"q_{name}", (lambda n: lambda: qs[n](spark, SF_DIR).count())(name))
         for name in [
@@ -484,6 +576,7 @@ def main():
     skew = skew_salting_evidence(spark)
     inc_bloom = incremental_bloom_evidence(spark, pages)
     inc_fuzzy = incremental_fuzzy_evidence(spark, pages)
+    decontam = decontaminate_evidence(spark, pages)
 
     scaling_report = None
     if scaling:
@@ -505,6 +598,7 @@ def main():
         "skew_salting": skew,
         "incremental_bloom": inc_bloom,
         "incremental_fuzzy": inc_fuzzy,
+        "decontaminate": decontam,
     }
     if scaling_report:
         line["scaling"] = scaling_report
