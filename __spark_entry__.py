@@ -581,6 +581,75 @@ def q_span_dedup_chunks(spark, sf_dir):
     )
 
 
+# dataset-mixing rates for the stratified_sample surface: one rate per
+# synthetic source, generated from the same constants on both engines
+_MIX_RATES = {f"src{i}": round(0.10 + 0.04 * i, 2) for i in range(20)}
+_MIX_SALT = "mix-r4"
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Dataset mixing (S18 at scale): deterministic per-source Bernoulli
+    sampling by md5-bucket threshold (sources/loaders.py::
+    stratified_sample) — pure map-side expressions, no shuffle/count/
+    order, decision depends only on the row's own id. The oracle runs
+    the generated DuckDB twin (stratified_sample_sql) built from the
+    SAME thresholds."""
+    from deduplication_framework_spark.sources.loaders import (
+        stratified_sample,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return stratified_sample(d, _MIX_RATES, salt=_MIX_SALT)
+
+
+def _mix_oracle_sql() -> str:
+    from deduplication_framework_spark.sources.loaders import (
+        stratified_sample_sql,
+    )
+
+    bucket, pred = stratified_sample_sql(_MIX_RATES, salt=_MIX_SALT)
+    return (
+        f"SELECT doc_id, source, {bucket} AS sample_bucket "
+        f"FROM documents WHERE {pred}"
+    )
+
+
+def q_frequent_span_removal(spark, sf_dir):
+    """C4/RefinedWeb-style boilerplate removal (operators/spans.py::
+    remove_frequent_spans): chunk each doc into the same deterministic
+    10-word spans as span_dedup_chunks, then drop EVERY occurrence of any
+    chunk occurring more than twice corpus-wide (keep-none, unlike
+    span_dedup's keep-first) and reassemble. The hot-chunk set broadcasts
+    after an eager census. Oracle re-derives frequency + removal +
+    reassembly independently."""
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+    from deduplication_framework_spark.operators.spans import (
+        remove_frequent_spans,
+    )
+
+    ch = 10
+    d = _docs(spark, sf_dir)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.floor((F.size(w) + F.lit(ch - 1)) / F.lit(ch)).cast("int")
+    chunks = F.when(F.size(w) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * ch + 1, ch)),
+    )).otherwise(F.array().cast("array<string>"))
+    chunked = d.select(
+        "doc_id", F.concat_ws("\n", chunks).alias("text")
+    )
+    out, _stats = remove_frequent_spans(
+        chunked, max_count=2, count="occurrences", join_sep=" "
+    )
+    out = out.withColumnRenamed("text_dedup", "text_clean")
+    rows = out.collect()
+    schema = out.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
+
+
 def q_decontaminate_eval_overlap(spark, sf_dir):
     """Benchmark decontamination (operators/decontaminate.py): flag every
     'train' doc (doc_id % 20 != 0) that shares any exact lowercased word
@@ -1313,6 +1382,61 @@ def q_url_canonical_groups(spark, sf_dir):
     )
 
 
+def q_tiered_dedup_attribution(spark, sf_dir):
+    """Cascade dedup with per-tier attribution (operators/tiers.py): the
+    production multi-stage report — exact md5-text tier, then canonical-
+    URL tier (synthesized capture urls, the url_canonical_groups
+    surface), then exact char-3-gram Jaccard >= 0.8 clusters
+    (the ngram_jaccard_edges surface + CC), each tier running ONLY over
+    the previous tiers' survivors. One row per doc: the FIRST tier that
+    removed it (or 'kept') and that tier's group keeper. The oracle
+    re-derives all three survivor sets and the restricted-edge CC
+    independently in SQL."""
+    from deduplication_framework_spark.functions.urls import (
+        canonical_url_expr,
+    )
+    from deduplication_framework_spark.operators.cluster import (
+        clusters_from_edges,
+    )
+    from deduplication_framework_spark.operators.tiers import (
+        keeper_assign,
+        tiered_dedup,
+    )
+
+    d = _docs(spark, sf_dir)
+
+    def t_exact(s):
+        return keeper_assign(s, F.md5("text"))
+
+    def t_url(s):
+        s = s.withColumn("_synth_url", F.expr(_SYNTH_URL_SQL))
+        return keeper_assign(s, canonical_url_expr("_synth_url"))
+
+    def t_near(s):
+        edges = _char3_jaccard_edges(s)
+        clusters, _rounds = clusters_from_edges(
+            s, edges, id_col="doc_id", driver_threshold=100_000
+        )
+        # min-label CC: cluster_id IS the min member = the keeper
+        return clusters.select(
+            "doc_id", F.col("cluster_id").alias("keeper_id")
+        )
+
+    att, _stats = tiered_dedup(
+        d, [("exact", t_exact), ("url", t_url), ("near", t_near)]
+    )
+    # materialize, then release the operator's tracked per-tier caches so
+    # a gate/sweep session doesn't accumulate them across queries
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    rows = att.collect()
+    schema = att.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -1331,6 +1455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "top_ngram_stats": q_top_ngram_stats,
         "span_dedup_chunks": q_span_dedup_chunks,
+        "frequent_span_removal": q_frequent_span_removal,
+        "stratified_sample": q_stratified_sample,
         "decontaminate_eval_overlap": q_decontaminate_eval_overlap,
         "decontaminate_span_removal": q_decontaminate_span_removal,
         "embedding_norms": q_embedding_norms,
@@ -1361,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_fuzzy_new_docs": q_incremental_fuzzy_new_docs,
         "latest_events": q_latest_events,
         "url_canonical_groups": q_url_canonical_groups,
+        "tiered_dedup_attribution": q_tiered_dedup_attribution,
     }
 
 
@@ -1420,6 +1547,48 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(max(CASE WHEN t = 'b' THEN cnt END), 0)::BIGINT
                        AS top_bigram_n
             FROM r WHERE rn = 1 GROUP BY doc_id, n_words
+        """,
+        # generated DuckDB twin built from the same rate thresholds
+        "stratified_sample": _mix_oracle_sql(),
+        # same 10-word chunking as span_dedup_chunks, then the C4-style
+        # keep-NONE policy: chunks occurring > 2 times corpus-wide are
+        # removed from every document
+        "frequent_span_removal": r"""
+            WITH base AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ), ch AS (
+                SELECT doc_id,
+                       list_transform(range(0, (len(w) + 9) // 10),
+                           i -> {'pos': i,
+                                 'span': array_to_string(
+                                     list_slice(w, i*10 + 1, i*10 + 10), ' ')}
+                       ) AS chunks
+                FROM base
+            ), sp AS (
+                SELECT doc_id, unnest(chunks, recursive := true) FROM ch
+            ), sp2 AS (
+                SELECT * FROM sp WHERE span <> ''
+            ), hot AS (
+                SELECT span FROM sp2 GROUP BY span HAVING count(*) > 2
+            ), kept AS (
+                SELECT sp2.* FROM sp2 LEFT JOIN hot USING (span)
+                WHERE hot.span IS NULL
+            ), tot AS (
+                SELECT doc_id, count(*)::BIGINT AS n_spans
+                FROM sp2 GROUP BY doc_id
+            ), agg AS (
+                SELECT doc_id, count(*)::BIGINT AS n_kept,
+                       string_agg(span, ' ' ORDER BY pos) AS text_clean
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(tot.n_spans, 0)::BIGINT AS n_spans,
+                   coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(agg.text_clean, '') AS text_clean
+            FROM documents d
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN agg USING (doc_id)
         """,
         "span_dedup_chunks": r"""
             WITH base AS (
@@ -1848,6 +2017,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canon,
                    count(*) OVER (PARTITION BY canon) AS n_same
             FROM c
+        """,
+        # full three-tier cascade re-derived independently: each tier's
+        # keeper/survivor sets as window-min CTEs over the PREVIOUS tier's
+        # survivors, the near tier as recursive min-label CC over the
+        # exact-Jaccard edge set RESTRICTED to tier-2 survivors (reach
+        # seeded from s2, not documents — singleton survivors still get
+        # their own label)
+        "tiered_dedup_attribution": f"""
+            WITH RECURSIVE
+            a1 AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                FROM documents
+            ),
+            s1 AS (SELECT doc_id FROM a1 WHERE doc_id = keeper),
+            u0 AS (
+                SELECT d.doc_id, {_SYNTH_URL_SQL} AS url
+                FROM documents d JOIN s1 USING (doc_id)
+            ),
+            a2 AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (
+                           PARTITION BY {_canon_url_sql("url")}) AS keeper
+                FROM u0
+            ),
+            s2 AS (SELECT doc_id FROM a2 WHERE doc_id = keeper),
+            g AS (
+                SELECT d.doc_id, d.n_chars,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(d.text)-1, 2)),
+                           i -> substring(d.text, i::INT, 3))) AS grams
+                FROM documents d JOIN s2 USING (doc_id)
+            ),
+            pairs AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst,
+                       len(list_intersect(a.grams, b.grams)) AS i,
+                       len(a.grams) + len(b.grams) AS s
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                 AND a.n_chars >= 0.5 * b.n_chars
+                 AND a.n_chars <= 2.0 * b.n_chars
+            ),
+            e AS (
+                SELECT src, dst FROM pairs
+                WHERE i::DOUBLE / (s - i) >= 0.8
+            ),
+            sym AS (
+                SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+            ),
+            reach(doc_id, lbl) AS (
+                SELECT doc_id, doc_id FROM s2
+                UNION
+                SELECT s.dst, r.lbl FROM reach r JOIN sym s
+                  ON s.src = r.doc_id
+            ),
+            cc AS (
+                SELECT doc_id, min(lbl) AS cluster_id FROM reach
+                GROUP BY doc_id
+            )
+            SELECT doc_id, 'exact' AS tier, keeper AS keeper_id
+            FROM a1 WHERE doc_id <> keeper
+            UNION ALL
+            SELECT doc_id, 'url', keeper FROM a2 WHERE doc_id <> keeper
+            UNION ALL
+            SELECT doc_id, 'near', cluster_id FROM cc
+            WHERE doc_id <> cluster_id
+            UNION ALL
+            SELECT doc_id, 'kept', doc_id FROM cc WHERE doc_id = cluster_id
         """,
         # the suffix-array detector's semantics ARE SQL-expressible even
         # though its implementation (128-bit L-gram bucketing + distributed

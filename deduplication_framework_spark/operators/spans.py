@@ -242,3 +242,78 @@ def near_dedup_spans(
         "n_exact_reps": n_reps,
         "bucket_stats": bucket_stats,
     }
+
+
+def remove_frequent_spans(
+    docs: DataFrame,
+    *,
+    max_count: int = 2,
+    count: str = "occurrences",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    join_sep: str = "\n",
+    hot_broadcast_threshold: int = 2_000_000,
+) -> tuple:
+    """Boilerplate removal by corpus frequency: drop EVERY occurrence of
+    any span whose corpus frequency exceeds ``max_count``, keep the rest
+    (C4's 'discard any three-sentence span occurring more than once'
+    rule, and the RefinedWeb/CCNet hot-line filter, at span granularity).
+    Unlike :func:`dedup_spans` (keep the FIRST copy), a hot span here
+    survives NOWHERE — nav bars and cookie banners vanish, they don't
+    get one lucky host document.
+
+    ``count="occurrences"`` (default) thresholds on total occurrence
+    count: the frequency aggregation gets full map-side combine — a span
+    repeated a million times collapses to one row per map partition
+    before the shuffle. ``count="docs"`` thresholds on DISTINCT document
+    count (repeats inside one doc count once): the distinct forces one
+    (span, doc) row per pair through the shuffle — semantically stricter,
+    structurally heavier; prefer occurrences at scale unless within-doc
+    repetition would mis-trip the threshold.
+
+    The hot-span set (md5 keys, one row per hot span) is persisted,
+    eagerly counted, and broadcast for a map-side anti join under
+    ``hot_broadcast_threshold`` (boilerplate sets are tiny relative to
+    the corpus); above it the anti join shuffles. Tracked cache —
+    released by ``lsh.release_census_caches()``.
+
+    Returns ``(df, stats)``: one row per input doc
+    ``(id_col, n_spans, n_kept, text_dedup)`` and
+    ``stats = {n_hot_spans, hot_join_path}``.
+    """
+    from deduplication_framework_spark.operators.lsh import _persist_tracked
+
+    if count not in ("occurrences", "docs"):
+        raise ValueError(
+            f"count must be 'occurrences' or 'docs', got {count!r}"
+        )
+    if max_count < 1:
+        raise ValueError(f"max_count must be >= 1, got {max_count}")
+
+    spans = explode_spans(docs, id_col=id_col, text_col=text_col, sep=sep)
+    keyed = spans.select(
+        F.col(id_col), "pos", "span", F.md5("span").alias("_h")
+    )
+    freq_agg = (
+        F.count("*") if count == "occurrences"
+        else F.countDistinct(id_col)
+    )
+    hot = _persist_tracked(
+        keyed.groupBy("_h")
+        .agg(freq_agg.alias("_n"))
+        .filter(F.col("_n") > max_count)
+        .select("_h")
+    )
+    n_hot = hot.count()
+    hot_join_path = (
+        "broadcast" if n_hot <= hot_broadcast_threshold else "shuffle"
+    )
+    hot_side = F.broadcast(hot) if hot_join_path == "broadcast" else hot
+    kept = keyed.join(hot_side, "_h", "left_anti").select(
+        id_col, "pos", "span"
+    )
+    out = reassemble_spans(
+        docs.select(id_col), spans, kept, id_col=id_col, join_sep=join_sep
+    )
+    return out, {"n_hot_spans": n_hot, "hot_join_path": hot_join_path}

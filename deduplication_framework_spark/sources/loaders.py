@@ -134,3 +134,76 @@ def precondition_gate(
             f"{frac:.1%} of `{col}` missing exceeds gate {max_missing_fraction:.1%}"
         )
     return df
+
+
+def _rate_hex_threshold(rate: float) -> str:
+    """8-hex-char keep threshold for a [0,1] rate: a row is kept iff the
+    first 8 hex chars of its md5 bucket compare BELOW this string.
+    Fixed-width lowercase hex makes string order == numeric order, so
+    both Spark and any SQL oracle decide with a plain varchar compare —
+    no hex parsing, no float rounding skew between engines."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    n = int(round(rate * 16**8))
+    if n >= 16**8:
+        # rate 1.0 must keep EVERY row under the strict '<': 'g' sorts
+        # above every hex char in both engines (plain byte order)
+        return "g"
+    return format(n, "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    *,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """S18 at corpus scale: deterministic per-stratum Bernoulli sampling
+    (dataset mixing — keep fraction ``rates[stratum]`` of each stratum).
+
+    A row is kept iff ``md5(f"{id}:{salt}")[:8] < hex(rate * 2^32)`` for
+    its stratum's rate. Pure map-side column expressions — no shuffle,
+    no count job, no ordering; a row's decision depends only on its own
+    id, so the sample is stable under corpus growth, repartitioning and
+    engine (``stratified_sample_sql`` generates the DuckDB twin from the
+    SAME thresholds — the ``canonical_url_sql`` pattern). Contrast
+    ``sample_subset``: exact-n via order-and-limit, for when the target
+    is a row count rather than per-stratum rates.
+
+    Adds a ``sample_bucket`` column (the 8-hex-char bucket) so callers
+    and oracles can audit the decision."""
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+        1,
+        8,
+    )
+    thr = F.lit(_rate_hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(_rate_hex_threshold(rate))
+        ).otherwise(thr)
+    return df.withColumn("sample_bucket", bucket).filter(
+        F.col("sample_bucket") < thr
+    )
+
+
+def stratified_sample_sql(
+    rates: dict,
+    *,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default_rate: float = 0.0,
+) -> tuple:
+    """(bucket_sql, keep_predicate_sql) — the DuckDB twin of
+    :func:`stratified_sample`, generated from the same thresholds."""
+    bucket = f"substring(md5({id_col}::VARCHAR || ':' || '{salt}'), 1, 8)"
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN '{_rate_hex_threshold(r)}'"
+        for s, r in sorted(rates.items())
+    )
+    thr = f"CASE {cases} ELSE '{_rate_hex_threshold(default_rate)}' END"
+    return bucket, f"{bucket} < {thr}"
