@@ -48,6 +48,14 @@ def main(argv=None) -> int:
                         "spans (MinHash/LSH + exact-Jaccard >= the config "
                         "threshold at span granularity; keeper = earliest "
                         "occurrence of each cluster)")
+    p.add_argument("--remove-frequent-spans", type=int, default=None,
+                   metavar="MAX_COUNT",
+                   help="C4/RefinedWeb-style boilerplate removal: drop "
+                        "EVERY occurrence of any newline-separated span "
+                        "occurring more than MAX_COUNT times corpus-wide "
+                        "(keep-none, vs --span-dedup's keep-first), then "
+                        "dedup the reassembled docs; docs left empty are "
+                        "removed")
     p.add_argument("--dedup-against", default=None, metavar="PATH",
                    help="incremental recrawl mode: parquet of the "
                         "historical corpus (any frame with a text column); "
@@ -126,6 +134,16 @@ def main(argv=None) -> int:
             input_tags.append(
                 f"dedup_against_fuzzy:{args.dedup_against}"
             )
+    if args.remove_frequent_spans is not None:
+        if args.sweep:
+            p.error("--remove-frequent-spans is not supported with --sweep")
+        if args.remove_frequent_spans < 1:
+            p.error("--remove-frequent-spans MAX_COUNT must be >= 1")
+        pages, fs_metrics = _frequent_span_pages(
+            pages, max_count=args.remove_frequent_spans
+        )
+        span_metrics.update(fs_metrics)
+        input_tags.append(f"frequent_spans:{args.remove_frequent_spans}")
     if args.span_dedup_fuzzy and args.span_dedup is None:
         p.error("--span-dedup-fuzzy requires --span-dedup")
     if args.span_dedup is not None:
@@ -298,6 +316,53 @@ def _incremental_fuzzy_pages(spark, pages, against_path: str, cfg):
             stats.get("n_candidate_pairs", 0)
         ),
         "incremental_fuzzy.n_dup_docs": float(stats.get("n_dup_docs", 0)),
+    }
+    return out, metrics
+
+
+def _frequent_span_pages(pages, max_count: int):
+    """pages → (pages with hot spans removed, metrics): the keep-NONE
+    boilerplate policy (operators/spans.py::remove_frequent_spans) over
+    newline-separated spans. Same doc-identity, empty-doc-drop and
+    span-less pass-through contract as ``_span_dedup_pages``."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.spans import (
+        remove_frequent_spans,
+    )
+    from deduplication_framework_spark.plans.pipeline import prepare_docs
+
+    docs = prepare_docs(pages)
+    fs, stats = remove_frequent_spans(
+        docs, max_count=max_count, id_col="doc_id", text_col="text",
+        sep="\n", join_sep="\n",
+    )
+    fs = fs.persist()
+    agg = fs.agg(
+        F.sum("n_spans").alias("spans"),
+        F.sum("n_kept").alias("kept"),
+        F.sum(
+            ((F.col("n_spans") > 0) & (F.col("n_kept") == 0)).cast("long")
+        ).alias("emptied"),
+    ).first()
+    out = (
+        docs.withColumnRenamed("text", "_text_in")
+        .join(fs, "doc_id")
+        .filter((F.col("n_kept") > 0) | (F.col("n_spans") == 0))
+        .select(
+            F.col("doc_id").alias("doc_order"),
+            "url",
+            F.when(F.col("n_spans") == 0, F.col("_text_in"))
+            .otherwise(F.col("text_dedup"))
+            .alias("text"),
+            "lang",
+        )
+    )
+    metrics = {
+        "frequent_spans.n_spans": float(agg["spans"] or 0),
+        "frequent_spans.n_spans_kept": float(agg["kept"] or 0),
+        "frequent_spans.n_hot_spans": float(stats["n_hot_spans"]),
+        "frequent_spans.n_docs_emptied": float(agg["emptied"] or 0),
     }
     return out, metrics
 

@@ -101,3 +101,65 @@ def test_bad_params_raise(spark):
         remove_frequent_spans(df, count="lines")
     with pytest.raises(ValueError, match="max_count"):
         remove_frequent_spans(df, max_count=0)
+
+
+def test_cli_remove_frequent_spans(spark, tmp_path):
+    """--remove-frequent-spans end to end: the hot span vanishes from
+    EVERY doc (keep-none, unlike --span-dedup's keep-first), all-hot
+    docs are dropped and counted, span-less docs pass through, and the
+    flag folds into the resume input tag."""
+    import json
+
+    from deduplication_framework_spark.__main__ import main
+
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [
+            (0, "u0", "intro zero\nhot span\nbody zero", "en"),
+            (1, "u1", "intro one\nhot span\nbody one", "en"),
+            (2, "u2", "hot span\ncold pair", "en"),
+            (3, "u3", "cold pair", "en"),   # "cold pair" x2 <= 2: kept
+            (4, "u4", "hot span", "en"),    # emptied -> dropped
+            (5, "u5", "  ", "en"),          # span-less: passes through
+        ],
+        ["doc_order", "url", "text", "lang"],
+    ).write.parquet(inp)
+    out = str(tmp_path / "out_freq")
+    assert main([
+        "--input", inp, "--output", out,
+        "--detectors", "exact", "--remove-frequent-spans", "2",
+    ]) == 0
+
+    summary = json.loads((tmp_path / "out_freq" / "summary.json").read_text())
+    m = summary["metrics"]
+    assert m["frequent_spans.n_spans"] == 10.0
+    assert m["frequent_spans.n_spans_kept"] == 6.0   # 4 "hot span" gone
+    assert m["frequent_spans.n_hot_spans"] == 1.0
+    assert m["frequent_spans.n_docs_emptied"] == 1.0
+    keepers = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{out}/keepers").collect()
+    }
+    assert keepers == {
+        0: "intro zero\nbody zero",
+        1: "intro one\nbody one",
+        2: "cold pair",   # exact detector then drops doc 3 (dup of 2)
+        5: "  ",
+    }
+
+
+def test_cli_remove_frequent_spans_probes(spark, tmp_path):
+    import pytest
+
+    from deduplication_framework_spark.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "--synthetic", "10", "--output", str(tmp_path / "o1"),
+            "--remove-frequent-spans", "0",
+        ])
+    with pytest.raises(SystemExit):
+        main([
+            "--synthetic", "10", "--output", str(tmp_path / "o2"),
+            "--remove-frequent-spans", "2", "--sweep", "0.8",
+        ])
