@@ -158,6 +158,8 @@ def main(argv=None) -> int:
     if args.decontaminate_against is not None:
         if args.sweep:
             p.error("--decontaminate-against is not supported with --sweep")
+        if args.decontaminate_ngram < 1:
+            p.error("--decontaminate-ngram N must be >= 1")
         pages, dc_metrics = _decontaminate_pages(
             spark, pages, args.decontaminate_against, args.decontaminate_ngram
         )

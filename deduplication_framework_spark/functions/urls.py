@@ -30,13 +30,20 @@ from pyspark.sql import functions as F
 
 __all__ = ["TRACKING_PARAMS", "canonical_url_expr", "canonical_url_sql"]
 
-# exact param names dropped wherever they appear; utm_* is a prefix rule
-TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref", "ocid")
+# exact param names dropped wherever they appear; utm_* is a prefix rule.
+# 'ref' is deliberately NOT here: many apps use it semantically
+# (branch/variant selection), so stripping it would weld distinct pages.
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ocid")
 
 # one RE both engines accept (Java regex + RE2): scheme://authority
 # path [?query] [#fragment] — authority/path classes exclude the next
-# delimiter, so each group is unambiguous
-_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+# delimiter, so each group is unambiguous. End anchor is \z (absolute end
+# of text in BOTH engines), not $: Java's $ also matches before a final
+# line terminator while RE2's does not, so a url with a trailing newline
+# would parse on the Spark side only and break the parity contract.
+_URL_RE = (
+    r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?\z"
+)
 
 
 def _param_keep_sql_pred(var: str) -> str:
@@ -68,8 +75,9 @@ def canonical_url_expr(col: str) -> Column:
     query = f"coalesce(regexp_extract({col}, '{rx}', 4), '')"
     host = (
         f"regexp_replace(regexp_replace({rawhost}, '^www\\\\.', ''), "
-        f"CASE WHEN {scheme} = 'http' THEN ':80$' "
-        f"     WHEN {scheme} = 'https' THEN ':443$' ELSE ':\\\\b\\\\B$' END, '')"
+        f"CASE WHEN {scheme} = 'http' THEN ':80\\\\z' "
+        f"     WHEN {scheme} = 'https' THEN ':443\\\\z' "
+        f"     ELSE ':\\\\b\\\\B\\\\z' END, '')"
     )
     cpath = (
         f"CASE WHEN {path} = '' THEN '/' "
@@ -96,8 +104,9 @@ def canonical_url_sql(col: str) -> str:
     query = f"coalesce(regexp_extract({col}, '{_URL_RE}', 4), '')"
     host = (
         f"regexp_replace(regexp_replace({rawhost}, '^www\\.', ''), "
-        f"CASE WHEN {scheme} = 'http' THEN ':80$' "
-        f"     WHEN {scheme} = 'https' THEN ':443$' ELSE ':\\b\\B$' END, '')"
+        f"CASE WHEN {scheme} = 'http' THEN ':80\\z' "
+        f"     WHEN {scheme} = 'https' THEN ':443\\z' "
+        f"     ELSE ':\\b\\B\\z' END, '')"
     )
     cpath = (
         f"CASE WHEN {path} = '' THEN '/' "

@@ -292,8 +292,13 @@ def remove_frequent_spans(
         raise ValueError(f"max_count must be >= 1, got {max_count}")
 
     spans = explode_spans(docs, id_col=id_col, text_col=text_col, sep=sep)
-    keyed = spans.select(
-        F.col(id_col), "pos", "span", F.md5("span").alias("_h")
+    # the exploded frame feeds three consumers (hot census, kept anti
+    # join, reassembly's per-doc totals) — persist it so the corpus-wide
+    # split/explode runs ONCE; the hot census below is the eager action
+    # that fills the cache before the consumers fan out. Tracked cache —
+    # released by lsh.release_census_caches().
+    keyed = _persist_tracked(
+        spans.select(F.col(id_col), "pos", "span", F.md5("span").alias("_h"))
     )
     freq_agg = (
         F.count("*") if count == "occurrences"
@@ -314,6 +319,10 @@ def remove_frequent_spans(
         id_col, "pos", "span"
     )
     out = reassemble_spans(
-        docs.select(id_col), spans, kept, id_col=id_col, join_sep=join_sep
+        docs.select(id_col),
+        keyed.select(id_col, "pos", "span"),  # cached — not a re-explode
+        kept,
+        id_col=id_col,
+        join_sep=join_sep,
     )
     return out, {"n_hot_spans": n_hot, "hot_join_path": hot_join_path}

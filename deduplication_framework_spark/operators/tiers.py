@@ -60,15 +60,18 @@ def keeper_assign(
     """Standard tier body: group ``df`` by the ``key`` expression and
     keep the min-id member. Returns ``(id_col, keeper_id)``, one row per
     input row — a groupBy + equi-join (map-side partial min, no window),
-    so a mega-group cannot straggle one task."""
+    so a mega-group cannot straggle one task. The join is NULL-SAFE:
+    groupBy puts all NULL-key rows in one group, so the join back must
+    use ``<=>`` or those rows would silently vanish from the tier
+    (violating tiered_dedup's one-row-per-input contract)."""
+    rows = df.select(F.col(id_col), key.alias("_tk"))
     keepers = (
-        df.select(F.col(id_col), key.alias("_tk"))
-        .groupBy("_tk")
+        rows.groupBy("_tk")
         .agg(F.min(id_col).alias("keeper_id"))
+        .select(F.col("_tk").alias("_tk_k"), "keeper_id")
     )
     return (
-        df.select(F.col(id_col), key.alias("_tk"))
-        .join(keepers, "_tk")
+        rows.join(keepers, F.col("_tk").eqNullSafe(F.col("_tk_k")))
         .select(id_col, "keeper_id")
     )
 
@@ -97,13 +100,16 @@ def tiered_dedup(
         raise ValueError(f"tier names must be unique and not 'kept': {names}")
 
     surv = df
-    n_surv = None
+    # one extra scan of the input, but it makes the one-row-per-input
+    # contract checkable for the FIRST tier too (a dropping tier 1 must
+    # raise, not silently lose docs from the attribution)
+    n_surv = df.count()
     removed_parts = []
     stats: dict = {}
     for name, fn in tiers:
         assign = _persist_tracked(fn(surv).select(id_col, "keeper_id"))
         n_assign = assign.count()
-        if n_surv is not None and n_assign != n_surv:
+        if n_assign != n_surv:
             raise ValueError(
                 f"tier {name!r} returned {n_assign} rows for "
                 f"{n_surv} survivors"
@@ -120,7 +126,7 @@ def tiered_dedup(
             id_col,
             "left_semi",
         )
-    stats["kept"] = n_surv if n_surv is not None else df.count()
+    stats["kept"] = n_surv
 
     kept = surv.select(
         F.col(id_col),

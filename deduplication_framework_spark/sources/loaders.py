@@ -199,10 +199,17 @@ def stratified_sample_sql(
     default_rate: float = 0.0,
 ) -> tuple:
     """(bucket_sql, keep_predicate_sql) — the DuckDB twin of
-    :func:`stratified_sample`, generated from the same thresholds."""
-    bucket = f"substring(md5({id_col}::VARCHAR || ':' || '{salt}'), 1, 8)"
+    :func:`stratified_sample`, generated from the same thresholds.
+    Stratum names and the salt are data, not SQL — embedded quotes are
+    doubled so a stratum like ``o'reilly`` still generates valid SQL
+    that matches the Spark side."""
+
+    def q(s: str) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+
+    bucket = f"substring(md5({id_col}::VARCHAR || ':' || {q(salt)}), 1, 8)"
     cases = " ".join(
-        f"WHEN {stratum_col} = '{s}' THEN '{_rate_hex_threshold(r)}'"
+        f"WHEN {stratum_col} = {q(s)} THEN '{_rate_hex_threshold(r)}'"
         for s, r in sorted(rates.items())
     )
     thr = f"CASE {cases} ELSE '{_rate_hex_threshold(default_rate)}' END"

@@ -260,3 +260,19 @@ def test_cli_decontaminate_against(spark, tmp_path):
                 "--decontaminate-against", str(tmp_path / "notext_dc"),
             ]
         )
+
+
+def test_cli_decontaminate_bad_ngram_is_an_argparse_error(spark, tmp_path):
+    """Review-finding regression: N < 1 must die as a clean usage error
+    before Spark work starts, like the sibling --remove-frequent-spans."""
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--synthetic", "50",
+                "--output", str(tmp_path / "o_ng"),
+                "--decontaminate-against", str(tmp_path / "whatever"),
+                "--decontaminate-ngram", "0",
+            ]
+        )

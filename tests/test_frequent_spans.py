@@ -163,3 +163,15 @@ def test_cli_remove_frequent_spans_probes(spark, tmp_path):
             "--synthetic", "10", "--output", str(tmp_path / "o2"),
             "--remove-frequent-spans", "2", "--sweep", "0.8",
         ])
+
+
+def test_exploded_frame_cached_once(spark):
+    """Review-finding regression: the corpus-wide explode feeds three
+    consumers (hot census, kept anti-join, reassembly totals) — the
+    output plan must read the persisted exploded frame, not re-explode
+    the corpus per consumer."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out, _ = remove_frequent_spans(df, max_count=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    release_census_caches()

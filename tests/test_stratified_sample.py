@@ -89,3 +89,26 @@ def test_threshold_edges():
     assert _rate_hex_threshold(1.0) == "g"
     assert "ffffffff" < _rate_hex_threshold(1.0)
     assert _rate_hex_threshold(0.5) == "80000000"
+
+
+def test_quoted_stratum_and_salt_generate_valid_sql(spark):
+    """Review-finding regression: stratum names / salt are data — an
+    embedded quote must not break (or skew) the generated DuckDB twin."""
+    rates = {"o'reilly": 0.5, "b": 1.0}
+    rows = [(i, "o'reilly" if i % 2 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = sorted(
+        (r.doc_id, r.source)
+        for r in stratified_sample(df, rates, salt="s'alt")
+        .select("doc_id", "source")
+        .collect()
+    )
+    bucket, pred = stratified_sample_sql(rates, salt="s'alt")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, source VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    oracle = con.execute(
+        f"SELECT doc_id, source FROM docs WHERE {pred} ORDER BY doc_id"
+    ).fetchall()
+    assert got == [tuple(r) for r in oracle]
+    assert 200 < len(got) < 400  # all of b, about half of o'reilly

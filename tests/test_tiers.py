@@ -143,3 +143,38 @@ def test_keeper_assign_no_window_map_side_agg(spark):
     assert "partial_min" in plan or "partial_first" in plan
     got = {r.doc_id: r.keeper_id for r in a.collect()}
     assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7, 8: 8}
+
+
+def test_null_key_rows_survive_the_tier(spark):
+    """Review-finding regression: md5(NULL) = NULL makes a NULL-key
+    group; the keeper join must be null-safe or those rows silently
+    vanish from the tier (breaking one-row-per-input)."""
+    df = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, None), (4, "A")], ["doc_id", "text"]
+    )
+    att, stats = tiered_dedup(
+        df, [("exact", lambda s: keeper_assign(s, F.md5("text")))]
+    )
+    got = {r.doc_id: (r.tier, r.keeper_id) for r in att.collect()}
+    assert got == {
+        1: ("kept", 1),
+        2: ("kept", 2),
+        3: ("exact", 2),
+        4: ("exact", 1),
+    }
+    assert stats == {"exact": 2, "kept": 2}
+    release_census_caches()
+
+
+def test_first_tier_contract_checked(spark):
+    """Review-finding regression: a row-dropping tier must raise even
+    when it is the FIRST tier (the check used to start at tier 2)."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text", "url", "nk"])
+
+    def dropping(s):
+        a = keeper_assign(s, F.col("nk"))
+        return a.filter(F.col("doc_id") == F.col("keeper_id"))
+
+    with pytest.raises(ValueError, match="returned"):
+        tiered_dedup(df, [("bad", dropping)])
+    release_census_caches()

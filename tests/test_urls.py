@@ -18,7 +18,7 @@ CASES = [
     ("https://example.com/a//b/", "https://example.com/a//b"),   # inner // kept
     ("https://example.com/?fbclid=abc", "https://example.com/"),
     ("https://example.com/p?ref=rss&z=9&a&a=2&A=3",
-     "https://example.com/p?A=3&a&a=2&z=9"),                     # sorted, dups kept
+     "https://example.com/p?A=3&a&a=2&ref=rss&z=9"),  # sorted, dups kept; ref is semantic
     ("not a url at all  ", "not a url at all"),                  # unparseable -> trim only
     ("ftp://Files.example.com:21/pub/", "ftp://files.example.com:21/pub"),
     ("https://example.com/p?utm_campaign=&utmx=keep&gclid=1",
@@ -28,6 +28,10 @@ CASES = [
     ("https://example.com/#", "https://example.com/"),
     ("https://example.com/x?#y", "https://example.com/x"),
     ("https://sub.www.example.com/x", "https://sub.www.example.com/x"),  # www. only at start
+    # trailing newline: Java's $ would match before it (RE2's would not);
+    # the \z anchor makes BOTH engines take the unparseable/trim branch
+    ("https://example.com/x#f\n", "https://example.com/x#f\n"),
+    ("https://example.com/x\n", "https://example.com/x\n"),
 ]
 
 
