@@ -1437,6 +1437,53 @@ def q_tiered_dedup_attribution(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+# deterministic per-doc PII-bearing sentences, valid in BOTH engines
+# (Spark SQL + DuckDB) — the corpus text itself is PII-free word soup,
+# so the surface synthesizes emails / IPv4s / phone numbers from doc_id
+# the way _SYNTH_URL_SQL synthesizes capture urls
+_SYNTH_PII_SQL = """concat(
+  'doc ', CAST(doc_id AS STRING), ' ',
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN concat('contact user', CAST(doc_id AS STRING), '@mail',
+                       CAST(doc_id % 7 AS STRING), '.example.org soon')
+    WHEN 1 THEN concat('served from ', CAST(doc_id % 208 + 16 AS STRING),
+                       '.', CAST(doc_id % 256 AS STRING), '.0.',
+                       CAST(doc_id % 250 AS STRING), ' port 8080')
+    WHEN 2 THEN concat('call +1 (', CAST(doc_id % 700 + 200 AS STRING),
+                       ') ', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),
+                       '-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),
+                       ' or mail ops@corp', CAST(doc_id % 9 AS STRING),
+                       '.net')
+    ELSE 'no identifiers in this one at all'
+  END, ' tail')"""
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII redaction (functions/pii.py): deterministic PII-bearing text
+    is synthesized per doc from doc_id via _SYNTH_PII_SQL — the SAME
+    snippet the oracle runs — then redacted by the pure-JVM sequential
+    regexp chain (emails -> IPv4 -> phones); per-type counts are the
+    replacements each step performed. The oracle runs the DuckDB twins
+    GENERATED from the same pattern constants (the urls.py pattern), so
+    Java-vs-RE2 drift would surface as a hash mismatch."""
+    from deduplication_framework_spark.functions.pii import (
+        pii_count_exprs,
+        redact_pii_expr,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SYNTH_PII_SQL).alias("raw")
+    )
+    counts = pii_count_exprs("raw")
+    return d.select(
+        "doc_id",
+        redact_pii_expr("raw").alias("red_text"),
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -1487,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_fuzzy_new_docs": q_incremental_fuzzy_new_docs,
         "latest_events": q_latest_events,
         "url_canonical_groups": q_url_canonical_groups,
+        "pii_redaction": q_pii_redaction,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
     }
 
@@ -1501,6 +1549,12 @@ def oracle_sql() -> dict[str, str]:
     from deduplication_framework_spark.functions.urls import (
         canonical_url_sql as _canon_url_sql,
     )
+    from deduplication_framework_spark.functions.pii import (
+        pii_count_sqls as _pii_count_sqls,
+        redact_pii_sql as _redact_pii_sql,
+    )
+
+    _pii_counts = _pii_count_sqls("raw")
 
     _lid = _lang_id_sql()
     _lid_langs = sorted(_LID_PROFILES)
@@ -2017,6 +2071,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canon,
                    count(*) OVER (PARTITION BY canon) AS n_same
             FROM c
+        """,
+        # same synthesized PII-bearing text (shared _SYNTH_PII_SQL
+        # snippet), redacted/counted by DuckDB twins GENERATED from the
+        # same pattern constants as the Spark expressions
+        "pii_redaction": f"""
+            WITH raw AS (
+                SELECT doc_id, {_SYNTH_PII_SQL} AS raw FROM documents
+            )
+            SELECT doc_id,
+                   {_redact_pii_sql("raw")} AS red_text,
+                   CAST({_pii_counts["email"]} AS BIGINT) AS n_email,
+                   CAST({_pii_counts["ip"]} AS BIGINT) AS n_ip,
+                   CAST({_pii_counts["phone"]} AS BIGINT) AS n_phone
+            FROM raw
         """,
         # full three-tier cascade re-derived independently: each tier's
         # keeper/survivor sets as window-min CTEs over the PREVIOUS tier's
