@@ -1437,6 +1437,41 @@ def q_tiered_dedup_attribution(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_ssjoin_dup_edges(spark, sf_dir):
+    """Exact set-similarity join via prefix filtering (AllPairs/PPJoin,
+    operators/setjoin.py): EVERY char-3-gram Jaccard >= 0.8 pair, found
+    by rarest-first prefix banding + positional/length filters + exact
+    sorted-merge verify — recall 1.0 by theorem, no LSH tuning, no
+    length-band assumption. The oracle is a DIFFERENT algorithm
+    (all-pairs intersect under the provably-implied gram-count-ratio
+    band: J >= 0.8 forces min(|A|,|B|)/max(|A|,|B|) >= 0.8 since
+    J <= min/max), so agreement checks the theorem end to end."""
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+    from deduplication_framework_spark.operators.setjoin import (
+        ssjoin_jaccard,
+    )
+
+    d = _docs(spark, sf_dir)
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(text)-2, 1)),"
+            " i -> substring(text, i, 3))"
+        )
+    )
+    edges, _stats = ssjoin_jaccard(
+        d.select("doc_id", grams.alias("grams")),
+        threshold=0.8,
+        set_col="grams",
+    )
+    out = edges.select("src", "dst")
+    rows = out.collect()
+    schema = out.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
+
+
 # deterministic per-doc PII-bearing sentences, valid in BOTH engines
 # (Spark SQL + DuckDB) — the corpus text itself is PII-free word soup,
 # so the surface synthesizes emails / IPv4s / phone numbers from doc_id
@@ -1535,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_events": q_latest_events,
         "url_canonical_groups": q_url_canonical_groups,
         "pii_redaction": q_pii_redaction,
+        "ssjoin_dup_edges": q_ssjoin_dup_edges,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
     }
 
@@ -1734,6 +1770,9 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
              AND a.n_chars >= 0.5 * b.n_chars
              AND a.n_chars <= 2.0 * b.n_chars
+             -- implied by J >= 0.8 (J <= min/max set size): prune only
+             AND len(a.grams) >= 0.8 * len(b.grams) - 1e-9
+             AND len(b.grams) >= 0.8 * len(a.grams) - 1e-9
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / (len(a.grams) + len(b.grams)
                      - len(list_intersect(a.grams, b.grams))) >= 0.8
@@ -1758,6 +1797,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM g a JOIN g b ON a.doc_id < b.doc_id
                  AND a.n_chars >= 0.5 * b.n_chars
                  AND a.n_chars <= 2.0 * b.n_chars
+                 -- implied by J >= 0.8 (J <= min/max set size): prune only
+                 AND len(a.grams) >= 0.8 * len(b.grams) - 1e-9
+                 AND len(b.grams) >= 0.8 * len(a.grams) - 1e-9
             ),
             e AS (
                 SELECT src, dst FROM pairs
@@ -2072,6 +2114,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY canon) AS n_same
             FROM c
         """,
+        # INDEPENDENT algorithm from the Spark side's prefix-filter join:
+        # all-pairs exact intersect under the gram-count-ratio band, which
+        # is provably implied by J >= 0.8 (J <= min(|A|,|B|)/max(|A|,|B|)
+        # because the union is at least the larger set and the
+        # intersection at most the smaller) — so the band only prunes,
+        # never changes the answer, and keeps the oracle O(banded pairs)
+        "ssjoin_dup_edges": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(text)-1, 2)),
+                           i -> substring(text, i::INT, 3))) AS grams
+                FROM documents
+            ),
+            s AS (SELECT doc_id, grams, len(grams) AS n FROM g)
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+             AND a.n >= 0.8 * b.n - 1e-9
+             AND b.n >= 0.8 * a.n - 1e-9
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / (a.n + b.n - len(list_intersect(a.grams, b.grams)))
+                  >= 0.8
+        """,
         # same synthesized PII-bearing text (shared _SYNTH_PII_SQL
         # snippet), redacted/counted by DuckDB twins GENERATED from the
         # same pattern constants as the Spark expressions
@@ -2125,6 +2190,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM g a JOIN g b ON a.doc_id < b.doc_id
                  AND a.n_chars >= 0.5 * b.n_chars
                  AND a.n_chars <= 2.0 * b.n_chars
+                 -- implied by J >= 0.8 (J <= min/max set size): prune only
+                 AND len(a.grams) >= 0.8 * len(b.grams) - 1e-9
+                 AND len(b.grams) >= 0.8 * len(a.grams) - 1e-9
             ),
             e AS (
                 SELECT src, dst FROM pairs
