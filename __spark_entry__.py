@@ -1439,13 +1439,15 @@ def q_tiered_dedup_attribution(spark, sf_dir):
 
 def q_ssjoin_dup_edges(spark, sf_dir):
     """Exact set-similarity join via prefix filtering (AllPairs/PPJoin,
-    operators/setjoin.py): EVERY char-3-gram Jaccard >= 0.8 pair, found
-    by rarest-first prefix banding + positional/length filters + exact
-    sorted-merge verify — recall 1.0 by theorem, no LSH tuning, no
-    length-band assumption. The oracle is a DIFFERENT algorithm
-    (all-pairs intersect under the provably-implied gram-count-ratio
-    band: J >= 0.8 forces min(|A|,|B|)/max(|A|,|B|) >= 0.8 since
-    J <= min/max), so agreement checks the theorem end to end."""
+    operators/setjoin.py): EVERY word-bigram-shingle Jaccard >= 0.6
+    pair, found by rarest-first prefix banding + positional/length
+    filters + exact sorted-merge verify — recall 1.0 by theorem, no LSH
+    tuning, no length-band assumption. Word shingles are the operator's
+    intended SPARSE element universe (see setjoin.py docstring — dense
+    char-gram universes degrade toward all-pairs). The oracle is a
+    DIFFERENT algorithm (all-pairs intersect under the provably-implied
+    gram-count-ratio band: J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t
+    since J <= min/max), so agreement checks the theorem end to end."""
     from deduplication_framework_spark.operators.lsh import (
         release_census_caches,
     )
@@ -1454,17 +1456,21 @@ def q_ssjoin_dup_edges(spark, sf_dir):
     )
 
     d = _docs(spark, sf_dir)
-    grams = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, greatest(length(text)-2, 1)),"
-            " i -> substring(text, i, 3))"
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> concat(toks[i-1], ' ', toks[i]))"
+                )
+            ).alias("grams"),
         )
     )
-    edges, _stats = ssjoin_jaccard(
-        d.select("doc_id", grams.alias("grams")),
-        threshold=0.8,
-        set_col="grams",
-    )
+    edges, _stats = ssjoin_jaccard(docs, threshold=0.6, set_col="grams")
     out = edges.select("src", "dst")
     rows = out.collect()
     schema = out.schema
@@ -2121,21 +2127,28 @@ def oracle_sql() -> dict[str, str]:
         # intersection at most the smaller) — so the band only prunes,
         # never changes the answer, and keeps the oracle O(banded pairs)
         "ssjoin_dup_edges": """
-            WITH g AS (
+            WITH t AS (
                 SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(length(text)-1, 2)),
-                           i -> substring(text, i::INT, 3))) AS grams
+                       string_split_regex(trim(text), '\\s+') AS toks
                 FROM documents
             ),
-            s AS (SELECT doc_id, grams, len(grams) AS n FROM g)
+            g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])) AS grams
+                FROM t WHERE len(toks) >= 2
+            ),
+            s AS (
+                SELECT doc_id, grams, len(grams) AS n FROM g WHERE len(grams) > 0
+            )
             SELECT a.doc_id AS src, b.doc_id AS dst
             FROM s a JOIN s b ON a.doc_id < b.doc_id
-             AND a.n >= 0.8 * b.n - 1e-9
-             AND b.n >= 0.8 * a.n - 1e-9
+             AND a.n >= 0.6 * b.n - 1e-9
+             AND b.n >= 0.6 * a.n - 1e-9
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / (a.n + b.n - len(list_intersect(a.grams, b.grams)))
-                  >= 0.8
+                  >= 0.6
         """,
         # same synthesized PII-bearing text (shared _SYNTH_PII_SQL
         # snippet), redacted/counted by DuckDB twins GENERATED from the

@@ -406,6 +406,99 @@ def _decontam_frames(pages):
     return train, ev
 
 
+def _ssjoin_docs(pages, n_docs=None):
+    """Word-bigram shingle sets — the realistic near-dup featurization
+    AND the one prefix filtering wants: a SPARSE element universe.
+    (Char-3-grams of kB-size docs live in a ~20k-element dense universe
+    whose buckets approach all-pairs; word-shingle universes grow with
+    the corpus, so rarest-first prefixes stay selective — the same
+    sparsity reasoning as LSH shingling. See setjoin.py docstring.)"""
+    from pyspark.sql import functions as F
+
+    d = pages if n_docs is None else pages.filter(
+        F.col("doc_order") < n_docs
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return (
+        d.select(F.col("doc_order").alias("doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> concat(toks[i-1], ' ', toks[i]))"
+                )
+            ).alias("grams"),
+        )
+    )
+
+
+def bench_ssjoin(spark, pages):
+    """Exact prefix-filtered set-similarity join (operators/setjoin.py)
+    over the full bench corpus — the non-approximate near-dup path."""
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+    from deduplication_framework_spark.operators.setjoin import ssjoin_jaccard
+
+    docs = _ssjoin_docs(pages)
+
+    def run():
+        edges, _stats = ssjoin_jaccard(docs, threshold=0.8)
+        n = edges.count()
+        release_census_caches()
+        return n
+
+    return run
+
+
+def ssjoin_evidence(spark, n_docs=1000):
+    """Exactness evidence for the prefix-filtered join: on a SELF-
+    CONTAINED small corpus (a doc_order slice of the bench corpus would
+    orphan the planted dup pairs — partners sit far apart in doc_order),
+    its edge set must EQUAL the all-pairs exact answer (verify over
+    every src<dst pair, recall-safe size prefilter only) — the
+    recall-1.0-by-theorem claim asserted hard per bench run, on a
+    corpus where the answer is NON-EMPTY, plus the candidate-vs-
+    allpairs contrast that is the operator's point."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+    from deduplication_framework_spark.operators.setjoin import ssjoin_jaccard
+    from deduplication_framework_spark.operators.verify import verify_jaccard
+
+    docs = _ssjoin_docs(generate_pages(spark, n_docs, num_partitions=CPUS))
+    edges, stats = ssjoin_jaccard(docs, threshold=0.8)
+    got = {(r.src, r.dst) for r in edges.select("src", "dst").collect()}
+    release_census_caches()
+
+    feats = docs.select("doc_id", F.array_sort("grams").alias("lex")).persist()
+    ids = feats.select("doc_id")
+    allpairs = (
+        ids.select(F.col("doc_id").alias("src"))
+        .crossJoin(ids.select(F.col("doc_id").alias("dst")))
+        .filter(F.col("src") < F.col("dst"))
+    )
+    ref = verify_jaccard(
+        allpairs, feats, 0.8, id_col="doc_id", feat_col="lex"
+    )
+    want = {(r.src, r.dst) for r in ref.select("src", "dst").collect()}
+    feats.unpersist()
+    assert got == want, (
+        f"prefix join diverged from all-pairs: {len(got)} vs {len(want)}"
+    )
+    spark.catalog.clearCache()
+    return {
+        "n_docs": n_docs,
+        "n_allpairs": n_docs * (n_docs - 1) // 2,
+        "n_candidates": stats["n_candidates"],
+        "n_edges": len(got),
+    }
+
+
 def bench_decontaminate(spark, pages):
     from deduplication_framework_spark.operators.decontaminate import (
         remove_contaminated_spans,
@@ -519,6 +612,7 @@ def main():
     workloads.append(("incremental_bloom_e2e", bench_incremental_bloom(spark, pages)))
     workloads.append(("incremental_fuzzy_e2e", bench_incremental_fuzzy(spark, pages)))
     workloads.append(("decontaminate_e2e", bench_decontaminate(spark, pages)))
+    workloads.append(("ssjoin_exact_edges", bench_ssjoin(spark, pages)))
     workloads += [
         (f"q_{name}", (lambda n: lambda: qs[n](spark, SF_DIR).count())(name))
         for name in [
@@ -577,6 +671,7 @@ def main():
     inc_bloom = incremental_bloom_evidence(spark, pages)
     inc_fuzzy = incremental_fuzzy_evidence(spark, pages)
     decontam = decontaminate_evidence(spark, pages)
+    ssjoin = ssjoin_evidence(spark)
 
     scaling_report = None
     if scaling:
@@ -599,6 +694,7 @@ def main():
         "incremental_bloom": inc_bloom,
         "incremental_fuzzy": inc_fuzzy,
         "decontaminate": decontam,
+        "ssjoin": ssjoin,
     }
     if scaling_report:
         line["scaling"] = scaling_report

@@ -49,6 +49,13 @@ Scale posture (100 TB):
   pathological corpus (many docs of the same few rare elements) makes
   those pairs TRUE candidates — cost tracks answer size, the honest
   lower bound. ``stats['n_candidates']`` makes the blow-up observable.
+* Featurize with a SPARSE element universe (word shingles / n-grams —
+  what near-dup pipelines use anyway). A dense small universe (e.g.
+  char-3-grams of kB-size docs: ~20k possible elements, corpus-wide
+  document frequencies all high) leaves no rare elements for prefixes
+  to key on and degrades toward banded all-pairs — measured on the
+  bench pages corpus, which is why bench.py's ssjoin surfaces shingle
+  on word bigrams.
 * Candidate dedup + positional filter ride the same (src, dst)
   aggregation; verify joins are plain equi-joins on doc id.
 """
