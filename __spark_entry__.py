@@ -1478,6 +1478,39 @@ def q_ssjoin_dup_edges(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_gopher_quality_flags(spark, sf_dir):
+    """Gopher-rule quality filter (functions/quality.py): the canonical
+    LLM corpus-curation gate — per-doc scalar signals bounded by the
+    Gopher Table-A1 thresholds, keep iff all pass, dropped docs
+    attributed to the FIRST failing rule. Signals, rule order and
+    thresholds live ONCE in quality.RULES; the oracle CASE is generated
+    from the same tuples (the langid/pii pattern). On the word-soup
+    testdata corpus every doc drops (short docs + no closed-class
+    stopwords at CANONICAL Gopher thresholds — honest, not tuned);
+    discrimination here is the first-fail ATTRIBUTION (rule order), and
+    tests/test_quality.py covers every rule plus the pass class on real
+    text."""
+    from deduplication_framework_spark.functions.quality import (
+        first_fail_expr,
+        quality_signals_expr,
+    )
+
+    sig = quality_signals_expr("text")
+    ff = first_fail_expr("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        sig["n_words"].alias("n_words"),
+        sig["mean_word_len"].alias("mean_word_len"),
+        sig["symbol_word_ratio"].alias("symbol_word_ratio"),
+        sig["bullet_line_frac"].alias("bullet_line_frac"),
+        sig["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+        sig["alpha_word_frac"].alias("alpha_word_frac"),
+        sig["stopword_hits"].alias("stopword_hits"),
+        ff.alias("first_fail"),
+        (ff == "pass").cast("int").alias("keep"),
+    )
+
+
 # deterministic per-doc PII-bearing sentences, valid in BOTH engines
 # (Spark SQL + DuckDB) — the corpus text itself is PII-free word soup,
 # so the surface synthesizes emails / IPv4s / phone numbers from doc_id
@@ -1577,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_groups": q_url_canonical_groups,
         "pii_redaction": q_pii_redaction,
         "ssjoin_dup_edges": q_ssjoin_dup_edges,
+        "gopher_quality_flags": q_gopher_quality_flags,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
     }
 
@@ -1595,8 +1629,13 @@ def oracle_sql() -> dict[str, str]:
         pii_count_sqls as _pii_count_sqls,
         redact_pii_sql as _redact_pii_sql,
     )
+    from deduplication_framework_spark.functions.quality import (
+        first_fail_sql as _ff_sql,
+        quality_signal_sqls as _q_sqls,
+    )
 
     _pii_counts = _pii_count_sqls("raw")
+    _qs = _q_sqls("text")
 
     _lid = _lang_id_sql()
     _lid_langs = sorted(_LID_PROFILES)
@@ -2149,6 +2188,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / (a.n + b.n - len(list_intersect(a.grams, b.grams)))
                   >= 0.6
+        """,
+        # signals, thresholds, rule order and the first-fail CASE all
+        # GENERATED from the same quality.RULES tuples the Spark side uses
+        "gopher_quality_flags": f"""
+            SELECT doc_id,
+                   {_qs["n_words"]} AS n_words,
+                   {_qs["mean_word_len"]} AS mean_word_len,
+                   {_qs["symbol_word_ratio"]} AS symbol_word_ratio,
+                   {_qs["bullet_line_frac"]} AS bullet_line_frac,
+                   {_qs["ellipsis_line_frac"]} AS ellipsis_line_frac,
+                   {_qs["alpha_word_frac"]} AS alpha_word_frac,
+                   CAST({_qs["stopword_hits"]} AS INT) AS stopword_hits,
+                   {_ff_sql("text")} AS first_fail,
+                   ({_ff_sql("text")} = 'pass')::INT AS keep
+            FROM documents
         """,
         # same synthesized PII-bearing text (shared _SYNTH_PII_SQL
         # snippet), redacted/counted by DuckDB twins GENERATED from the

@@ -1,0 +1,155 @@
+"""Gopher-style document quality filter — keep/drop with rule attribution.
+
+The canonical LLM training-data quality gate (Rae et al. 2021 "Scaling
+Language Models: ... Gopher", Table A1; reused by MassiveText / Dolma /
+RefinedWeb): per-document scalar signals (word count, mean word length,
+symbol-to-word ratio, bullet / ellipsis line fractions, alphabetic-word
+fraction, stopword presence) each bounded by a threshold; a document is
+kept iff every rule passes, and a dropped document is attributed to the
+FIRST failing rule (the report a corpus-curation pipeline wants — same
+attribution stance as ``operators/tiers.py``).
+
+Engine parity, the ``langid``/``pii`` pattern: the thresholds and rule
+ORDER live once in :data:`RULES`; per-signal expressions have one Spark
+and one DuckDB template (the dialects differ in function names only);
+the keep/first-fail CASE is GENERATED from the same rule list for both
+engines, so the two sides cannot drift.
+
+Scale posture: pure per-row column expressions — no UDF, no shuffle;
+at 100 TB the filter rides the scan. All signals derive from ONE token
+split per engine (Catalyst dedups the common subexpression; the
+generated SQL reuses a CTE column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "RULES",
+    "STOPWORDS",
+    "quality_signal_sqls",
+    "first_fail_sql",
+    "quality_signals_expr",
+    "first_fail_expr",
+]
+
+# small closed-class list (Gopher requires >= 2 of its stop set present)
+STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# (rule_name, signal, op, bound) — op is the VIOLATION comparison,
+# rules checked in order; first violation names the drop reason.
+RULES = (
+    ("too_few_words", "n_words", "<", 50),
+    ("too_many_words", "n_words", ">", 100_000),
+    ("mean_word_len_low", "mean_word_len", "<", 3.0),
+    ("mean_word_len_high", "mean_word_len", ">", 10.0),
+    ("symbol_ratio_high", "symbol_word_ratio", ">", 0.1),
+    ("bullet_lines_high", "bullet_line_frac", ">", 0.9),
+    ("ellipsis_lines_high", "ellipsis_line_frac", ">", 0.3),
+    ("alpha_words_low", "alpha_word_frac", "<", 0.8),
+    ("stopwords_low", "stopword_hits", "<", 2),
+)
+
+_BULLETS = ("-", "*", "•")  # line-start bullet markers
+
+
+def _spark_templates(col: str) -> dict:
+    toks = f"split(trim({col}), '\\\\s+')"
+    toks_l = f"split(lower(trim({col})), '\\\\s+')"
+    lines = f"split({col}, '\\n')"
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    bullet = " OR ".join(
+        f"startswith(trim(l), '{b}')" for b in _BULLETS
+    )
+    return {
+        "n_words": f"size({toks})",
+        "mean_word_len": (
+            f"length(regexp_replace({col}, '\\\\s+', '')) / size({toks})"
+        ),
+        # '#' + unicode ellipsis, per Gopher; ASCII '...' is the LINE
+        # rule's business (counting it here would double-fire)
+        "symbol_word_ratio": (
+            f"((length({col}) - length(replace({col}, '#', ''))) + "
+            f"(length({col}) - length(replace({col}, '…', '')))) "
+            f"/ size({toks})"
+        ),
+        "bullet_line_frac": (
+            f"size(filter({lines}, l -> {bullet})) / size({lines})"
+        ),
+        "ellipsis_line_frac": (
+            f"size(filter({lines}, l -> endswith(trim(l), '...'))) "
+            f"/ size({lines})"
+        ),
+        "alpha_word_frac": (
+            f"size(filter({toks}, w -> w rlike '[A-Za-z]')) / size({toks})"
+        ),
+        "stopword_hits": (
+            f"size(array_intersect(array_distinct({toks_l}), array({sw})))"
+        ),
+    }
+
+
+def _duckdb_templates(col: str) -> dict:
+    toks = f"string_split_regex(trim({col}), '\\s+')"
+    toks_l = f"string_split_regex(lower(trim({col})), '\\s+')"
+    lines = f"string_split({col}, chr(10))"
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    bullet = " OR ".join(f"starts_with(trim(l), '{b}')" for b in _BULLETS)
+    return {
+        "n_words": f"len({toks})",
+        "mean_word_len": (
+            f"length(regexp_replace({col}, '\\s+', '', 'g')) / len({toks})"
+        ),
+        "symbol_word_ratio": (
+            f"((length({col}) - length(replace({col}, '#', ''))) + "
+            f"(length({col}) - length(replace({col}, '…', '')))) "
+            f"/ len({toks})"
+        ),
+        "bullet_line_frac": (
+            f"len(list_filter({lines}, l -> {bullet})) / len({lines})"
+        ),
+        "ellipsis_line_frac": (
+            f"len(list_filter({lines}, l -> ends_with(trim(l), '...'))) "
+            f"/ len({lines})"
+        ),
+        "alpha_word_frac": (
+            f"len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]'))) "
+            f"/ len({toks})"
+        ),
+        "stopword_hits": (
+            f"len(list_intersect(list_distinct({toks_l}), [{sw}]))"
+        ),
+    }
+
+
+def quality_signal_sqls(col: str) -> dict:
+    """``{signal: duckdb_sql}`` over a text column."""
+    return _duckdb_templates(col)
+
+
+def quality_signals_expr(col: str) -> dict:
+    """``{signal: Column}`` over a text column (pure JVM expressions)."""
+    return {k: F.expr(v) for k, v in _spark_templates(col).items()}
+
+
+def _first_fail(signals: dict) -> str:
+    """CASE arm text shared by both engines: only signal references and
+    comparison operators appear, so one generator serves both once the
+    per-signal SQL is substituted."""
+    arms = " ".join(
+        f"WHEN ({signals[sig]}) {op} {bound} THEN '{name}'"
+        for name, sig, op, bound in RULES
+    )
+    return f"CASE {arms} ELSE 'pass' END"
+
+
+def first_fail_sql(col: str) -> str:
+    """DuckDB CASE naming the first violated rule (or 'pass')."""
+    return _first_fail(_duckdb_templates(col))
+
+
+def first_fail_expr(col: str) -> Column:
+    """Spark Column naming the first violated rule (or 'pass')."""
+    return F.expr(_first_fail(_spark_templates(col)))
