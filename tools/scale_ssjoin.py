@@ -45,9 +45,11 @@ def synth_docs(spark, n: int, partitions: int):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def words(i: int) -> np.ndarray:
-            return np.random.RandomState(i).choice(
-                VOCAB, size=WORDS, replace=False
-            )
+            # randint (not choice(replace=False), which permutes the whole
+            # 200k vocab per doc): ~0.4% of docs carry one within-doc dup,
+            # which array_distinct absorbs — a 39-distinct base still gives
+            # its planted copy J >= 36/42 ~ 0.857 >= t
+            return np.random.RandomState(i).randint(0, VOCAB, WORDS)
 
         for pdf in batches:
             ids = pdf["id"].to_numpy()
@@ -56,9 +58,9 @@ def synth_docs(spark, n: int, partitions: int):
                 if i % 10 == 1 and i > 0:
                     w = words(i - 1).copy()
                     # replace SWAP words with fresh ones from a disjoint
-                    # per-id range so the copy stays 37/43 by construction
-                    repl = np.random.RandomState(10**9 + i).choice(
-                        VOCAB, size=SWAP, replace=False
+                    # namespace so the copy stays ~37/43 by construction
+                    repl = np.random.RandomState(10**9 + i).randint(
+                        0, VOCAB, SWAP
                     )
                     w[:SWAP] = repl + VOCAB  # disjoint namespace
                 else:
