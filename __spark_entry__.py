@@ -1451,25 +1451,12 @@ def q_ssjoin_dup_edges(spark, sf_dir):
     from deduplication_framework_spark.operators.lsh import (
         release_census_caches,
     )
+    from deduplication_framework_spark.functions.text import word_bigram_sets
     from deduplication_framework_spark.operators.setjoin import (
         ssjoin_jaccard,
     )
 
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    docs = (
-        d.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(toks)-1),"
-                    " i -> concat(toks[i-1], ' ', toks[i]))"
-                )
-            ).alias("grams"),
-        )
-    )
+    docs = word_bigram_sets(_docs(spark, sf_dir), lowercase=False)
     edges, _stats = ssjoin_jaccard(docs, threshold=0.6, set_col="grams")
     out = edges.select("src", "dst")
     rows = out.collect()

@@ -412,26 +412,16 @@ def _ssjoin_docs(pages, n_docs=None):
     (Char-3-grams of kB-size docs live in a ~20k-element dense universe
     whose buckets approach all-pairs; word-shingle universes grow with
     the corpus, so rarest-first prefixes stay selective — the same
-    sparsity reasoning as LSH shingling. See setjoin.py docstring.)"""
+    sparsity reasoning as LSH shingling. See setjoin.py docstring.)
+    Shingle rule shared with the gate query via text.word_bigram_sets."""
     from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.functions.text import word_bigram_sets
 
     d = pages if n_docs is None else pages.filter(
         F.col("doc_order") < n_docs
     )
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    return (
-        d.select(F.col("doc_order").alias("doc_id"), toks.alias("toks"))
-        .filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(toks)-1),"
-                    " i -> concat(toks[i-1], ' ', toks[i]))"
-                )
-            ).alias("grams"),
-        )
-    )
+    return word_bigram_sets(d, id_col="doc_order", lowercase=True)
 
 
 def bench_ssjoin(spark, pages):
@@ -476,6 +466,7 @@ def ssjoin_evidence(spark, n_docs=1000):
     release_census_caches()
 
     feats = docs.select("doc_id", F.array_sort("grams").alias("lex")).persist()
+    feats.count()  # eager: the ref job scans feats from 4 concurrent stages
     ids = feats.select("doc_id")
     allpairs = (
         ids.select(F.col("doc_id").alias("src"))

@@ -54,10 +54,18 @@ RULES = (
 
 _BULLETS = ("-", "*", "•")  # line-start bullet markers
 
+# Explicit whitespace class, one set spelled per dialect: Java's \s
+# includes \x0B (vertical tab) while RE2's does not (the pii.py lesson),
+# so `\s+` silently diverges between Spark and DuckDB on control-char
+# input. Naming the union explicitly keeps Spark behavior identical to
+# its old `\s+` and makes DuckDB match it.
+_WS_SPARK = r"[ \\t\\n\\r\\f\\x0B]+"  # SQL literal -> Java [ \t\n\r\f\x0B]+
+_WS_DUCK = r"[ \t\n\r\f\x0B]+"  # DuckDB literal (no escape pass) -> RE2 same
+
 
 def _spark_templates(col: str) -> dict:
-    toks = f"split(trim({col}), '\\\\s+')"
-    toks_l = f"split(lower(trim({col})), '\\\\s+')"
+    toks = f"split(trim({col}), '{_WS_SPARK}')"
+    toks_l = f"split(lower(trim({col})), '{_WS_SPARK}')"
     lines = f"split({col}, '\\n')"
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     bullet = " OR ".join(
@@ -66,7 +74,7 @@ def _spark_templates(col: str) -> dict:
     return {
         "n_words": f"size({toks})",
         "mean_word_len": (
-            f"length(regexp_replace({col}, '\\\\s+', '')) / size({toks})"
+            f"length(regexp_replace({col}, '{_WS_SPARK}', '')) / size({toks})"
         ),
         # '#' + unicode ellipsis, per Gopher; ASCII '...' is the LINE
         # rule's business (counting it here would double-fire)
@@ -92,15 +100,16 @@ def _spark_templates(col: str) -> dict:
 
 
 def _duckdb_templates(col: str) -> dict:
-    toks = f"string_split_regex(trim({col}), '\\s+')"
-    toks_l = f"string_split_regex(lower(trim({col})), '\\s+')"
+    toks = f"string_split_regex(trim({col}), '{_WS_DUCK}')"
+    toks_l = f"string_split_regex(lower(trim({col})), '{_WS_DUCK}')"
     lines = f"string_split({col}, chr(10))"
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     bullet = " OR ".join(f"starts_with(trim(l), '{b}')" for b in _BULLETS)
     return {
         "n_words": f"len({toks})",
         "mean_word_len": (
-            f"length(regexp_replace({col}, '\\s+', '', 'g')) / len({toks})"
+            f"length(regexp_replace({col}, '{_WS_DUCK}', '', 'g')) "
+            f"/ len({toks})"
         ),
         "symbol_word_ratio": (
             f"((length({col}) - length(replace({col}, '#', ''))) + "

@@ -413,3 +413,37 @@ def minhash_agreement_expr(a: Column, b: Column, num_perm: int) -> Column:
         lambda acc, v: acc + v,
     )
     return agree / F.lit(float(num_perm))
+
+
+def word_bigram_sets(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = False,
+) -> "DataFrame":
+    """``(doc_id, grams)`` word-bigram shingle SETS over a text column —
+    the sparse-universe featurization the prefix-filtered set-similarity
+    join wants (operators/setjoin.py docstring: dense char-gram universes
+    degrade toward all-pairs). One definition shared by the gate query
+    (``ssjoin_dup_edges``, lowercase=False to match its DuckDB oracle)
+    and the bench workload (lowercase=True), so the shingle rule cannot
+    drift between the two surfaces. Docs with <2 tokens emit no row.
+    Pure JVM expressions — rides the scan at scale."""
+    text = F.trim(F.col(text_col))
+    if lowercase:
+        text = F.lower(text)
+    toks = F.split(text, r"\s+")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> concat(toks[i-1], ' ', toks[i]))"
+                )
+            ).alias("grams"),
+        )
+    )

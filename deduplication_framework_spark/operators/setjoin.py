@@ -88,9 +88,13 @@ def ssjoin_jaccard(
     Returns ``(edges, stats)``: edges ``(src, dst, sim)`` lazy, and
     stats ``{"n_candidates": int}``. The deduplicated input projection
     and the candidate pairs are persisted (tracked caches — freed by
-    ``lsh.release_census_caches()``); the candidate census is the ONE
-    eager action, filling both caches before the verify fan-out, so the
-    prefix join runs once and the blow-up metric is observable.
+    ``lsh.release_census_caches()``); ``base`` is eagerly counted right
+    after the persist (the dfreq map stage and the prefix-join exchange
+    are independent shuffle-map stages of the census job and would race
+    to fill the cache, recomputing the input lineage — the CLAUDE.md
+    concurrent-stage pitfall), then the candidate census fills the
+    ``cands`` cache before the verify fan-out, so the prefix join runs
+    once and the blow-up metric is observable.
     """
     from deduplication_framework_spark.operators.lsh import _persist_tracked
 
@@ -104,6 +108,7 @@ def ssjoin_jaccard(
             F.array_distinct(F.col(set_col)).alias("_set"),
         ).filter(F.size("_set") > 0)
     )
+    base.count()  # eager: fill the cache before concurrent consumers
 
     exploded = base.select("_id", F.explode("_set").alias("_el"))
     dfreq = exploded.groupBy("_el").agg(F.count("*").alias("_df"))
@@ -161,7 +166,7 @@ def ssjoin_jaccard(
         )
         cands = cands.filter(ub >= alpha)
     cands = _persist_tracked(cands.select("src", "dst"))
-    n_candidates = cands.count()  # eager: fills base + cands caches
+    n_candidates = cands.count()  # eager: fills the cands cache
 
     feats = base.select("_id", F.array_sort("_set").alias("_lex"))
     edges = verify_jaccard(

@@ -45,6 +45,9 @@ CASES = [
      "alpha_words_low"),
     # long, word-shaped, but no closed-class stopwords
     ("soup", " ".join(f"zq{i}x" for i in range(80)), "stopwords_low"),
+    # vertical tab between words: Java's \s splits on \x0B, RE2's does
+    # not — the explicit whitespace class must make both engines agree
+    ("vtab", _GOOD.replace(" running ", " run\x0bning ", 1), "pass"),
 ]
 
 

@@ -74,6 +74,12 @@ def synth_docs(spark, n: int, partitions: int):
 
 
 def main():
+    import os
+
+    # pin BLAS before the JVM/python workers fork: unpinned OpenBLAS makes
+    # the local[2] leg of a scaling pair secretly many-core (CLAUDE.md)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cores = int(sys.argv[1])
     n = int(sys.argv[2])
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale_ssjoin_runs.jsonl"
