@@ -1545,6 +1545,57 @@ def q_pii_redaction(spark, sf_dir):
     )
 
 
+# deterministic repetition-bearing text, valid in BOTH engines: the
+# corpus is low-repetition word soup, so each doc gets doc_id%5 copies of
+# a fixed 5-word phrase appended — docs split into 5 known repetition
+# levels while keeping the soup's organic word-level dups in play
+_SYNTH_REP_SQL = (
+    "concat(trim(text), ' ', "
+    "repeat('lorem ipsum dolor sit amet ', CAST(doc_id % 5 AS INT)))"
+)
+
+
+def q_doc_repetition_signals(spark, sf_dir):
+    """Intra-document repetition signals (functions/repetition.py) — the
+    second half of the Gopher Table-A1 quality gate: per-doc character
+    mass of the heaviest word n-gram (n=2,3,4) and of all duplicated
+    n-grams (n=5,10), plus the top-2 / dup-5 fractions. Masses are exact
+    BIGINTs computed by per-row higher-order functions (no UDF, no
+    shuffle — rides the scan); the oracle runs the DuckDB twins
+    GENERATED from the same templates. The Arrow-UDF O(w) scale path is
+    pinned equal to this expression spec in tests/test_repetition.py."""
+    from deduplication_framework_spark.functions.repetition import (
+        DUP_NS,
+        TOP_NS,
+        with_repetition_masses,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_SYNTH_REP_SQL).alias("raw"),
+        F.length(F.trim(F.expr(_SYNTH_REP_SQL))).alias("n_chars"),
+    )
+    staged = with_repetition_masses(d, "raw")
+    names = [f"top_{n}gram_mass" for n in TOP_NS] + [
+        f"dup_{n}gram_mass" for n in DUP_NS
+    ]
+
+    def _frac(mass):
+        return F.round(
+            F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+                F.col(mass) / F.col("n_chars")
+            ),
+            6,
+        )
+
+    return staged.select(
+        "doc_id",
+        *sorted(names),
+        _frac("top_2gram_mass").alias("top_2gram_frac"),
+        _frac("dup_5gram_mass").alias("dup_5gram_frac"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -1598,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "ssjoin_dup_edges": q_ssjoin_dup_edges,
         "gopher_quality_flags": q_gopher_quality_flags,
+        "doc_repetition_signals": q_doc_repetition_signals,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
     }
 
@@ -1619,6 +1671,9 @@ def oracle_sql() -> dict[str, str]:
     from deduplication_framework_spark.functions.quality import (
         first_fail_sql as _ff_sql,
         quality_signal_sqls as _q_sqls,
+    )
+    from deduplication_framework_spark.functions.repetition import (
+        repetition_oracle_sql as _rep_oracle_sql,
     )
 
     _pii_counts = _pii_count_sqls("raw")
@@ -2191,6 +2246,13 @@ def oracle_sql() -> dict[str, str]:
                    ({_ff_sql("text")} = 'pass')::INT AS keep
             FROM documents
         """,
+        # same synthesized repetition-bearing text (shared _SYNTH_REP_SQL
+        # snippet); the oracle is the RELATIONAL DuckDB formulation
+        # (unnest -> GROUP BY counts), generated next to — and pinned
+        # equal to — the per-row spec templates (functions/repetition.py)
+        "doc_repetition_signals": _rep_oracle_sql(
+            table="documents", id_col="doc_id", text_sql=_SYNTH_REP_SQL
+        ),
         # same synthesized PII-bearing text (shared _SYNTH_PII_SQL
         # snippet), redacted/counted by DuckDB twins GENERATED from the
         # same pattern constants as the Spark expressions
