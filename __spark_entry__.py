@@ -1596,6 +1596,37 @@ def q_doc_repetition_signals(spark, sf_dir):
     )
 
 
+def q_lm_perplexity_buckets(spark, sf_dir):
+    """CCNet-style LM perplexity bucketing (operators/lm.py): every doc
+    scored by a corpus-trained add-one bigram LM in exact integer
+    micro-units (each ln(integer) rounded to micro-units BEFORE the
+    per-doc sum — order-independent, engine-exact), then split into
+    head/middle/tail tertiles by avg log-prob (ntile, ties by doc_id) —
+    the stage that feeds LLaMA-style pretraining mixes. The oracle
+    re-derives counts, scoring, and bucketing relationally in DuckDB;
+    cross-engine ln() rounding margins are pinned in tests/test_lm.py."""
+    from deduplication_framework_spark.operators.lm import (
+        bucket_lm_scores,
+        lm_score_docs,
+    )
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    b = bucket_lm_scores(lm_score_docs(_docs(spark, sf_dir)))
+    out = b.select(
+        "doc_id",
+        "n_tokens",
+        "logp_micro",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        "bucket",
+    )
+    rows = out.collect()
+    schema = out.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
@@ -1650,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssjoin_dup_edges": q_ssjoin_dup_edges,
         "gopher_quality_flags": q_gopher_quality_flags,
         "doc_repetition_signals": q_doc_repetition_signals,
+        "lm_perplexity_buckets": q_lm_perplexity_buckets,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
     }
 
@@ -1674,6 +1706,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from deduplication_framework_spark.functions.repetition import (
         repetition_oracle_sql as _rep_oracle_sql,
+    )
+    from deduplication_framework_spark.operators.lm import (
+        lm_oracle_sql as _lm_oracle_sql,
     )
 
     _pii_counts = _pii_count_sqls("raw")
@@ -2252,6 +2287,12 @@ def oracle_sql() -> dict[str, str]:
         # equal to — the per-row spec templates (functions/repetition.py)
         "doc_repetition_signals": _rep_oracle_sql(
             table="documents", id_col="doc_id", text_sql=_SYNTH_REP_SQL
+        ),
+        # counts, micro-unit scoring, and tertile bucketing re-derived
+        # relationally (operators/lm.py generates the twin beside the
+        # Spark code; ln-rounding margins pinned in tests/test_lm.py)
+        "lm_perplexity_buckets": _lm_oracle_sql(
+            table="documents", id_col="doc_id", text_col="text"
         ),
         # same synthesized PII-bearing text (shared _SYNTH_PII_SQL
         # snippet), redacted/counted by DuckDB twins GENERATED from the
