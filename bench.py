@@ -615,6 +615,8 @@ def main():
             "srp_dup_edges",
             "lineitem_pricing_summary",
             "orders_per_customer_nation",
+            "doc_repetition_signals",
+            "lm_perplexity_buckets",
         ]
     ]
 

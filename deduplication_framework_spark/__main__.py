@@ -78,6 +78,17 @@ def main(argv=None) -> int:
     p.add_argument("--decontaminate-ngram", type=int, default=8, metavar="N",
                    help="word n-gram size for --decontaminate-against "
                         "(default 8)")
+    p.add_argument("--quality-filter", action="store_true",
+                   help="Gopher-rule quality gate (functions/quality.py "
+                        "RULES at the canonical Table-A1 thresholds): drop "
+                        "docs failing any rule BEFORE the pipeline, with "
+                        "per-rule first-fail drop counts in summary "
+                        "metrics. NOTE: synthetic word-soup corpora drop "
+                        "almost entirely (stopwords_low)")
+    p.add_argument("--quality-repetition", action="store_true",
+                   help="with --quality-filter: ALSO apply the Table-A1 "
+                        "repetition thresholds (top/duplicate n-gram "
+                        "character fractions, functions/repetition.py)")
     p.add_argument("--sweep", default=None,
                    help="comma list of thresholds: run the threshold sweep "
                         "(reference clean_batch_dataset analog) instead of a "
@@ -134,6 +145,18 @@ def main(argv=None) -> int:
             input_tags.append(
                 f"dedup_against_fuzzy:{args.dedup_against}"
             )
+    if args.quality_repetition and not args.quality_filter:
+        p.error("--quality-repetition requires --quality-filter")
+    if args.quality_filter:
+        # after the exact-recrawl prefilter (cheapest first), before any
+        # span surgery: quality is judged on the document as crawled
+        if args.sweep:
+            p.error("--quality-filter is not supported with --sweep")
+        pages, q_metrics = _quality_filter_pages(
+            pages, repetition=args.quality_repetition
+        )
+        span_metrics.update(q_metrics)
+        input_tags.append(f"quality:{int(args.quality_repetition)}")
     if args.remove_frequent_spans is not None:
         if args.sweep:
             p.error("--remove-frequent-spans is not supported with --sweep")
@@ -320,6 +343,18 @@ def _incremental_fuzzy_pages(spark, pages, against_path: str, cfg):
         "incremental_fuzzy.n_dup_docs": float(stats.get("n_dup_docs", 0)),
     }
     return out, metrics
+
+
+def _quality_filter_pages(pages, *, repetition: bool):
+    """pages → (pages passing the Gopher quality gate, metrics). Runs
+    BEFORE the other preprocessing layers' span surgery would change the
+    signals — quality is judged on the document as crawled. Pure per-row
+    expressions + one drop-census aggregation (functions/quality.py)."""
+    from deduplication_framework_spark.functions.quality import (
+        apply_quality_filter,
+    )
+
+    return apply_quality_filter(pages, repetition=repetition)
 
 
 def _frequent_span_pages(pages, max_count: int):

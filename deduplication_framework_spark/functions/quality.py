@@ -162,3 +162,48 @@ def first_fail_sql(col: str) -> str:
 def first_fail_expr(col: str) -> Column:
     """Spark Column naming the first violated rule (or 'pass')."""
     return F.expr(_first_fail(_spark_templates(col)))
+
+
+def apply_quality_filter(docs, *, text_col: str = "text", repetition: bool = False):
+    """Gopher-gate a corpus: keep docs passing every rule, drop the rest
+    with first-fail attribution. Returns ``(kept, metrics)`` where
+    ``metrics`` carries the input/kept sizes and one
+    ``quality.drop_<rule>`` counter per violated rule (the drop census is
+    one small aggregation). ``repetition=True`` additionally applies the
+    Gopher Table-A1 repetition thresholds (``repetition.REP_RULES``,
+    checked AFTER the scalar rules) via the staged mass builder.
+
+    Scale posture: pure per-row expressions plus one groupBy census over
+    a low-cardinality rule column — the filter itself rides the scan."""
+    ff = "_q_ff"
+    d = docs.withColumn(ff, first_fail_expr(text_col))
+    if repetition:
+        from deduplication_framework_spark.functions.repetition import (
+            REP_RULES,
+            with_repetition_masses,
+        )
+
+        d = with_repetition_masses(d, text_col).withColumn(
+            "_q_nc", F.expr(f"length(trim({text_col}))")
+        )
+        arms = " ".join(
+            f"WHEN _q_nc > 0 AND {mass} / _q_nc > {bound} THEN '{name}'"
+            for name, mass, bound in REP_RULES
+        )
+        d = d.withColumn(
+            ff,
+            F.expr(
+                f"CASE WHEN {ff} != 'pass' THEN {ff} {arms}"
+                f" ELSE 'pass' END"
+            ),
+        ).drop("_q_nc", *[mass for _, mass, _ in REP_RULES])
+    census = {r[ff]: r["count"] for r in d.groupBy(ff).count().collect()}
+    kept = d.filter(F.col(ff) == "pass").drop(ff)
+    metrics = {
+        "quality.n_in": float(sum(census.values())),
+        "quality.n_kept": float(census.get("pass", 0)),
+    }
+    for rule, n in census.items():
+        if rule != "pass":
+            metrics[f"quality.drop_{rule}"] = float(n)
+    return kept, metrics

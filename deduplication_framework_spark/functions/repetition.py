@@ -53,6 +53,7 @@ from deduplication_framework_spark.functions.quality import (
 __all__ = [
     "TOP_NS",
     "DUP_NS",
+    "REP_RULES",
     "repetition_mass_exprs",
     "repetition_mass_sqls",
     "repetition_frac_expr",
@@ -64,6 +65,17 @@ __all__ = [
 
 TOP_NS = (2, 3, 4)  # Gopher: top n-gram char fraction
 DUP_NS = (5, 10)  # Gopher: duplicate n-gram char fraction (we pin 2 of 5..10)
+
+# (rule_name, mass_column, max_fraction) — Gopher Table A1 thresholds for
+# the repetition half of the quality gate, checked in order after the
+# scalar RULES (functions/quality.py); first violation names the drop
+REP_RULES = (
+    ("top_2gram_frac_high", "top_2gram_mass", 0.20),
+    ("top_3gram_frac_high", "top_3gram_mass", 0.18),
+    ("top_4gram_frac_high", "top_4gram_mass", 0.16),
+    ("dup_5gram_frac_high", "dup_5gram_mass", 0.15),
+    ("dup_10gram_frac_high", "dup_10gram_mass", 0.10),
+)
 
 
 def _spark_mass(col: str, n: int, kind: str) -> str:

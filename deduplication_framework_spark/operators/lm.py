@@ -110,15 +110,20 @@ def lm_score_docs(
             ).alias("term"),
         )
     )
-    bi_terms = (
-        pairs.join(bic, ["w1", "w2"])
-        .join(uni.select(F.col("w").alias("w1"), "c"), "w1")
-        .select(
-            "doc_id",
-            F.expr(
-                f"{_micro_ln('c12 + 1')} - {_micro_ln(f'c + {vv}')}"
-            ).alias("term"),
-        )
+    # score each DISTINCT bigram once on the small aggregated frame, then
+    # join the term back to the full pair stream — one full-stream shuffle
+    # on (w1, w2) instead of two (the bic groupBy's exchange is reusable)
+    bigram_terms = bic.join(
+        uni.select(F.col("w").alias("w1"), "c"), "w1"
+    ).select(
+        "w1",
+        "w2",
+        F.expr(
+            f"{_micro_ln('c12 + 1')} - {_micro_ln(f'c + {vv}')}"
+        ).alias("term"),
+    )
+    bi_terms = pairs.join(bigram_terms, ["w1", "w2"]).select(
+        "doc_id", "term"
     )
     return (
         first_terms.unionByName(bi_terms)
@@ -146,6 +151,16 @@ def bucket_lm_scores(
         else {i: str(i) for i in range(1, n_buckets + 1)}
     )
     if approx:
+        from deduplication_framework_spark.operators.lsh import (
+            _persist_tracked,
+        )
+
+        # the cutoff collect is a full pass over the scoring DAG; persist
+        # the (small, one-row-per-doc) scored frame so the caller's
+        # downstream action reads the cache instead of re-scoring the
+        # corpus (freed by release_census_caches)
+        scored = _persist_tracked(scored)
+        scored.count()
         probs = [i / n_buckets for i in range(1, n_buckets)]
         cuts = scored.agg(
             F.percentile_approx("avg_logp", probs, 10_000).alias("q")

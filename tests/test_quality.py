@@ -96,3 +96,46 @@ def test_ordering_short_beats_stopwords(spark):
     assert df.select(first_fail_expr("text").alias("ff")).collect()[0].ff == (
         "too_few_words"
     )
+
+
+# passes every scalar rule, but the repeated block trips the Gopher
+# repetition thresholds (first-fail lands on a top_*gram rule)
+_REP = _GOOD + " " + ("we repeat this exact phrase again " * 12).strip()
+
+
+def test_apply_quality_filter_keep_drop_and_census(spark):
+    from deduplication_framework_spark.functions.quality import (
+        apply_quality_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(0, _GOOD), (1, "zz qq"), (2, _REP)], ["doc_order", "text"]
+    )
+    kept, m = apply_quality_filter(df)
+    assert sorted(r.doc_order for r in kept.collect()) == [0, 2]
+    assert m["quality.n_in"] == 3.0
+    assert m["quality.n_kept"] == 2.0
+    assert m["quality.drop_too_few_words"] == 1.0
+    assert "_q_ff" not in kept.columns
+
+
+def test_apply_quality_filter_repetition_rules(spark):
+    from deduplication_framework_spark.functions.repetition import REP_RULES
+    from deduplication_framework_spark.functions.quality import (
+        apply_quality_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(0, _GOOD), (1, "zz qq"), (2, _REP)], ["doc_order", "text"]
+    )
+    kept, m = apply_quality_filter(df, repetition=True)
+    assert [r.doc_order for r in kept.collect()] == [0]
+    rep_names = {name for name, _, _ in REP_RULES}
+    rep_drops = {
+        k: v
+        for k, v in m.items()
+        if k.startswith("quality.drop_") and k[len("quality.drop_"):] in rep_names
+    }
+    assert sum(rep_drops.values()) == 1.0  # the _REP doc, attributed
+    # scalar rules are checked FIRST: the short doc keeps its scalar name
+    assert m["quality.drop_too_few_words"] == 1.0
