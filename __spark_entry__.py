@@ -1596,6 +1596,29 @@ def q_doc_repetition_signals(spark, sf_dir):
     )
 
 
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR-style importance weighting (operators/dsir.py): every doc
+    scored by the hashed-unigram log-likelihood ratio between a target
+    model (the ``lang = 'en'`` slice) and a raw model (the complement),
+    in exact integer micro-units — the data-selection stage from Xie et
+    al. 2023. One tiny bucket-census shuffle (1024 rows out) + a
+    broadcast term join; the oracle re-derives the identical md5-bucket
+    feature map and micro-ln scoring in DuckDB."""
+    from deduplication_framework_spark.operators.dsir import (
+        dsir_log_weights,
+    )
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    d = _docs(spark, sf_dir).withColumn("is_t", F.expr("lang = 'en'"))
+    out = dsir_log_weights(d, target_col="is_t")
+    rows = out.collect()
+    schema = out.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
+
+
 def q_lm_perplexity_buckets(spark, sf_dir):
     """CCNet-style LM perplexity bucketing (operators/lm.py): every doc
     scored by a corpus-trained add-one bigram LM in exact integer
@@ -1682,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": q_gopher_quality_flags,
         "doc_repetition_signals": q_doc_repetition_signals,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
+        "dsir_importance_weights": q_dsir_importance_weights,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
     }
 
@@ -1709,6 +1733,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from deduplication_framework_spark.operators.lm import (
         lm_oracle_sql as _lm_oracle_sql,
+    )
+    from deduplication_framework_spark.operators.dsir import (
+        dsir_oracle_sql as _dsir_oracle_sql,
     )
 
     _pii_counts = _pii_count_sqls("raw")
@@ -2293,6 +2320,15 @@ def oracle_sql() -> dict[str, str]:
         # Spark code; ln-rounding margins pinned in tests/test_lm.py)
         "lm_perplexity_buckets": _lm_oracle_sql(
             table="documents", id_col="doc_id", text_col="text"
+        ),
+        # identical md5-bucket feature map + micro-ln scoring re-derived
+        # in DuckDB (operators/dsir.py generates the twin beside the
+        # Spark code; hand-spec + parity pinned in tests/test_dsir.py)
+        "dsir_importance_weights": _dsir_oracle_sql(
+            table="documents",
+            id_col="doc_id",
+            text_col="text",
+            target_pred="lang = 'en'",
         ),
         # same synthesized PII-bearing text (shared _SYNTH_PII_SQL
         # snippet), redacted/counted by DuckDB twins GENERATED from the
