@@ -1596,6 +1596,24 @@ def q_doc_repetition_signals(spark, sf_dir):
     )
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Deterministic training-sequence packing (operators/packing.py):
+    every doc hash-assigned to a shard and a within-shard order (low 60
+    bits of md5 — the same expression both engines evaluate), then laid
+    out in the shard's concatenated token stream with a one-token
+    separator; emits each doc's (shard, pos, token interval, spanned
+    sequence ids). One shuffle on shard; per-shard window cumsum, no
+    global sort — the concat-and-chunk stage of a pretraining pipeline
+    as pure metadata."""
+    from deduplication_framework_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    return pack_sequences(
+        _docs(spark, sf_dir), seq_len=256, n_shards=8
+    )
+
+
 def q_dsir_importance_weights(spark, sf_dir):
     """DSIR-style importance weighting (operators/dsir.py): every doc
     scored by the hashed-unigram log-likelihood ratio between a target
@@ -1705,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": q_gopher_quality_flags,
         "doc_repetition_signals": q_doc_repetition_signals,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
+        "sequence_packing": q_sequence_packing,
         "dsir_importance_weights": q_dsir_importance_weights,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
     }
@@ -1736,6 +1755,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from deduplication_framework_spark.operators.dsir import (
         dsir_oracle_sql as _dsir_oracle_sql,
+    )
+    from deduplication_framework_spark.operators.packing import (
+        pack_sequences_sql as _pack_oracle_sql,
     )
 
     _pii_counts = _pii_count_sqls("raw")
@@ -2320,6 +2342,12 @@ def oracle_sql() -> dict[str, str]:
         # Spark code; ln-rounding margins pinned in tests/test_lm.py)
         "lm_perplexity_buckets": _lm_oracle_sql(
             table="documents", id_col="doc_id", text_col="text"
+        ),
+        # shard hash, order, separator accounting, and window cumsum
+        # re-derived in DuckDB (operators/packing.py generates the twin
+        # beside the Spark code; spec + invariants in tests/test_packing.py)
+        "sequence_packing": _pack_oracle_sql(
+            table="documents", seq_len=256, n_shards=8
         ),
         # identical md5-bucket feature map + micro-ln scoring re-derived
         # in DuckDB (operators/dsir.py generates the twin beside the
