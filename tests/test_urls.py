@@ -84,3 +84,60 @@ def test_recrawl_variants_collapse_to_one_key(spark):
         r.c for r in df.select(canonical_url_expr("url").alias("c")).collect()
     }
     assert keys == {"https://news.example.com/story/42"}
+
+
+BLOCK_CASES = [
+    # (url, host, score_milli, reason)
+    ("https://www.BadSpam.example.net/x", "badspam.example.net", 0, "host"),
+    ("https://ok.example.com/article/casino-review",
+     "ok.example.com", 600, "pass"),       # one soft word: not enough
+    ("https://ok.example.com/casino/gambling",
+     "ok.example.com", 1200, "words"),     # two soft words corroborate
+    ("http://warez.example.io/dl", "warez.example.io", 1000, "words"),
+    ("https://PHISHING.example.com/login",
+     "phishing.example.com", 1000, "words"),  # case-folded substring
+    ("https://fine.example.com/news", "fine.example.com", 0, "pass"),
+    ("not a url", "", 0, "pass"),
+]
+
+
+def test_url_block_semantics_and_parity(spark):
+    from deduplication_framework_spark.functions.urls import (
+        url_block_exprs,
+        url_block_sqls,
+    )
+
+    df = spark.createDataFrame([(u,) for u, *_ in BLOCK_CASES], ["u"])
+    e = url_block_exprs("u")
+    got = (
+        df.select(
+            "u",
+            e["host"].alias("host"),
+            e["score_milli"].alias("s"),
+            e["reason"].alias("r"),
+        )
+        .collect()
+    )
+    by_url = {r.u: (r.host, r.s, r.r) for r in got}
+    for u, host, s, reason in BLOCK_CASES:
+        assert by_url[u] == (host, s, reason), u
+
+    p = url_block_sqls("u")
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    du = con.execute(
+        f"SELECT u, {p['host']} AS host, {p['score_milli']} AS s, "
+        f"{p['reason']} AS r FROM t"
+    ).fetchall()
+    assert {r[0]: tuple(r[1:]) for r in du} == by_url
+
+
+def test_url_block_host_rule_beats_word_rule(spark):
+    from deduplication_framework_spark.functions.urls import url_block_exprs
+
+    df = spark.createDataFrame(
+        [("https://malware.example.com/warez/casino",)], ["u"]
+    )
+    e = url_block_exprs("u")
+    r = df.select(e["reason"].alias("r"), e["score_milli"].alias("s")).collect()[0]
+    assert r.r == "host" and r.s == 1600
