@@ -78,6 +78,13 @@ def main(argv=None) -> int:
     p.add_argument("--decontaminate-ngram", type=int, default=8, metavar="N",
                    help="word n-gram size for --decontaminate-against "
                         "(default 8)")
+    p.add_argument("--block-urls", action="store_true",
+                   help="RefinedWeb-style URL filter (functions/urls.py "
+                        "host blocklist + milli-weighted word scoring): "
+                        "drop pages whose url is blocked BEFORE anything "
+                        "else touches them (the cheapest reject), with "
+                        "per-reason drop counts in summary metrics; "
+                        "requires a url column")
     p.add_argument("--quality-filter", action="store_true",
                    help="Gopher-rule quality gate (functions/quality.py "
                         "RULES at the canonical Table-A1 thresholds): drop "
@@ -124,6 +131,16 @@ def main(argv=None) -> int:
 
     span_metrics: dict = {}
     input_tags = []
+    if args.block_urls:
+        # the cheapest reject comes first: a blocked url never reaches
+        # the recrawl prefilter, quality gate, or featurization
+        if args.sweep:
+            p.error("--block-urls is not supported with --sweep")
+        if "url" not in pages.columns:
+            p.error("--block-urls requires a url column in the input")
+        pages, ub_metrics = _block_url_pages(pages)
+        span_metrics.update(ub_metrics)
+        input_tags.append("block_urls:1")
     if args.dedup_against_fuzzy and args.dedup_against is None:
         p.error("--dedup-against-fuzzy requires --dedup-against")
     if args.dedup_against is not None:
@@ -343,6 +360,34 @@ def _incremental_fuzzy_pages(spark, pages, against_path: str, cfg):
         "incremental_fuzzy.n_dup_docs": float(stats.get("n_dup_docs", 0)),
     }
     return out, metrics
+
+
+def _block_url_pages(pages):
+    """pages → (pages whose url passes the block rules, metrics). Pure
+    per-row expressions + one census aggregation over the tiny reason
+    column (functions/urls.py)."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.functions.urls import (
+        url_block_exprs,
+    )
+
+    flagged = pages.withColumn(
+        "_ub_reason", url_block_exprs("url")["reason"]
+    )
+    census = {
+        r["_ub_reason"]: r["count"]
+        for r in flagged.groupBy("_ub_reason").count().collect()
+    }
+    kept = flagged.filter(F.col("_ub_reason") == "pass").drop("_ub_reason")
+    metrics = {
+        "url_block.n_in": float(sum(census.values())),
+        "url_block.n_kept": float(census.get("pass", 0)),
+    }
+    for reason, n in census.items():
+        if reason != "pass":
+            metrics[f"url_block.drop_{reason}"] = float(n)
+    return kept, metrics
 
 
 def _quality_filter_pages(pages, *, repetition: bool):

@@ -276,3 +276,74 @@ def test_cli_decontaminate_bad_ngram_is_an_argparse_error(spark, tmp_path):
                 "--decontaminate-ngram", "0",
             ]
         )
+
+
+def test_cli_block_urls(spark, tmp_path):
+    """URL-blocked pages are dropped before the pipeline with per-reason
+    drop counts; synthetic urls pass untouched."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.sources.pages import generate_pages
+
+    inp = str(tmp_path / "pages_badurls")
+    corpus = generate_pages(spark, 120)
+    # plant: docs 0-9 on a blocklisted host, 10-19 with corroborating
+    # block words in the path, the rest untouched
+    corpus.withColumn(
+        "url",
+        F.expr(
+            "CASE WHEN doc_order < 10 THEN"
+            " concat('https://badspam.example.net/p/', doc_order)"
+            " WHEN doc_order < 20 THEN"
+            " concat('https://ok.example.com/casino/gambling/', doc_order)"
+            " ELSE url END"
+        ),
+    ).write.parquet(inp)
+    out = str(tmp_path / "out_ub")
+    rc = main(
+        [
+            "--input", inp,
+            "--output", out,
+            "--detectors", "exact",
+            "--checkpoint-dir", str(tmp_path / "ckpt_ub"),
+            "--block-urls",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "summary.json")) as fh:
+        summary = json.load(fh)
+    m = summary["metrics"]
+    assert m["url_block.n_in"] == 120
+    assert m["url_block.n_kept"] == 100
+    assert m["url_block.drop_host"] == 10
+    assert m["url_block.drop_words"] == 10
+    assert summary["docs"] <= 100
+
+
+def test_cli_block_urls_rejects_sweep_and_missing_url(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "--synthetic", "50",
+                "--output", str(tmp_path / "o1"),
+                "--checkpoint-dir", str(tmp_path / "c1"),
+                "--block-urls",
+                "--sweep", "0.7,0.8",
+            ]
+        )
+    # input without a url column -> argparse error, not a Spark failure
+    inp = str(tmp_path / "nourl")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(5)], ["doc_order", "text"]
+    ).write.parquet(inp)
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "--input", inp,
+                "--output", str(tmp_path / "o2"),
+                "--checkpoint-dir", str(tmp_path / "c2"),
+                "--block-urls",
+            ]
+        )

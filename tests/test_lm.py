@@ -172,3 +172,46 @@ def test_ln_micro_rounding_margins(sf_dir):
         abs((math.log(m) * 1e6) % 1.0 - 0.5) for (m,) in args
     )
     assert worst > 1e-5, f"ln micro-rounding margin too thin: {worst}"
+
+
+def test_hash64_key_mode_matches_raw_spec(spark, scored):
+    # the default long-key spine must produce IDENTICAL scores to the
+    # raw-string spec mode (no 64-bit vocab collisions here, and the
+    # per-SF precondition is pinned below)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+    raw = (
+        lm_score_docs(df, key_mode="raw").orderBy("doc_id").collect()
+    )
+    release_census_caches()
+    assert [(r.doc_id, r.n_tokens, r.logp_micro) for r in raw] == [
+        (r.doc_id, r.n_tokens, r.logp_micro) for r in scored
+    ]
+
+
+def test_key_mode_rejects_unknown(spark):
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="key_mode"):
+        lm_score_docs(df, key_mode="bogus")
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+def test_no_xxhash64_vocab_collisions_in_testdata(spark, sf):
+    # precondition the driver-gate parity relies on: hashing the
+    # testdata vocabulary to 64 bits is injective, so hash64-mode
+    # counts equal raw-mode counts equal the DuckDB oracle's
+    from pyspark.sql import functions as F
+
+    toks = (
+        spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
+        .select(
+            F.explode(
+                F.expr("split(lower(trim(text)), '\\\\s+')")
+            ).alias("w")
+        )
+        .filter("w <> ''")
+    )
+    n = toks.select("w").distinct().count()
+    nh = toks.select(F.xxhash64("w").alias("h")).distinct().count()
+    assert n == nh
