@@ -617,6 +617,9 @@ def main():
             "orders_per_customer_nation",
             "doc_repetition_signals",
             "lm_perplexity_buckets",
+            "dsir_importance_weights",
+            "sequence_packing",
+            "url_block_flags",
         ]
     ]
 
