@@ -419,6 +419,30 @@ def q_jaccard_cluster_keepers(spark, sf_dir):
     )
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val split (operators/splits.py): assignment
+    keyed by the NEAR-DUP GROUP (CC over the exact char-3-gram Jaccard
+    >= 0.8 edges — the jaccard_cluster_keepers clustering), so no
+    (near-)duplicate pair ever crosses the boundary; side = fixed-width
+    md5-hex threshold compare on the group label (the stratified_sample
+    trick — both engines decide with a plain varchar compare). The
+    oracle re-derives clusters (recursive min-label CC) AND the hash
+    decision independently."""
+    from deduplication_framework_spark.operators.cluster import (
+        clusters_from_edges,
+    )
+    from deduplication_framework_spark.operators.splits import (
+        leakage_safe_split,
+    )
+
+    d = _docs(spark, sf_dir)
+    edges = _char3_jaccard_edges(d)
+    clusters, _rounds = clusters_from_edges(
+        d, edges, id_col="doc_id", driver_threshold=100_000
+    )
+    return leakage_safe_split(d, clusters, val_frac=0.2)
+
+
 def q_doc_stats_by_lang(spark, sf_dir):
     """A1: per-category rollup (counts + byte sums)."""
     return (
@@ -1719,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_band_candidates": q_length_band_candidates,
         "ngram_jaccard_edges": q_ngram_jaccard_edges,
         "jaccard_cluster_keepers": q_jaccard_cluster_keepers,
+        "leakage_safe_split": q_leakage_safe_split,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "source_rollup": q_source_rollup,
         "quality_scores": q_quality_scores,
@@ -1802,8 +1827,13 @@ def oracle_sql() -> dict[str, str]:
         pack_sequences_sql as _pack_oracle_sql,
     )
 
+    from deduplication_framework_spark.sources.loaders import (
+        _rate_hex_threshold,
+    )
+
     _pii_counts = _pii_count_sqls("raw")
     _ub = _url_block_sqls("url")
+    _val_thr = _rate_hex_threshold(0.2)
     _qs = _q_sqls("text")
 
     _lid = _lang_id_sql()
@@ -2033,6 +2063,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, m.cluster_id, k.keeper_id,
                    (m.doc_id = k.keeper_id)::INT AS is_keeper
             FROM m JOIN k ON m.cluster_id = k.cluster_id AND k.rn = 1
+        """,
+        # same edge set + recursive CC as jaccard_cluster_keepers, then
+        # the split decision re-derived from the same md5-hex threshold
+        # constants (operators/splits.py / loaders._rate_hex_threshold)
+        "leakage_safe_split": f"""
+            WITH RECURSIVE
+            g AS (
+                SELECT doc_id, n_chars,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(text)-1, 2)),
+                           i -> substring(text, i::INT, 3))) AS grams
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst,
+                       len(list_intersect(a.grams, b.grams)) AS i,
+                       len(a.grams) + len(b.grams) AS s
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                 AND a.n_chars >= 0.5 * b.n_chars
+                 AND a.n_chars <= 2.0 * b.n_chars
+                 AND len(a.grams) >= 0.8 * len(b.grams) - 1e-9
+                 AND len(b.grams) >= 0.8 * len(a.grams) - 1e-9
+            ),
+            e AS (
+                SELECT src, dst FROM pairs
+                WHERE i::DOUBLE / (s - i) >= 0.8
+            ),
+            {_RECURSIVE_CC_CTES},
+            b AS (
+                SELECT doc_id, cluster_id AS group_id,
+                       substring(md5(cluster_id::VARCHAR || ':'
+                                     || 'split-v1'), 1, 8) AS split_bucket
+                FROM cc
+            )
+            SELECT doc_id, group_id, split_bucket,
+                   CASE WHEN split_bucket < '{_val_thr}'
+                        THEN 'val' ELSE 'train' END AS split
+            FROM b
         """,
         "decontaminate_eval_overlap": r"""
             WITH w AS (
