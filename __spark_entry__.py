@@ -217,6 +217,32 @@ def _norm_sql(col: str) -> str:
 # minimum, singletons label themselves). _CTES ends with a `cc` CTE so
 # downstream oracles (keeper selection) can keep composing; _TAIL is the
 # stand-alone form the cluster oracles finish with.
+# char-3-gram exact-Jaccard >= 0.8 edge CTEs (g/pairs/e) shared by the
+# jaccard_cluster_keepers and leakage_safe_split oracles; the length
+# band + gram-count-ratio prunes are answer-preserving (J <= min/max)
+_CHAR3_EDGE_CTES = """            g AS (
+                SELECT doc_id, n_chars,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(text)-1, 2)),
+                           i -> substring(text, i::INT, 3))) AS grams
+                FROM documents
+            ),
+            pairs AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst,
+                       len(list_intersect(a.grams, b.grams)) AS i,
+                       len(a.grams) + len(b.grams) AS s
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                 AND a.n_chars >= 0.5 * b.n_chars
+                 AND a.n_chars <= 2.0 * b.n_chars
+                 -- implied by J >= 0.8 (J <= min/max set size): prune only
+                 AND len(a.grams) >= 0.8 * len(b.grams) - 1e-9
+                 AND len(b.grams) >= 0.8 * len(a.grams) - 1e-9
+            ),
+            e AS (
+                SELECT src, dst FROM pairs
+                WHERE i::DOUBLE / (s - i) >= 0.8
+            ),"""
+
 _RECURSIVE_CC_CTES = """
             sym AS (
                 SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
@@ -1834,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
     _pii_counts = _pii_count_sqls("raw")
     _ub = _url_block_sqls("url")
     _val_thr = _rate_hex_threshold(0.2)
+    _char3_edges = _CHAR3_EDGE_CTES
     _qs = _q_sqls("text")
 
     _lid = _lang_id_sql()
@@ -2027,28 +2054,7 @@ def oracle_sql() -> dict[str, str]:
         # longest-member keeper re-derived independently
         "jaccard_cluster_keepers": f"""
             WITH RECURSIVE
-            g AS (
-                SELECT doc_id, n_chars,
-                       list_distinct(list_transform(
-                           range(1, greatest(length(text)-1, 2)),
-                           i -> substring(text, i::INT, 3))) AS grams
-                FROM documents
-            ),
-            pairs AS (
-                SELECT a.doc_id AS src, b.doc_id AS dst,
-                       len(list_intersect(a.grams, b.grams)) AS i,
-                       len(a.grams) + len(b.grams) AS s
-                FROM g a JOIN g b ON a.doc_id < b.doc_id
-                 AND a.n_chars >= 0.5 * b.n_chars
-                 AND a.n_chars <= 2.0 * b.n_chars
-                 -- implied by J >= 0.8 (J <= min/max set size): prune only
-                 AND len(a.grams) >= 0.8 * len(b.grams) - 1e-9
-                 AND len(b.grams) >= 0.8 * len(a.grams) - 1e-9
-            ),
-            e AS (
-                SELECT src, dst FROM pairs
-                WHERE i::DOUBLE / (s - i) >= 0.8
-            ),
+            {_char3_edges}
             {_RECURSIVE_CC_CTES},
             m AS (
                 SELECT cc.doc_id, cc.cluster_id, d.n_chars
@@ -2069,27 +2075,7 @@ def oracle_sql() -> dict[str, str]:
         # constants (operators/splits.py / loaders._rate_hex_threshold)
         "leakage_safe_split": f"""
             WITH RECURSIVE
-            g AS (
-                SELECT doc_id, n_chars,
-                       list_distinct(list_transform(
-                           range(1, greatest(length(text)-1, 2)),
-                           i -> substring(text, i::INT, 3))) AS grams
-                FROM documents
-            ),
-            pairs AS (
-                SELECT a.doc_id AS src, b.doc_id AS dst,
-                       len(list_intersect(a.grams, b.grams)) AS i,
-                       len(a.grams) + len(b.grams) AS s
-                FROM g a JOIN g b ON a.doc_id < b.doc_id
-                 AND a.n_chars >= 0.5 * b.n_chars
-                 AND a.n_chars <= 2.0 * b.n_chars
-                 AND len(a.grams) >= 0.8 * len(b.grams) - 1e-9
-                 AND len(b.grams) >= 0.8 * len(a.grams) - 1e-9
-            ),
-            e AS (
-                SELECT src, dst FROM pairs
-                WHERE i::DOUBLE / (s - i) >= 0.8
-            ),
+            {_char3_edges}
             {_RECURSIVE_CC_CTES},
             b AS (
                 SELECT doc_id, cluster_id AS group_id,

@@ -372,8 +372,14 @@ def _block_url_pages(pages):
         url_block_exprs,
     )
 
-    flagged = pages.withColumn(
-        "_ub_reason", url_block_exprs("url")["reason"]
+    from deduplication_framework_spark.operators.lsh import (
+        _persist_tracked,
+    )
+
+    # census + the returned frame are two consumers: persist once (the
+    # census collect fills it), freed by release_census_caches()
+    flagged = _persist_tracked(
+        pages.withColumn("_ub_reason", url_block_exprs("url")["reason"])
     )
     census = {
         r["_ub_reason"]: r["count"]

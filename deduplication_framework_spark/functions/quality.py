@@ -197,6 +197,15 @@ def apply_quality_filter(docs, *, text_col: str = "text", repetition: bool = Fal
                 f" ELSE 'pass' END"
             ),
         ).drop("_q_nc", *[mass for _, mass, _ in REP_RULES])
+    # census + the returned frame are two consumers of the (expensive,
+    # with repetition=True) signal expressions: persist once, let the
+    # census collect fill the cache, freed by release_census_caches()
+    # at pipeline end (CLAUDE.md persist-every->1-action rule)
+    from deduplication_framework_spark.operators.lsh import (
+        _persist_tracked,
+    )
+
+    d = _persist_tracked(d)
     census = {r[ff]: r["count"] for r in d.groupBy(ff).count().collect()}
     kept = d.filter(F.col(ff) == "pass").drop(ff)
     metrics = {

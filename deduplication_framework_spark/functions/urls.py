@@ -159,45 +159,77 @@ BLOCK_MILLI = 1000
 
 
 def _url_host_sql(col: str, *, spark: bool) -> str:
+    # authority -> host: drop userinfo ('user@'), any ':port', case, and
+    # a leading 'www.' — otherwise 'https://u@BadSpam.example.net:8080/'
+    # would trivially evade the host blocklist
     rx = _URL_RE.replace("\\", "\\\\") if spark else _URL_RE
-    www = "'^www\\\\.'" if spark else "'^www\\.'"
-    return (
-        f"regexp_replace(lower(coalesce("
-        f"regexp_extract({col}, '{rx}', 2), '')), {www}, '')"
-    )
+    bs = "\\\\" if spark else "\\"
+    auth = f"lower(coalesce(regexp_extract({col}, '{rx}', 2), ''))"
+    no_user = f"regexp_replace({auth}, '^[^@]*@', '')"
+    no_port = f"regexp_replace({no_user}, ':[0-9]*{bs}z', '')"
+    return f"regexp_replace({no_port}, '^www{bs}.', '')"
 
 
-def _url_score_sql(col: str) -> str:
+def _url_score_sql(col: str, words) -> str:
     # identical text in both dialects: contains() + integer CASE sum
     terms = " + ".join(
         f"CASE WHEN contains(lower({col}), '{w}') THEN {m} ELSE 0 END"
-        for w, m in BLOCK_WORD_MILLI
+        for w, m in words
     )
     return f"CAST({terms} AS BIGINT)"
 
 
-def _url_block_pieces(col: str, *, spark: bool) -> dict[str, str]:
+def _url_block_pieces(
+    col: str, *, spark: bool, hosts, words, block_milli: int
+) -> dict[str, str]:
+    for h in hosts:
+        # the suffix rule below uses LIKE: '%' / '_' in a host constant
+        # would silently become wildcards
+        if "%" in h or "_" in h or "'" in h:
+            raise ValueError(f"unsupported char in blocklist host {h!r}")
     host = _url_host_sql(col, spark=spark)
-    score = _url_score_sql(col)
-    hosts = ", ".join(f"'{h}'" for h in BLOCK_HOSTS)
+    score = _url_score_sql(col, words)
+    # exact host OR any subdomain of it ('a.badspam.example.net')
+    host_hit = " OR ".join(
+        f"{host} = '{h}' OR {host} LIKE '%.{h}'" for h in hosts
+    )
     reason = (
-        f"CASE WHEN {host} IN ({hosts}) THEN 'host' "
-        f"WHEN {score} >= {BLOCK_MILLI} THEN 'words' "
+        f"CASE WHEN {host_hit} THEN 'host' "
+        f"WHEN {score} >= {block_milli} THEN 'words' "
         f"ELSE 'pass' END"
     )
     return {"host": host, "score_milli": score, "reason": reason}
 
 
-def url_block_exprs(col: str) -> dict[str, Column]:
+def url_block_exprs(
+    col: str,
+    *,
+    hosts=BLOCK_HOSTS,
+    words=BLOCK_WORD_MILLI,
+    block_milli: int = BLOCK_MILLI,
+) -> dict[str, Column]:
     """Spark columns ``{host, score_milli, reason}`` for url column
-    ``col`` (pass the NAME). ``reason`` is 'host' (blocklisted domain),
-    'words' (milli-weights sum >= BLOCK_MILLI) or 'pass'."""
+    ``col`` (pass the NAME). ``reason`` is 'host' (blocklisted domain or
+    any subdomain of one), 'words' (milli-weights sum >= block_milli)
+    or 'pass'. Real deployments pass their own ``hosts``/``words``
+    lists; the defaults are representative seeds."""
     return {
         k: F.expr(v)
-        for k, v in _url_block_pieces(col, spark=True).items()
+        for k, v in _url_block_pieces(
+            col, spark=True, hosts=hosts, words=words,
+            block_milli=block_milli,
+        ).items()
     }
 
 
-def url_block_sqls(col: str) -> dict[str, str]:
+def url_block_sqls(
+    col: str,
+    *,
+    hosts=BLOCK_HOSTS,
+    words=BLOCK_WORD_MILLI,
+    block_milli: int = BLOCK_MILLI,
+) -> dict[str, str]:
     """DuckDB twins of :func:`url_block_exprs`, from the same constants."""
-    return _url_block_pieces(col, spark=False)
+    return _url_block_pieces(
+        col, spark=False, hosts=hosts, words=words, block_milli=block_milli
+    )

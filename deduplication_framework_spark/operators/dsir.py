@@ -50,6 +50,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deduplication_framework_spark.functions.hash60 import (
+    duck_md5_low60,
+    spark_md5_low60,
+)
 from deduplication_framework_spark.functions.quality import (
     _WS_DUCK,
     _WS_SPARK,
@@ -62,18 +66,11 @@ DEFAULT_BUCKETS = 1024
 
 
 def _spark_bucket(tok: str, n_buckets: int) -> str:
-    # low 60 bits of md5 -> signed-BIGINT-safe, mod B; conv() is exact
-    # for 15 hex digits (unsigned 64-bit internally)
-    return (
-        f"pmod(CAST(conv(substring(md5({tok}), 18, 15), 16, 10) AS BIGINT),"
-        f" {n_buckets})"
-    )
+    return f"pmod({spark_md5_low60(tok)}, {n_buckets})"
 
 
 def _duck_bucket(tok: str, n_buckets: int) -> str:
-    return (
-        f"(('0x' || substr(md5({tok}), 18, 15))::BIGINT % {n_buckets})"
-    )
+    return f"({duck_md5_low60(tok)} % {n_buckets})"
 
 
 def dsir_log_weights(
@@ -114,6 +111,11 @@ def dsir_log_weights(
     tot = counts.agg(
         F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     ).collect()[0]
+    if tot.tr is None:  # zero non-empty docs: empty frame, stable schema
+        return toks.sparkSession.createDataFrame(
+            [],
+            "doc_id long, n_tokens long, logw_micro long, selected boolean",
+        )
     tr, tt = int(tot.tr), int(tot.tt)
 
     terms = counts.select(

@@ -109,6 +109,10 @@ def lm_score_docs(
     tot = uni.agg(
         F.sum("c").alias("tt"), F.count("*").alias("vv")
     ).collect()[0]
+    if tot.tt is None:  # zero non-empty docs: empty frame, stable schema
+        return base.sparkSession.createDataFrame(
+            [], "doc_id long, logp_micro long, n_tokens long"
+        )
     tt, vv = int(tot.tt), int(tot.vv)
 
     kt = "BIGINT" if key_mode == "hash64" else "STRING"
@@ -195,6 +199,10 @@ def bucket_lm_scores(
         cuts = scored.agg(
             F.percentile_approx("avg_logp", probs, 10_000).alias("q")
         ).collect()[0].q
+        if cuts is None:  # empty input: keep the output schema stable
+            return scored.withColumn(
+                "bucket", F.lit(names[n_buckets]).cast("string")
+            )
         # avg DESC ordering: above the top cut -> bucket 1, etc.; the
         # HIGHEST cut must be the outermost when() (first match wins)
         expr = None

@@ -40,6 +40,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deduplication_framework_spark.functions.hash60 import (
+    duck_md5_low60,
+    spark_md5_low60,
+)
 from deduplication_framework_spark.functions.quality import (
     _WS_DUCK,
     _WS_SPARK,
@@ -52,17 +56,13 @@ DEFAULT_SALT = "pack-v1"
 
 
 def _spark_hash60(id_col: str, salt: str) -> str:
-    return (
-        "CAST(conv(substring(md5(concat(CAST("
-        f"{id_col} AS STRING), ':', '{salt}')), 18, 15), 16, 10) AS BIGINT)"
+    return spark_md5_low60(
+        f"concat(CAST({id_col} AS STRING), ':', '{salt}')"
     )
 
 
 def _duck_hash60(id_col: str, salt: str) -> str:
-    return (
-        f"(('0x' || substr(md5({id_col}::VARCHAR || ':' || '{salt}'),"
-        " 18, 15))::BIGINT)"
-    )
+    return duck_md5_low60(f"{id_col}::VARCHAR || ':' || '{salt}'")
 
 
 def pack_sequences(
@@ -84,6 +84,10 @@ def pack_sequences(
         f"size(split(trim({text_col}), '{_WS_SPARK}')) END"
     )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    # explicit ROWS frame (the DuckDB twin pins the same): Spark's
+    # default RANGE frame makes duplicated (h, doc_id) rows frame PEERS
+    # sharing one tok_end, silently breaking the tiling invariant
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -94,7 +98,7 @@ def pack_sequences(
         .withColumn("pos", F.row_number().over(w) - F.lit(1))
         .withColumn(
             "tok_end",
-            F.sum(F.col("n_tokens") + F.lit(1)).over(w),
+            F.sum(F.col("n_tokens") + F.lit(1)).over(w_sum),
         )
         .select(
             "doc_id",

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from deduplication_framework_spark.sources.loaders import (
     _rate_hex_threshold,
+    md5_bucket_col,
 )
 
 __all__ = ["leakage_safe_split", "split_stats"]
@@ -69,15 +70,7 @@ def leakage_safe_split(
         g = d.join(c, "doc_id", "left").withColumn(
             "group_id", F.coalesce("group_id", "doc_id")
         )
-    bucket = F.substring(
-        F.md5(
-            F.concat_ws(
-                ":", F.col("group_id").cast("string"), F.lit(salt)
-            )
-        ),
-        1,
-        8,
-    )
+    bucket = md5_bucket_col("group_id", salt)
     thr = _rate_hex_threshold(val_frac)
     return g.select(
         "doc_id",

@@ -152,6 +152,17 @@ def _rate_hex_threshold(rate: float) -> str:
     return format(n, "08x")
 
 
+def md5_bucket_col(col, salt: str):
+    """8-hex-char decision bucket ``md5(f"{col}:{salt}")[:8]`` — the
+    Column twin of the VARCHAR bucket in :func:`stratified_sample_sql`;
+    compared against :func:`_rate_hex_threshold` strings. Shared by
+    stratified sampling and leakage-safe splitting."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.substring(
+        F.md5(F.concat_ws(":", c.cast("string"), F.lit(salt))), 1, 8
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict,
@@ -175,11 +186,7 @@ def stratified_sample(
 
     Adds a ``sample_bucket`` column (the 8-hex-char bucket) so callers
     and oracles can audit the decision."""
-    bucket = F.substring(
-        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
-        1,
-        8,
-    )
+    bucket = md5_bucket_col(id_col, salt)
     thr = F.lit(_rate_hex_threshold(default_rate))
     for stratum, rate in sorted(rates.items()):
         thr = F.when(

@@ -152,3 +152,15 @@ def test_identical_slices_degenerate_to_zero(spark):
     release_census_caches()
     assert rows and all(r.logw_micro == 0 for r in rows)
     assert all(not r.selected for r in rows)  # strict > 0
+
+
+def test_empty_corpus_returns_empty_frame(spark):
+    df = spark.createDataFrame(
+        [(1, "   ", True), (2, "", False)], ["doc_id", "text", "is_t"]
+    )
+    out = dsir_log_weights(df, target_col="is_t")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "logw_micro", "selected",
+    ]
+    release_census_caches()

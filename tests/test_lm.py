@@ -196,7 +196,7 @@ def test_key_mode_rejects_unknown(spark):
         lm_score_docs(df, key_mode="bogus")
 
 
-@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
 def test_no_xxhash64_vocab_collisions_in_testdata(spark, sf):
     # precondition the driver-gate parity relies on: hashing the
     # testdata vocabulary to 64 bits is injective, so hash64-mode
@@ -215,3 +215,13 @@ def test_no_xxhash64_vocab_collisions_in_testdata(spark, sf):
     n = toks.select("w").distinct().count()
     nh = toks.select(F.xxhash64("w").alias("h")).distinct().count()
     assert n == nh
+
+
+def test_empty_corpus_scoring_and_bucketing(spark):
+    df = spark.createDataFrame([(1, "   ")], ["doc_id", "text"])
+    scored = lm_score_docs(df)
+    assert scored.count() == 0
+    b = bucket_lm_scores(scored, approx=True)
+    assert b.count() == 0
+    assert "bucket" in b.columns and "avg_logp" in b.columns
+    release_census_caches()

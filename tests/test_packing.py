@@ -159,3 +159,19 @@ def test_shard_stats_consistency(spark, packed):
             + stats[s].tail_tokens_dropped
             == total
         )
+
+
+def test_duplicate_doc_ids_still_tile(spark):
+    # ROWS (not RANGE) frame: duplicated (h, doc_id) rows must get
+    # DISTINCT cumulative tok_ends, keeping the tiling invariant
+    df = spark.createDataFrame(
+        [(1, "a b c"), (1, "a b c"), (2, "x")], ["doc_id", "text"]
+    )
+    rows = sorted(
+        pack_sequences(df, seq_len=4, n_shards=1).collect(),
+        key=lambda r: r.pos,
+    )
+    assert rows[0].tok_start == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.tok_start == prev.tok_end
+    assert len({r.tok_end for r in rows}) == 3

@@ -141,3 +141,64 @@ def test_url_block_host_rule_beats_word_rule(spark):
     e = url_block_exprs("u")
     r = df.select(e["reason"].alias("r"), e["score_milli"].alias("s")).collect()[0]
     assert r.r == "host" and r.s == 1600
+
+
+def test_url_block_host_rule_resists_evasion(spark):
+    # port / userinfo / subdomain / case variants of a blocklisted host
+    # must all still hit the host rule (review finding, part 9)
+    from deduplication_framework_spark.functions.urls import (
+        url_block_exprs,
+        url_block_sqls,
+    )
+
+    urls = [
+        "https://badspam.example.net:443/x",
+        "https://badspam.example.net:8080/x",
+        "https://user@badspam.example.net/x",
+        "https://u:p@BadSpam.Example.NET:80/x",
+        "https://a.badspam.example.net/x",
+        "https://www.badspam.example.net/x",
+        # NOT the blocklisted domain: similar names must pass
+        "https://notbadspam.example.net/x",
+        "https://badspam.example.net.evil.io/x",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    e = url_block_exprs("u")
+    got = {r.u: r.r for r in df.select("u", e["reason"].alias("r")).collect()}
+    for u in urls[:6]:
+        assert got[u] == "host", u
+    for u in urls[6:]:
+        assert got[u] == "pass", u
+    p = url_block_sqls("u")
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    du = dict(con.execute(f"SELECT u, {p['reason']} FROM t").fetchall())
+    assert du == got
+
+
+def test_url_block_custom_lists(spark):
+    from deduplication_framework_spark.functions.urls import (
+        url_block_exprs,
+    )
+
+    df = spark.createDataFrame(
+        [("https://foo.bar/baz-quux",), ("https://blocked.me/x",)], ["u"]
+    )
+    e = url_block_exprs(
+        "u",
+        hosts=("blocked.me",),
+        words=(("baz", 500), ("quux", 500)),
+        block_milli=1000,
+    )
+    got = {r.u: r.r for r in df.select("u", e["reason"].alias("r")).collect()}
+    assert got["https://foo.bar/baz-quux"] == "words"
+    assert got["https://blocked.me/x"] == "host"
+
+
+def test_url_block_rejects_wildcard_hosts(spark):
+    from deduplication_framework_spark.functions.urls import (
+        url_block_exprs,
+    )
+
+    with pytest.raises(ValueError, match="blocklist host"):
+        url_block_exprs("u", hosts=("bad_host.example",))
