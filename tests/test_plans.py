@@ -169,3 +169,24 @@ def test_broadcast_semi_join_never_shuffles_probe_side(spark, tmp_path):
         assert semi.count() == 20 * 6 + 20 * 5
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_sequence_packing_single_shard_exchange(spark):
+    """The packed layout must cost exactly ONE shuffle (hash on shard)
+    and reuse its sort for both window computations — no global sort,
+    no second Exchange (operators/packing.py scale posture)."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        F.repeat(F.lit("w "), 5).alias("text"),
+    )
+    plan = _plan(pack_sequences(df, n_shards=16))
+    tree = plan.split("\n\n")[0]  # formatted: tree, blank, node details
+    assert tree.count("Exchange") == 1, plan
+    assert "hashpartitioning(shard" in plan, plan
+    assert tree.count("Sort") == 1, plan

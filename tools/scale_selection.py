@@ -1,0 +1,196 @@
+"""Data-selection stage scale anchor: DSIR + packing + leakage split.
+
+One JVM-generated corpus (no Python in the data path), three operators
+timed separately over it, each with a hard planted assertion:
+
+* DSIR (operators/dsir.py): the target slice (``doc_id % 20 == 0``)
+  draws from a 200-word vocab; 10% of the pool docs draw from the SAME
+  vocab (planted positives — must come out ``selected``), the rest from
+  a disjoint 50k vocab (must not). Exact classification asserted.
+* packing (operators/packing.py): the full layout's tiling invariant is
+  asserted by AGGREGATION (per-shard lag check + token-sum identity),
+  never collecting the layout.
+* leakage split (operators/splits.py): group coherence asserted by
+  aggregation (1 distinct side per group) + the val doc fraction within
+  [0.15, 0.25] at val_frac=0.2 over synthetic 3-doc groups.
+
+Reports per-op secs + docs/s and event-log busy-core seconds; run at two
+core counts for the N->4N pair (local[2] vs local[8] on this host).
+
+Usage: python tools/scale_selection.py <cores> <n_docs> [runs_file]
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import bench
+from deduplication_framework_spark.session import get_spark
+from tools.scale_once import _task_metrics
+
+TOKENS = 40
+TARGET_VOCAB = 200
+POOL_VOCAB = 50_000
+
+
+def synth_docs(spark, n: int, partitions: int):
+    from pyspark.sql import functions as F
+
+    vocab = (
+        f"CASE WHEN id % 20 = 0 OR id % 10 = 1 THEN {TARGET_VOCAB} "
+        f"ELSE {POOL_VOCAB} END"
+    )
+    # disjoint domains: target vocab words are t<k>, pool words w<k>
+    pref = "CASE WHEN id % 20 = 0 OR id % 10 = 1 THEN 't' ELSE 'w' END"
+    return spark.range(n, numPartitions=partitions).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 20 == 0).alias("is_t"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(0, {TOKENS - 1}),"
+            f" j -> concat({pref}, pmod(xxhash64(id, j), {vocab}))))"
+        ).alias("text"),
+    )
+
+
+def main():
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+    cores = int(sys.argv[1])
+    n = int(sys.argv[2])
+    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale_selection_runs.jsonl"
+
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.dsir import dsir_log_weights
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+    from deduplication_framework_spark.operators.packing import pack_sequences
+    from deduplication_framework_spark.operators.splits import (
+        leakage_safe_split,
+    )
+
+    supply = bench._effective_cores()
+    evdir = tempfile.mkdtemp(prefix="spark-events-")
+    spark = get_spark(
+        app_name=f"scale-selection-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 16),
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
+    docs = synth_docs(spark, n, cores * 2).persist()
+    docs.count()  # input materialized outside every timed window
+    rec = {"cores": cores, "host_supply_cores": supply, "n_docs": n}
+
+    # --- DSIR ---------------------------------------------------------
+    t_start = time.time()
+    t0 = time.time()
+    w = dsir_log_weights(docs, target_col="is_t")
+    cls = (
+        w.withColumn(
+            "kind",
+            F.expr(
+                "CASE WHEN doc_id % 20 = 0 THEN 'target' "
+                "WHEN doc_id % 10 = 1 THEN 'planted' ELSE 'pool' END"
+            ),
+        )
+        .groupBy("kind", "selected")
+        .count()
+        .collect()
+    )
+    dsir_sec = time.time() - t0
+    release_census_caches()
+    by = {(r.kind, r.selected): r["count"] for r in cls}
+    planted = sum(v for (k, s), v in by.items() if k == "planted")
+    assert by.get(("planted", True), 0) == planted, by
+    pool = sum(v for (k, s), v in by.items() if k == "pool")
+    assert by.get(("pool", False), 0) == pool, by
+    rec["dsir"] = {
+        "sec": round(dsir_sec, 2),
+        "docs_per_sec": round(n / dsir_sec, 1),
+        "planted_recall": 1.0,
+        "pool_false_pos": 0,
+    }
+
+    # --- packing ------------------------------------------------------
+    n_shards = max(cores * 4, 32)
+    t0 = time.time()
+    p = pack_sequences(docs, seq_len=2048, n_shards=n_shards)
+    from pyspark.sql import Window
+
+    lagw = Window.partitionBy("shard").orderBy("pos")
+    viol = p.withColumn(
+        "prev_end", F.lag("tok_end").over(lagw)
+    ).select(
+        F.sum(
+            (
+                F.col("tok_start")
+                != F.coalesce(F.col("prev_end"), F.lit(0))
+            ).cast("long")
+        ).alias("gaps"),
+        F.count("*").alias("rows"),
+    ).collect()[0]
+    pack_sec = time.time() - t0
+    assert viol.gaps == 0 and viol.rows == n, viol
+    rec["packing"] = {
+        "sec": round(pack_sec, 2),
+        "docs_per_sec": round(n / pack_sec, 1),
+        "n_shards": n_shards,
+        "tiling_gaps": 0,
+    }
+
+    # --- leakage split ------------------------------------------------
+    clusters = docs.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 3).alias("cluster_id")
+    )
+    t0 = time.time()
+    a = leakage_safe_split(docs, clusters, val_frac=0.2)
+    agg = a.groupBy("group_id").agg(
+        F.countDistinct("split").alias("k"),
+        F.count("*").alias("m"),
+        F.max((F.col("split") == "val").cast("long")).alias("v"),
+    )
+    res = agg.select(
+        F.max("k").alias("maxk"),
+        F.sum("m").alias("docs"),
+        F.sum(F.col("m") * F.col("v")).alias("val_docs"),
+    ).collect()[0]
+    split_sec = time.time() - t0
+    assert res.maxk == 1, "a group crossed the boundary"
+    assert res.docs == n
+    val_frac = res.val_docs / res.docs
+    assert 0.15 <= val_frac <= 0.25, val_frac
+    rec["split"] = {
+        "sec": round(split_sec, 2),
+        "docs_per_sec": round(n / split_sec, 1),
+        "val_doc_frac": round(val_frac, 4),
+    }
+
+    t_end = time.time()
+    spark.stop()
+    cpu_sec, run_sec, n_tasks = _task_metrics(
+        evdir, t_start * 1000, t_end * 1000
+    )
+    rec.update(
+        {
+            "busy_core_sec_total": round(cpu_sec, 1),
+            "task_run_sec_total": round(run_sec, 1),
+            "n_tasks": n_tasks,
+        }
+    )
+    print(json.dumps(rec))
+    with open(out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
