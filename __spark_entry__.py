@@ -1118,6 +1118,43 @@ def q_bpe_ish_token_counts(spark, sf_dir):
     )
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Zipf/coverage curve of the corpus vocabulary: for each coverage
+    decile (10%..100% of total token mass), the number of most-frequent
+    word types needed to reach it — the corpus-health stat behind
+    tokenizer sizing and OOV budgeting. Words ranked (count DESC, word
+    ASC); the threshold compare is INTEGER (cum*100 >= pct*T) so both
+    engines decide exactly. The global window runs over the VOCABULARY
+    (|types| << corpus; ~10^6 rows at 100 TB), not the token stream —
+    the one corpus-scale job is the map-side-combinable word count."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.expr("split(lower(trim(text)), '\\\\s+')")
+        ).alias("w")
+    ).filter("w <> ''")
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c")).collect()[0][0]
+    wnd = Window.orderBy(F.desc("c"), F.asc("w")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = uni.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("w")))
+        .alias("rank"),
+        F.sum("c").over(wnd).alias("cum"),
+    )
+    pcts = spark.range(1, 11).select(
+        (F.col("id") * 10).cast("int").alias("pct")
+    )
+    return (
+        cum.crossJoin(pcts)
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.lit(int(total)))
+        .groupBy("pct")
+        .agg(F.min("rank").cast("long").alias("vocab_size"))
+        .orderBy("pct")
+    )
+
+
 def q_lang_source_cube(spark, sf_dir):
     """CUBE rollup over (lang, source) with ALL placeholders."""
     return (
@@ -1805,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_stats": q_props_json_stats,
         "bpe_ish_token_counts": q_bpe_ish_token_counts,
         "lang_source_cube": q_lang_source_cube,
+        "vocab_coverage": q_vocab_coverage,
         "incremental_new_docs": q_incremental_new_docs,
         "incremental_fuzzy_new_docs": q_incremental_fuzzy_new_docs,
         "latest_events": q_latest_events,
@@ -2303,6 +2341,31 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text,
                        '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+')) AS n_bpe_tokens
             FROM documents
+        """,
+        # integer threshold compare (cum*100 >= pct*T) keeps the decile
+        # decision exact in both engines; ranks tie-break (count DESC, w)
+        "vocab_coverage": r"""
+            WITH toks AS (
+                SELECT unnest(string_split_regex(lower(trim(text)),
+                                                 '\s+')) AS w
+                FROM documents
+            ), uni AS (
+                SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY w
+            ), tot AS (
+                SELECT CAST(sum(c) AS BIGINT) AS t FROM uni
+            ), cum AS (
+                SELECT row_number() OVER (ORDER BY c DESC, w) AS rank,
+                       sum(c) OVER (ORDER BY c DESC, w
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM uni
+            ), p AS (
+                SELECT (10 * CAST(i AS INT))::INT AS pct
+                FROM range(1, 11) t(i)
+            )
+            SELECT pct, CAST(min(rank) AS BIGINT) AS vocab_size
+            FROM cum CROSS JOIN tot CROSS JOIN p
+            WHERE cum * 100 >= pct * t
+            GROUP BY pct
         """,
         "lang_source_cube": """
             SELECT coalesce(lang, 'ALL') AS lang,
