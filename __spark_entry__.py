@@ -1592,6 +1592,34 @@ def q_ssjoin_dup_edges(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_containment_edges(spark, sf_dir):
+    """Exact containment join (operators/setjoin.py::ssjoin_containment):
+    every ORDERED pair where >= 80% of src's word-bigram shingles appear
+    in dst — the quote/partial-copy detector Jaccard structurally misses
+    (J <= |A|/|B| vanishes when the container is much larger; containment
+    is size-ratio-free). Prefix probes on rarest elements vs a full
+    index, A-side positional + one-sided length filters, exact
+    sorted-merge verify. The oracle is the brute-force ordered all-pairs
+    intersect under the implied |B| >= t|A| prune."""
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+    from deduplication_framework_spark.functions.text import word_bigram_sets
+    from deduplication_framework_spark.operators.setjoin import (
+        ssjoin_containment,
+    )
+
+    docs = word_bigram_sets(_docs(spark, sf_dir), lowercase=False)
+    edges, _stats = ssjoin_containment(docs, threshold=0.8, set_col="grams")
+    out = edges.select(
+        "src", "dst", F.round("containment", 6).alias("containment")
+    )
+    rows = out.collect()
+    schema = out.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
+
+
 def q_gopher_quality_flags(spark, sf_dir):
     """Gopher-rule quality filter (functions/quality.py): the canonical
     LLM corpus-curation gate — per-doc scalar signals bounded by the
@@ -1850,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_groups": q_url_canonical_groups,
         "pii_redaction": q_pii_redaction,
         "ssjoin_dup_edges": q_ssjoin_dup_edges,
+        "containment_edges": q_containment_edges,
         "gopher_quality_flags": q_gopher_quality_flags,
         "doc_repetition_signals": q_doc_repetition_signals,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
@@ -2465,6 +2494,33 @@ def oracle_sql() -> dict[str, str]:
         # because the union is at least the larger set and the
         # intersection at most the smaller) — so the band only prunes,
         # never changes the answer, and keeps the oracle O(banded pairs)
+        # brute-force ordered all-pairs under the implied one-sided size
+        # prune (|B| >= t|A|); intersect computed once per pair
+        "containment_edges": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])) AS grams
+                FROM t WHERE len(toks) >= 2
+            ),
+            s AS (
+                SELECT doc_id, grams, len(grams) AS n FROM g WHERE len(grams) > 0
+            ),
+            pairs AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst,
+                       len(list_intersect(a.grams, b.grams)) AS i, a.n
+                FROM s a JOIN s b ON a.doc_id <> b.doc_id
+                 AND b.n >= 0.8 * a.n - 1e-9
+            )
+            SELECT src, dst, round(i::DOUBLE / n, 6) AS containment
+            FROM pairs WHERE i::DOUBLE / n >= 0.8
+        """,
         "ssjoin_dup_edges": """
             WITH t AS (
                 SELECT doc_id,

@@ -67,7 +67,7 @@ from pyspark.sql import functions as F
 
 from deduplication_framework_spark.operators.verify import verify_jaccard
 
-__all__ = ["ssjoin_jaccard"]
+__all__ = ["ssjoin_jaccard", "ssjoin_containment"]
 
 _EPS = 1e-9  # conservative-ceil guard for float threshold arithmetic
 
@@ -171,5 +171,100 @@ def ssjoin_jaccard(
     feats = base.select("_id", F.array_sort("_set").alias("_lex"))
     edges = verify_jaccard(
         cands, feats, t, id_col="_id", feat_col="_lex", size_prefilter=False
+    )
+    return edges, {"n_candidates": n_candidates}
+
+
+def ssjoin_containment(
+    docs: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "doc_id",
+    set_col: str = "grams",
+) -> tuple:
+    """Exact containment self-join: every ORDERED pair (src != dst) with
+    ``|set(src) ∩ set(dst)| / |set(src)| >= threshold`` — src is the
+    CONTAINED side. The quote/partial-copy detector: a doc whose content
+    is mostly inside another (Jaccard misses these when the container is
+    much larger — J <= |A|/|B|, but containment is size-ratio-free).
+
+    Prefix lemma (containment form): C(A,B) >= t implies
+    ``overlap >= ceil(t*|A|)``, so A has at most |A| - ceil(t*|A|)
+    elements outside B and at least one of A's first
+    ``p = |A| - ceil(t*|A|) + 1`` rarest-ranked elements is shared. The
+    probe side therefore explodes only A-prefixes; the INDEX side has no
+    prefix (B's shared elements can rank anywhere in B), so it explodes
+    fully — the structural cost of asymmetry, bounded by keying on A's
+    rarest elements (hot elements still never enter probes). Exact
+    filters: ``|B| >= t*|A|`` (length) and A-side positional
+    ``|A| - min_pos_A(shared) >= ceil(t*|A|)`` — the min over join rows
+    IS A's rank-smallest shared element, because that element is in A's
+    prefix by the lemma. Conservative-ceil 1e-9 guards as in
+    :func:`ssjoin_jaccard`; final verify is an exact sorted-merge count.
+
+    Returns ``(edges, stats)``: edges ``(src, dst, containment)`` lazy,
+    stats ``{"n_candidates": int}``. Same persist/eager-census contract
+    as :func:`ssjoin_jaccard`."""
+    from deduplication_framework_spark.operators.lsh import _persist_tracked
+    from deduplication_framework_spark.operators.verify import (
+        verify_containment,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+
+    base = _persist_tracked(
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.col(set_col)).alias("_set"),
+        ).filter(F.size("_set") > 0)
+    )
+    base.count()  # eager: fill the cache before concurrent consumers
+
+    exploded = base.select("_id", F.explode("_set").alias("_el"))
+    dfreq = exploded.groupBy("_el").agg(F.count("*").alias("_df"))
+    ranked = (
+        exploded.join(dfreq, "_el")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_el")))
+            ).alias("_ranked")
+        )
+        .withColumn("_sz", F.size("_ranked"))
+    )
+
+    p = F.col("_sz") - F.ceil(t * F.col("_sz") - _EPS).cast("int") + 1
+    probe = ranked.select(
+        "_id",
+        "_sz",
+        F.posexplode(F.slice("_ranked", 1, p)).alias("_pos", "_w"),
+    ).select(
+        F.col("_id").alias("src"),
+        F.col("_sz").alias("_sa"),
+        F.col("_pos").alias("_pa"),
+        F.col("_w._el").alias("_el"),
+    )
+    index = exploded.join(
+        base.select("_id", F.size("_set").alias("_sb")), "_id"
+    ).select(F.col("_id").alias("dst"), "_sb", "_el")
+
+    joined = probe.join(index, "_el").filter(
+        (F.col("src") != F.col("dst"))
+        & (F.col("_sb") >= t * F.col("_sa") - _EPS)
+    )
+    cands = joined.groupBy("src", "dst", "_sa").agg(
+        F.min("_pa").alias("_minpa")
+    )
+    # A-side positional: overlap <= |A| - pos_A(rank-smallest shared)
+    alpha = F.ceil(t * F.col("_sa") - _EPS).cast("int")
+    cands = cands.filter(F.col("_sa") - F.col("_minpa") >= alpha)
+    cands = _persist_tracked(cands.select("src", "dst"))
+    n_candidates = cands.count()  # eager: fills the cands cache
+
+    feats = base.select("_id", F.array_sort("_set").alias("_lex"))
+    edges = verify_containment(
+        cands, feats, t, id_col="_id", feat_col="_lex"
     )
     return edges, {"n_candidates": n_candidates}

@@ -116,3 +116,47 @@ def verify_hamming(
             "src", "dst", ((F.lit(64) - F.col("hamming")) / 64.0).alias("sim")
         )
     )
+
+
+def make_sorted_containment_udf():
+    """Arrow UDF: exact containment |A∩B| / |A| of two SORTED-DISTINCT
+    arrays (linear merge, same rationale as make_sorted_jaccard_udf).
+    Empty/NULL A → 0.0 (nothing to contain — callers drop empty sets)."""
+    @pandas_udf(T.DoubleType())
+    def sorted_containment(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.float64)
+        for i, (xs, ys) in enumerate(zip(a, b)):
+            nx = 0 if xs is None else len(xs)
+            ny = 0 if ys is None else len(ys)
+            if nx == 0 or ny == 0:
+                out[i] = 0.0
+                continue
+            inter = np.intersect1d(xs, ys, assume_unique=True).size
+            out[i] = inter / nx
+        return pd.Series(out)
+
+    return sorted_containment
+
+
+def verify_containment(
+    pairs: DataFrame,
+    features: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    feat_col: str = "shingles",
+) -> DataFrame:
+    """→ edges(src, dst, containment) with containment = exact
+    |set(src) ∩ set(dst)| / |set(src)| >= threshold (src is the
+    CONTAINED side — the relation is asymmetric). Feature arrays must be
+    sorted-distinct (every feature UDF here emits np.unique output)."""
+    joined = _attach(pairs, features, id_col, [feat_col])
+    a, b = F.col(f"{feat_col}_a"), F.col(f"{feat_col}_b")
+    if threshold > 0:
+        # |B| >= overlap >= t*|A| is necessary
+        joined = joined.filter(F.size(b) >= threshold * F.size(a))
+    cont = make_sorted_containment_udf()(a, b)
+    return (
+        joined.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("src", "dst", "containment")
+    )
