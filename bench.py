@@ -620,6 +620,7 @@ def main():
             "dsir_importance_weights",
             "sequence_packing",
             "url_block_flags",
+            "containment_edges",
         ]
     ]
 
