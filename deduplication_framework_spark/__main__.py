@@ -96,6 +96,14 @@ def main(argv=None) -> int:
                    help="with --quality-filter: ALSO apply the Table-A1 "
                         "repetition thresholds (top/duplicate n-gram "
                         "character fractions, functions/repetition.py)")
+    p.add_argument("--assign-splits", type=float, default=None,
+                   metavar="VAL_FRAC",
+                   help="leakage-safe train/val assignment over the "
+                        "pipeline's duplicate clusters (operators/"
+                        "splits.py): every doc follows its CLUSTER to "
+                        "one side, so no (near-)dup pair crosses the "
+                        "boundary; writes <output>/splits parquet and "
+                        "split.n_train/n_val summary metrics")
     p.add_argument("--sweep", default=None,
                    help="comma list of thresholds: run the threshold sweep "
                         "(reference clean_batch_dataset analog) instead of a "
@@ -208,6 +216,12 @@ def main(argv=None) -> int:
             f"decontaminate:{args.decontaminate_against}"
             f":{args.decontaminate_ngram}"
         )
+    if args.assign_splits is not None:
+        if args.sweep:
+            p.error("--assign-splits is not supported with --sweep")
+        if not 0.0 <= args.assign_splits <= 1.0:
+            p.error("--assign-splits VAL_FRAC must be in [0, 1]")
+
     input_tag = "|".join(input_tags)
 
     if args.sweep:
@@ -253,6 +267,22 @@ def main(argv=None) -> int:
     res.keepers.write.mode("overwrite").parquet(f"{args.output}/keepers")
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     res.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+
+    if args.assign_splits is not None:
+        from deduplication_framework_spark.operators.splits import (
+            leakage_safe_split,
+            split_stats,
+        )
+
+        assigned = leakage_safe_split(
+            res.docs, res.clusters, val_frac=args.assign_splits
+        )
+        assigned.write.mode("overwrite").parquet(f"{args.output}/splits")
+        for r in split_stats(
+            spark.read.parquet(f"{args.output}/splits")
+        ).collect():
+            res.metrics[f"split.n_{r.split}"] = float(r.n_docs)
+            res.metrics[f"split.n_groups_{r.split}"] = float(r.n_groups)
 
     elapsed = round(time.time() - t0, 2)
     n_docs = res.docs.count()

@@ -347,3 +347,60 @@ def test_cli_block_urls_rejects_sweep_and_missing_url(spark, tmp_path):
                 "--block-urls",
             ]
         )
+
+
+def test_cli_assign_splits(spark, tmp_path):
+    """Cluster-coherent split assignment rides the pipeline's clusters:
+    every doc lands train/val with its whole cluster, counts in metrics."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out_sp")
+    rc = main(
+        [
+            "--synthetic", "300",
+            "--output", out,
+            "--detectors", "exact,minhash",
+            "--checkpoint-dir", str(tmp_path / "ckpt_sp"),
+            "--assign-splits", "0.3",
+        ]
+    )
+    assert rc == 0
+    assigned = spark.read.parquet(os.path.join(out, "splits"))
+    n = assigned.count()
+    assert n == 300
+    # coherence: one side per group
+    k = (
+        assigned.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k"))
+        .collect()[0][0]
+    )
+    assert k == 1
+    with open(os.path.join(out, "summary.json")) as fh:
+        m = json.load(fh)["metrics"]
+    assert m["split.n_train"] + m["split.n_val"] == 300
+    assert m["split.n_val"] > 0
+
+
+def test_cli_assign_splits_probes(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "--synthetic", "50",
+                "--output", str(tmp_path / "o3"),
+                "--checkpoint-dir", str(tmp_path / "c3"),
+                "--assign-splits", "1.5",
+            ]
+        )
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "--synthetic", "50",
+                "--output", str(tmp_path / "o4"),
+                "--checkpoint-dir", str(tmp_path / "c4"),
+                "--assign-splits", "0.2",
+                "--sweep", "0.7,0.8",
+            ]
+        )
