@@ -511,6 +511,60 @@ def bench_decontaminate(spark, pages):
     return run
 
 
+def containment_evidence(spark, n_docs=800):
+    """Planted-quote recall for the exact containment join
+    (operators/setjoin.py::ssjoin_containment): every 10th bench doc
+    gets a QUOTE doc holding a contiguous token slice of it — the
+    quote's word bigrams are a subset of the source's, so containment
+    is exactly 1.0 and every planted (quote, source) edge MUST appear
+    at any threshold; asserted hard per run (full answer-set equality
+    vs brute force is tests/test_containment.py's job)."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+    from deduplication_framework_spark.operators.setjoin import (
+        ssjoin_containment,
+    )
+
+    pg = generate_pages(spark, n_docs, num_partitions=CPUS)
+    quotes = pg.filter(F.col("doc_order") % 10 == 0).select(
+        (F.col("doc_order") + 1_000_000).alias("doc_order"),
+        F.expr(
+            "concat_ws(' ', slice(split(trim(text), '\\\\s+'), 2,"
+            " greatest(CAST(size(split(trim(text), '\\\\s+')) * 0.7 AS INT),"
+            " 3)))"
+        ).alias("text"),
+    )
+    docs = _ssjoin_docs(
+        pg.select("doc_order", "text").unionByName(quotes)
+    )
+    t0 = time.time()
+    edges, stats = ssjoin_containment(docs, threshold=0.8)
+    got = {(r.src, r.dst) for r in edges.select("src", "dst").collect()}
+    sec = round(time.time() - t0, 3)
+    # quotes too short to yield a bigram set emit no row — scope the
+    # planted assertion to quotes that actually entered the join
+    have_sets = {r._id for r in docs.selectExpr("doc_id AS _id").collect()}
+    release_census_caches()
+    planted = {
+        (i + 1_000_000, i)
+        for i in range(0, n_docs, 10)
+        if i + 1_000_000 in have_sets and i in have_sets
+    }
+    missing = planted - got
+    assert not missing, f"planted quotes missed: {sorted(missing)[:5]}"
+    assert planted, "no planted quotes survived featurization"
+    return {
+        "n_docs": int(n_docs),
+        "n_planted_quotes": len(planted),
+        "planted_recall": 1.0,
+        "n_edges": len(got),
+        "n_candidates": int(stats["n_candidates"]),
+        "sec": sec,
+    }
+
 def decontaminate_evidence(spark, pages):
     """Span-removal decontamination evidence (operators/decontaminate.py):
     an exact-twin GUARANTEE asserted hard — a train doc whose lowercased
@@ -669,6 +723,7 @@ def main():
     inc_fuzzy = incremental_fuzzy_evidence(spark, pages)
     decontam = decontaminate_evidence(spark, pages)
     ssjoin = ssjoin_evidence(spark)
+    containment = containment_evidence(spark)
 
     scaling_report = None
     if scaling:
@@ -692,6 +747,7 @@ def main():
         "incremental_fuzzy": inc_fuzzy,
         "decontaminate": decontam,
         "ssjoin": ssjoin,
+        "containment": containment,
     }
     if scaling_report:
         line["scaling"] = scaling_report
