@@ -1127,12 +1127,19 @@ def q_vocab_coverage(spark, sf_dir):
     engines decide exactly. The global window runs over the VOCABULARY
     (|types| << corpus; ~10^6 rows at 100 TB), not the token stream —
     the one corpus-scale job is the map-side-combinable word count."""
+    from deduplication_framework_spark.operators.lsh import (
+        _persist_tracked,
+        release_census_caches,
+    )
+
     toks = _docs(spark, sf_dir).select(
         F.explode(
             F.expr("split(lower(trim(text)), '\\\\s+')")
         ).alias("w")
     ).filter("w <> ''")
-    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    # persist the (vocab-sized) counts: the total collect and the
+    # returned plan are two consumers of the corpus-scale word count
+    uni = _persist_tracked(toks.groupBy("w").agg(F.count("*").alias("c")))
     total = uni.agg(F.sum("c")).collect()[0][0]
     wnd = Window.orderBy(F.desc("c"), F.asc("w")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1146,13 +1153,17 @@ def q_vocab_coverage(spark, sf_dir):
     pcts = spark.range(1, 11).select(
         (F.col("id") * 10).cast("int").alias("pct")
     )
-    return (
+    out = (
         cum.crossJoin(pcts)
         .filter(F.col("cum") * 100 >= F.col("pct") * F.lit(int(total)))
         .groupBy("pct")
         .agg(F.min("rank").cast("long").alias("vocab_size"))
         .orderBy("pct")
     )
+    rows = out.collect()
+    schema = out.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
 
 
 def q_lang_source_cube(spark, sf_dir):
@@ -2494,6 +2505,30 @@ def oracle_sql() -> dict[str, str]:
         # because the union is at least the larger set and the
         # intersection at most the smaller) — so the band only prunes,
         # never changes the answer, and keeps the oracle O(banded pairs)
+        "ssjoin_dup_edges": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])) AS grams
+                FROM t WHERE len(toks) >= 2
+            ),
+            s AS (
+                SELECT doc_id, grams, len(grams) AS n FROM g WHERE len(grams) > 0
+            )
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+             AND a.n >= 0.6 * b.n - 1e-9
+             AND b.n >= 0.6 * a.n - 1e-9
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / (a.n + b.n - len(list_intersect(a.grams, b.grams)))
+                  >= 0.6
+        """,
         # brute-force ordered all-pairs under the implied one-sided size
         # prune (|B| >= t|A|); intersect computed once per pair
         "containment_edges": """
@@ -2520,30 +2555,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src, dst, round(i::DOUBLE / n, 6) AS containment
             FROM pairs WHERE i::DOUBLE / n >= 0.8
-        """,
-        "ssjoin_dup_edges": """
-            WITH t AS (
-                SELECT doc_id,
-                       string_split_regex(trim(text), '\\s+') AS toks
-                FROM documents
-            ),
-            g AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, len(toks)),
-                           i -> toks[i] || ' ' || toks[i+1])) AS grams
-                FROM t WHERE len(toks) >= 2
-            ),
-            s AS (
-                SELECT doc_id, grams, len(grams) AS n FROM g WHERE len(grams) > 0
-            )
-            SELECT a.doc_id AS src, b.doc_id AS dst
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-             AND a.n >= 0.6 * b.n - 1e-9
-             AND b.n >= 0.6 * a.n - 1e-9
-            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
-                  / (a.n + b.n - len(list_intersect(a.grams, b.grams)))
-                  >= 0.6
         """,
         # signals, thresholds, rule order and the first-fail CASE all
         # GENERATED from the same quality.RULES tuples the Spark side uses

@@ -278,6 +278,11 @@ def main(argv=None) -> int:
             res.docs, res.clusters, val_frac=args.assign_splits
         )
         assigned.write.mode("overwrite").parquet(f"{args.output}/splits")
+        # both sides always reported — an empty side is 0.0, not a
+        # missing key (consumers index these unconditionally)
+        for side in ("train", "val"):
+            res.metrics[f"split.n_{side}"] = 0.0
+            res.metrics[f"split.n_groups_{side}"] = 0.0
         for r in split_stats(
             spark.read.parquet(f"{args.output}/splits")
         ).collect():

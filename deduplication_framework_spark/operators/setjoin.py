@@ -196,11 +196,14 @@ def ssjoin_containment(
     prefix (B's shared elements can rank anywhere in B), so it explodes
     fully — the structural cost of asymmetry, bounded by keying on A's
     rarest elements (hot elements still never enter probes). Exact
-    filters: ``|B| >= t*|A|`` (length) and A-side positional
-    ``|A| - min_pos_A(shared) >= ceil(t*|A|)`` — the min over join rows
-    IS A's rank-smallest shared element, because that element is in A's
-    prefix by the lemma. Conservative-ceil 1e-9 guards as in
-    :func:`ssjoin_jaccard`; final verify is an exact sorted-merge count.
+    filter: ``|B| >= t*|A|`` (length). NOTE: no positional filter —
+    with prefix length exactly ``p``, every positional/count bound one
+    can derive from prefix-only matches is vacuous (any candidate has
+    >= 1 prefix match and ``min_pos <= p-1``, which already implies the
+    ``|A| - min_pos >= ceil(t*|A|)`` bound), so pruning beyond the
+    length filter is the verify step's job. Conservative-ceil 1e-9
+    guards as in :func:`ssjoin_jaccard`; final verify is an exact
+    sorted-merge count.
 
     Returns ``(edges, stats)``: edges ``(src, dst, containment)`` lazy,
     stats ``{"n_candidates": int}``. Same persist/eager-census contract
@@ -239,28 +242,24 @@ def ssjoin_containment(
     probe = ranked.select(
         "_id",
         "_sz",
-        F.posexplode(F.slice("_ranked", 1, p)).alias("_pos", "_w"),
+        F.explode(F.slice("_ranked", 1, p)).alias("_w"),
     ).select(
         F.col("_id").alias("src"),
         F.col("_sz").alias("_sa"),
-        F.col("_pos").alias("_pa"),
         F.col("_w._el").alias("_el"),
     )
-    index = exploded.join(
-        base.select("_id", F.size("_set").alias("_sb")), "_id"
-    ).select(F.col("_id").alias("dst"), "_sb", "_el")
+    # |B| rides the explode projection — no join over the element table
+    index = base.select(
+        F.col("_id").alias("dst"),
+        F.size("_set").alias("_sb"),
+        F.explode("_set").alias("_el"),
+    )
 
     joined = probe.join(index, "_el").filter(
         (F.col("src") != F.col("dst"))
         & (F.col("_sb") >= t * F.col("_sa") - _EPS)
     )
-    cands = joined.groupBy("src", "dst", "_sa").agg(
-        F.min("_pa").alias("_minpa")
-    )
-    # A-side positional: overlap <= |A| - pos_A(rank-smallest shared)
-    alpha = F.ceil(t * F.col("_sa") - _EPS).cast("int")
-    cands = cands.filter(F.col("_sa") - F.col("_minpa") >= alpha)
-    cands = _persist_tracked(cands.select("src", "dst"))
+    cands = _persist_tracked(joined.select("src", "dst").distinct())
     n_candidates = cands.count()  # eager: fills the cands cache
 
     feats = base.select("_id", F.array_sort("_set").alias("_lex"))

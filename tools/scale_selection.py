@@ -93,20 +93,20 @@ def main():
 
     # --- DSIR ---------------------------------------------------------
     t_start = time.time()
+    # timed window = the operator's own work (scoring, down to a tiny
+    # per-class census); the planted-class VERIFICATION aggregations run
+    # untimed afterward so the recorded docs/s measures the operator,
+    # not its checker (review finding, part 9b)
     t0 = time.time()
     w = dsir_log_weights(docs, target_col="is_t")
-    cls = (
-        w.withColumn(
-            "kind",
-            F.expr(
-                "CASE WHEN doc_id % 20 = 0 THEN 'target' "
-                "WHEN doc_id % 10 = 1 THEN 'planted' ELSE 'pool' END"
-            ),
-        )
-        .groupBy("kind", "selected")
-        .count()
-        .collect()
+    w = w.withColumn(
+        "kind",
+        F.expr(
+            "CASE WHEN doc_id % 20 = 0 THEN 'target' "
+            "WHEN doc_id % 10 = 1 THEN 'planted' ELSE 'pool' END"
+        ),
     )
+    cls = w.groupBy("kind", "selected").count().collect()
     dsir_sec = time.time() - t0
     release_census_caches()
     by = {(r.kind, r.selected): r["count"] for r in cls}
@@ -124,7 +124,15 @@ def main():
     # --- packing ------------------------------------------------------
     n_shards = max(cores * 4, 32)
     t0 = time.time()
-    p = pack_sequences(docs, seq_len=2048, n_shards=n_shards)
+    p = pack_sequences(docs, seq_len=2048, n_shards=n_shards).persist()
+    # materialize the layout itself (the sum REQUIRES the window cumsum,
+    # so Catalyst can't prune it); the lag-check verification below runs
+    # untimed against the persisted layout
+    mat = p.agg(
+        F.sum("tok_end").alias("s"), F.count("*").alias("rows")
+    ).collect()[0]
+    pack_sec = time.time() - t0
+    assert mat.rows == n
     from pyspark.sql import Window
 
     lagw = Window.partitionBy("shard").orderBy("pos")
@@ -139,8 +147,8 @@ def main():
         ).alias("gaps"),
         F.count("*").alias("rows"),
     ).collect()[0]
-    pack_sec = time.time() - t0
     assert viol.gaps == 0 and viol.rows == n, viol
+    p.unpersist()
     rec["packing"] = {
         "sec": round(pack_sec, 2),
         "docs_per_sec": round(n / pack_sec, 1),
@@ -153,22 +161,22 @@ def main():
         "doc_id", (F.col("doc_id") - F.col("doc_id") % 3).alias("cluster_id")
     )
     t0 = time.time()
-    a = leakage_safe_split(docs, clusters, val_frac=0.2)
-    agg = a.groupBy("group_id").agg(
-        F.countDistinct("split").alias("k"),
-        F.count("*").alias("m"),
-        F.max((F.col("split") == "val").cast("long")).alias("v"),
-    )
-    res = agg.select(
-        F.max("k").alias("maxk"),
-        F.sum("m").alias("docs"),
-        F.sum(F.col("m") * F.col("v")).alias("val_docs"),
-    ).collect()[0]
+    a = leakage_safe_split(docs, clusters, val_frac=0.2).persist()
+    # operator work = the join + hash decision, down to a per-side census
+    sides = {r.split: r["count"] for r in a.groupBy("split").count().collect()}
     split_sec = time.time() - t0
-    assert res.maxk == 1, "a group crossed the boundary"
-    assert res.docs == n
-    val_frac = res.val_docs / res.docs
+    assert sum(sides.values()) == n
+    val_frac = sides.get("val", 0) / n
     assert 0.15 <= val_frac <= 0.25, val_frac
+    # coherence verification untimed, against the persisted assignment
+    maxk = (
+        a.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k"))
+        .collect()[0][0]
+    )
+    assert maxk == 1, "a group crossed the boundary"
+    a.unpersist()
     rec["split"] = {
         "sec": round(split_sec, 2),
         "docs_per_sec": round(n / split_sec, 1),
