@@ -92,7 +92,53 @@ AUDITS = [
              _not(r"Exchange SinglePartition")),
         ],
     ),
+    (
+        "sequence_packing",
+        [
+            ("exactly one Exchange (hash on shard), no global sort",
+             lambda p: p.split("\n\n")[0].count("Exchange") == 1),
+            ("window is shard-partitioned (no SinglePartition)",
+             _not(r"Exchange SinglePartition")),
+            ("pure column expressions (no Python UDF)",
+             _not(r"BatchEvalPython|ArrowEvalPython|MapInPandas")),
+        ],
+    ),
+    (
+        "dsir_importance_weights",
+        [
+            ("broadcast term join (1024-row model side)",
+             _has(r"BroadcastHashJoin")),
+            ("partial per-doc aggregation", _has(r"HashAggregate")),
+            ("no nested-loop join", _not(r"BroadcastNestedLoopJoin|CartesianProduct")),
+        ],
+    ),
+    (
+        "url_block_flags",
+        [
+            ("rides the scan: no shuffle at all",
+             lambda p: "Exchange" not in p.split("\n\n")[0]),
+            ("pure JVM expressions (no Python UDF)",
+             _not(r"BatchEvalPython|ArrowEvalPython|MapInPandas")),
+        ],
+    ),
 ]
+
+
+def _dsir_lazy(spark, sf_dir):
+    # q_dsir_importance_weights collects + rebuilds a local frame (cache
+    # release discipline), so audit the OPERATOR's lazy plan instead
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.dsir import dsir_log_weights
+
+    d = entrymod._docs(spark, sf_dir).withColumn(
+        "is_t", F.expr("lang = 'en'")
+    )
+    return dsir_log_weights(d, target_col="is_t")
+
+
+# queries whose gate wrapper materializes rows: audit the lazy operator
+PLAN_BUILDERS = {"dsir_importance_weights": _dsir_lazy}
 
 
 def main():
@@ -103,7 +149,8 @@ def main():
     sections = []
     failures = []
     for name, checks in AUDITS:
-        plan = plan_of(qs[name](spark, sf_dir))
+        builder = PLAN_BUILDERS.get(name, qs[name])
+        plan = plan_of(builder(spark, sf_dir))
         rows = []
         for label, pred in checks:
             ok = pred(plan)
