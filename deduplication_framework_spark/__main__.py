@@ -96,6 +96,14 @@ def main(argv=None) -> int:
                    help="with --quality-filter: ALSO apply the Table-A1 "
                         "repetition thresholds (top/duplicate n-gram "
                         "character fractions, functions/repetition.py)")
+    p.add_argument("--lm-filter", default=None, metavar="BUCKETS",
+                   help="CCNet-style perplexity gate (operators/lm.py): "
+                        "score every page with the corpus-trained bigram "
+                        "LM, bucket into head/middle/tail tertiles "
+                        "(approx map-side cutoffs — the 100-TB path) and "
+                        "keep only the comma-listed buckets (e.g. "
+                        "'head,middle'); per-bucket counts in summary "
+                        "metrics")
     p.add_argument("--assign-splits", type=float, default=None,
                    metavar="VAL_FRAC",
                    help="leakage-safe train/val assignment over the "
@@ -182,6 +190,17 @@ def main(argv=None) -> int:
         )
         span_metrics.update(q_metrics)
         input_tags.append(f"quality:{int(args.quality_repetition)}")
+    if args.lm_filter is not None:
+        # after the quality gate (cheap scalar rules first), before span
+        # surgery: perplexity is judged on the document as crawled
+        if args.sweep:
+            p.error("--lm-filter is not supported with --sweep")
+        keep = {b.strip() for b in args.lm_filter.split(",") if b.strip()}
+        if not keep or not keep <= {"head", "middle", "tail"}:
+            p.error("--lm-filter BUCKETS must be from head,middle,tail")
+        pages, lm_metrics = _lm_filter_pages(pages, keep=keep)
+        span_metrics.update(lm_metrics)
+        input_tags.append(f"lm_filter:{','.join(sorted(keep))}")
     if args.remove_frequent_spans is not None:
         if args.sweep:
             p.error("--remove-frequent-spans is not supported with --sweep")
@@ -441,6 +460,42 @@ def _quality_filter_pages(pages, *, repetition: bool):
     )
 
     return apply_quality_filter(pages, repetition=repetition)
+
+
+def _lm_filter_pages(pages, *, keep):
+    """pages → (pages whose perplexity tertile is in ``keep``, metrics).
+    Scores with the corpus-trained bigram LM and buckets via the approx
+    map-side cutoffs (no global sort); empty/whitespace-only pages have
+    no LM score and are kept (the quality gate owns those). Per-bucket
+    counts ride the cutoff pass's persisted frame."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.lm import (
+        bucket_lm_scores,
+        lm_score_docs,
+    )
+
+    scored = bucket_lm_scores(
+        lm_score_docs(pages, id_col="doc_order"), approx=True
+    )
+    census = {
+        r.bucket: r["count"]
+        for r in scored.groupBy("bucket").count().collect()
+    }
+    out = pages.join(
+        scored.select(F.col("doc_id").alias("doc_order"), "bucket"),
+        "doc_order",
+        "left",
+    ).filter(
+        F.col("bucket").isNull() | F.col("bucket").isin(*sorted(keep))
+    ).drop("bucket")
+    metrics = {
+        "lm_filter.n_in": float(sum(census.values())),
+        "lm_filter.kept_buckets": float(len(keep)),
+    }
+    for b, n in census.items():
+        metrics[f"lm_filter.n_{b}"] = float(n)
+    return out, metrics
 
 
 def _frequent_span_pages(pages, max_count: int):

@@ -404,3 +404,55 @@ def test_cli_assign_splits_probes(spark, tmp_path):
                 "--sweep", "0.7,0.8",
             ]
         )
+
+
+def test_cli_lm_filter(spark, tmp_path):
+    """CCNet-style perplexity gate: tail-tertile pages drop before the
+    pipeline; per-bucket counts land in summary metrics."""
+    out = str(tmp_path / "out_lm")
+    rc = main(
+        [
+            "--synthetic", "300",
+            "--output", out,
+            "--detectors", "exact",
+            "--checkpoint-dir", str(tmp_path / "ckpt_lm"),
+            "--lm-filter", "head,middle",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "summary.json")) as fh:
+        summary = json.load(fh)
+    m = summary["metrics"]
+    assert m["lm_filter.n_in"] == 300
+    n_scored = sum(
+        v for k, v in m.items()
+        if k in ("lm_filter.n_head", "lm_filter.n_middle", "lm_filter.n_tail")
+    )
+    assert n_scored == 300
+    kept = m["lm_filter.n_head"] + m["lm_filter.n_middle"]
+    assert summary["docs"] <= kept  # pipeline saw only surviving pages
+    assert m["lm_filter.n_tail"] > 0  # the gate actually dropped a tertile
+
+
+def test_cli_lm_filter_probes(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "--synthetic", "50",
+                "--output", str(tmp_path / "o5"),
+                "--checkpoint-dir", str(tmp_path / "c5"),
+                "--lm-filter", "head,bogus",
+            ]
+        )
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "--synthetic", "50",
+                "--output", str(tmp_path / "o6"),
+                "--checkpoint-dir", str(tmp_path / "c6"),
+                "--lm-filter", "head",
+                "--sweep", "0.7",
+            ]
+        )
