@@ -1181,6 +1181,35 @@ def q_vocab_coverage(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_source_mix_weights(spark, sf_dir):
+    """Temperature-based dataset mixing weights (T5/Llama-style
+    alpha=0.5 sampling: w_s ∝ n_s^alpha, flattening the source
+    distribution so big crawls don't drown curated sets). Engine-exact
+    arithmetic: sqrt is IEEE-exact-rounded in both engines, so
+    ``sqrt_micro = round(sqrt(n)*1e6)`` agrees bit-for-bit (rounding
+    margins pinned in tests/test_mix_weights.py), and the ppm weight is
+    integer-ratio rounding over BIGINTs (1e6*a < 2^53 — exact double).
+    One tiny groupBy (|sources| rows); rides the scan at 100 TB."""
+    counts = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "sqrt_micro",
+            F.expr("CAST(round(sqrt(n_docs) * 1e6) AS BIGINT)"),
+        )
+    )
+    return counts.select(
+        "source",
+        "n_docs",
+        "sqrt_micro",
+        F.expr(
+            "CAST(round(sqrt_micro * 1e6 /"
+            " sum(sqrt_micro) OVER ()) AS BIGINT)"
+        ).alias("weight_ppm"),
+    )
+
+
 def q_lang_source_cube(spark, sf_dir):
     """CUBE rollup over (lang, source) with ALL placeholders."""
     return (
@@ -1896,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_stats": q_props_json_stats,
         "bpe_ish_token_counts": q_bpe_ish_token_counts,
         "lang_source_cube": q_lang_source_cube,
+        "source_mix_weights": q_source_mix_weights,
         "vocab_coverage": q_vocab_coverage,
         "incremental_new_docs": q_incremental_new_docs,
         "incremental_fuzzy_new_docs": q_incremental_fuzzy_new_docs,
@@ -2421,6 +2451,24 @@ def oracle_sql() -> dict[str, str]:
             FROM cum CROSS JOIN tot CROSS JOIN p
             WHERE cum * 100 >= pct * t
             GROUP BY pct
+        """,
+        # sqrt is IEEE-exact-rounded in both engines; weights are integer
+        # micro/ppm roundings (margins pinned in tests/test_mix_weights.py)
+        "source_mix_weights": """
+            WITH c AS (
+                SELECT source, count(*) AS n_docs
+                FROM documents GROUP BY source
+            ), s AS (
+                SELECT source, n_docs,
+                       CAST(round(sqrt(n_docs) * 1e6) AS BIGINT)
+                           AS sqrt_micro
+                FROM c
+            )
+            SELECT source, n_docs, sqrt_micro,
+                   CAST(round(sqrt_micro * 1e6 /
+                        (SELECT sum(sqrt_micro) FROM s)) AS BIGINT)
+                       AS weight_ppm
+            FROM s
         """,
         "lang_source_cube": """
             SELECT coalesce(lang, 'ALL') AS lang,
