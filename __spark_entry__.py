@@ -391,21 +391,38 @@ def _char3_jaccard_edges(d: DataFrame) -> DataFrame:
     )
     docs = d.select("doc_id", "n_chars", grams.alias("grams"))
     lb = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast("int")
+    # length buckets have ~4 distinct values, so a plain bucket join
+    # collapses to a handful of partitions (AQE then coalesces to ONE)
+    # and a single Arrow worker grinds every banded pair. Salt: the a
+    # side keys on (bucket, src%16), the (tiny) b side replicates over
+    # all 16 salts — join output splits 16 ways, answer unchanged.
+    n_salt = 16
     a = docs.select(
         F.col("doc_id").alias("src"),
         F.col("n_chars").alias("ca"),
         F.col("grams").alias("ga"),
         F.explode(F.array(lb - 1, lb, lb + 1)).alias("bucket"),
-    )
+    ).withColumn("salt", F.pmod("src", F.lit(n_salt)).cast("int"))
     b = docs.select(
         F.col("doc_id").alias("dst"),
         F.col("n_chars").alias("cb"),
         F.col("grams").alias("gb"),
         lb.alias("bucket"),
+    ).select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
     )
+    # explicit numbered repartition on the join key: AQE sizes partitions
+    # by SHUFFLE INPUT bytes and cannot see the join's pair expansion —
+    # left alone it coalesces these small inputs to 1-2 partitions and
+    # one Arrow worker grinds every banded pair. REPARTITION_BY_NUM
+    # exchanges are exempt from AQE coalescing, so the 64-way split (and
+    # the UDF parallelism downstream of it) survives.
+    a = a.repartition(64, "bucket", "salt")
+    b = b.repartition(64, "bucket", "salt")
     sim = make_sorted_jaccard_udf()(F.col("ga"), F.col("gb"))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "salt"])
         .filter(
             (F.col("src") < F.col("dst"))
             & (F.col("ca") >= 0.5 * F.col("cb"))
