@@ -838,6 +838,33 @@ def q_embedding_dup_edges(spark, sf_dir):
     )
 
 
+def q_semantic_decontam_flags(spark, sf_dir):
+    """Semantic eval-decontamination (Llama-3-style: drop train docs
+    whose embedding sits too close to an eval/benchmark embedding):
+    eval slice = vec_id % 20 == 0 (the exact-n-gram decontamination
+    queries' split), train = the rest; for every train vector, the
+    COUNT of eval vectors with dot >= 0.3 and the contamination flag.
+    Bipartite broadcast-GEMM (operators/ann.py::cross_neighbor_counts —
+    only the eval side is collected; train streams, never shuffles).
+    Every per-pair dot sits >= 7e-5 from the 0.3 threshold (the
+    embedding_dup_edges margin, pinned in test_oracle_assumptions over
+    ALL pairs — the bipartite set is a subset), so summation order
+    cannot flip any count."""
+    from deduplication_framework_spark.operators.ann import (
+        cross_neighbor_counts,
+    )
+
+    emb = _emb(spark, sf_dir)
+    ev = emb.filter("vec_id % 20 = 0")
+    tr = emb.filter("vec_id % 20 != 0")
+    c = cross_neighbor_counts(tr, ev, threshold=0.3, normalize=False)
+    return c.select(
+        "vec_id",
+        "n_ref_hits",
+        (F.col("n_ref_hits") > 0).alias("contaminated"),
+    )
+
+
 def q_embedding_clusters(spark, sf_dir):
     """J13 + J10 composed: embedding-cosine near-dup CLUSTERS — connected
     components over the dot >= 0.3 edge set (the same edges
@@ -1922,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neighbor_counts": q_cosine_neighbor_counts,
         "embedding_dup_edges": q_embedding_dup_edges,
         "embedding_clusters": q_embedding_clusters,
+        "semantic_decontam_flags": q_semantic_decontam_flags,
         "srp_dup_edges": q_srp_dup_edges,
         "label_sizes": q_label_sizes,
         "events_by_type_day": q_events_by_type_day,
@@ -2345,6 +2373,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # J13+J10: recursive min-label CC over the same dot>=0.3 edge set
         # (see q_embedding_clusters for the margin argument)
+        # bipartite brute-force dots in SQL; every pair decision is
+        # margin-protected (>= 7e-5 from 0.3, test_oracle_assumptions)
+        "semantic_decontam_flags": """
+            WITH ev AS (
+                SELECT embedding FROM embeddings WHERE vec_id % 20 = 0
+            ), tr AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 20 <> 0
+            )
+            SELECT t.vec_id,
+                   CAST(sum(CASE WHEN list_sum(list_transform(
+                            list_zip(t.embedding, e.embedding),
+                            p -> p[1]::DOUBLE * p[2]::DOUBLE)) >= 0.3
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_hits,
+                   sum(CASE WHEN list_sum(list_transform(
+                            list_zip(t.embedding, e.embedding),
+                            p -> p[1]::DOUBLE * p[2]::DOUBLE)) >= 0.3
+                        THEN 1 ELSE 0 END) > 0 AS contaminated
+            FROM tr t CROSS JOIN ev e
+            GROUP BY t.vec_id
+        """,
         "embedding_clusters": """
             WITH RECURSIVE
             e AS (

@@ -325,3 +325,52 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
     )
     return results, blocked
+
+
+def cross_neighbor_counts(
+    df: DataFrame,
+    ref: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    max_rows: int = MAX_BRUTEFORCE_ROWS, max_cells: int = MAX_BRUTEFORCE_CELLS,
+) -> DataFrame:
+    """→ (vec_id, n_ref_hits) for EVERY df row: #``ref`` vectors with
+    cosine >= threshold — the bipartite form of
+    ``neighbor_counts_bruteforce`` (semantic eval-decontamination: df =
+    train, ref = the eval/benchmark set). Only ``ref`` is collected and
+    broadcast (guarded by the same row/cell budgets — eval sets are the
+    small side by construction); df streams through a partition-local
+    GEMM and is never shuffled. Zero-hit rows ARE emitted (the flag
+    consumer needs them). ``normalize=False`` compares RAW float64 dots
+    (unit-norm corpora, oracle-parity mode)."""
+    spark = df.sparkSession
+    ids, mat = _collect_matrix(ref, id_col, vec_col, normalize=normalize,
+                               max_rows=max_rows, max_cells=max_cells)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M = b_mat.value
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(q) == 0:
+                yield pd.DataFrame({"vec_id": [], "n_ref_hits": []})
+                continue
+            if normalize:
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                qn[qn == 0] = 1.0
+                q = q / qn
+            sims = q @ M.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "n_ref_hits": (sims >= threshold).sum(axis=1).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        op, schema="vec_id long, n_ref_hits long"
+    )

@@ -305,3 +305,70 @@ class TestSRP:
         # lifts the 0.5^8*16 ~ 6% baseline to ~8% measured — still an
         # order of magnitude under all-pairs, tightening with dimension
         assert n < 0.15 * allpairs, f"{n} candidates vs {allpairs} pairs"
+
+
+class TestCrossNeighborCounts:
+    def test_bipartite_counts_and_zero_rows(self, spark):
+        from deduplication_framework_spark.operators.ann import (
+            cross_neighbor_counts,
+        )
+
+        tr = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+            ["vec_id", "embedding"],
+        )
+        ev = spark.createDataFrame(
+            [(100, [1.0, 0.0]), (101, [0.9, 0.1])],
+            ["vec_id", "embedding"],
+        )
+        got = {
+            r.vec_id: r.n_ref_hits
+            for r in cross_neighbor_counts(
+                tr, ev, threshold=0.8, normalize=True
+            ).collect()
+        }
+        # cos(v1,e100)=1, cos(v1,e101)=0.9938...; v2 hits none but the
+        # row is still emitted; v3 vs e100 = .7071 (<0.8), vs e101 ~ .78
+        assert got == {1: 2, 2: 0, 3: 0}
+
+    def test_raw_dot_mode_matches_bruteforce_count(self, spark):
+        import numpy as np
+
+        from deduplication_framework_spark.operators.ann import (
+            cross_neighbor_counts,
+        )
+
+        rng = np.random.default_rng(7)
+        tr_rows = [(i, rng.normal(size=8).tolist()) for i in range(30)]
+        ev_rows = [(100 + i, rng.normal(size=8).tolist()) for i in range(10)]
+        tr = spark.createDataFrame(tr_rows, ["vec_id", "embedding"])
+        ev = spark.createDataFrame(ev_rows, ["vec_id", "embedding"])
+        got = {
+            r.vec_id: r.n_ref_hits
+            for r in cross_neighbor_counts(
+                tr, ev, threshold=1.0, normalize=False
+            ).collect()
+        }
+        want = {
+            i: sum(
+                1
+                for _, e in ev_rows
+                if float(np.dot(np.array(v), np.array(e))) >= 1.0
+            )
+            for i, v in tr_rows
+        }
+        assert got == want
+
+    def test_ref_budget_guard(self, spark):
+        import pytest as _pytest
+
+        from deduplication_framework_spark.operators.ann import (
+            cross_neighbor_counts,
+        )
+
+        tr = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+        ev = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(50)], ["vec_id", "embedding"]
+        )
+        with _pytest.raises(ValueError, match="ivf_topk"):
+            cross_neighbor_counts(tr, ev, threshold=0.5, max_rows=10)
