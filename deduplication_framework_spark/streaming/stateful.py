@@ -382,3 +382,82 @@ def stream_text_candidates(
     raise ValueError(
         f"unknown stream detector {detector!r}; valid: minhash, simhash"
     )
+
+
+def stateful_latest_snapshot(
+    rows: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts_micros",
+    tie_col: str = "digest",
+) -> DataFrame:
+    """Streaming keep-latest per key — the incremental analog of
+    ``operators/snapshots.py::latest_snapshot`` over a recrawl stream of
+    ``(url, ts_micros[long], digest[string])`` captures (the input
+    hint's (url, warc_ts) model; pass ``unix_micros(warc_ts)`` for a
+    timestamp column).
+
+    Per-key state holds only the current winner ``(ts, tie)`` — O(1)
+    per url regardless of recrawl count, the streaming counterpart of
+    the batch op's map-side max-struct (no history replay, no window).
+    Ordering matches the batch struct comparison exactly: greatest
+    (ts, tie) wins, NULL ts sorts lowest but still seats a winner.
+
+    Append-mode contract: a trigger emits ``(key, ts_micros, digest,
+    n_updates)`` for a key IFF the winner CHANGED in that trigger (first
+    arrival included); late/out-of-order captures that lose to the
+    seated winner emit nothing. ``n_updates`` counts winner changes so
+    far (monotone — consumers can keep max). After any prefix of
+    micro-batches, the LAST emitted row per key equals
+    ``latest_snapshot`` of the union of those batches — pinned in
+    tests/test_streaming.py."""
+
+    def pick(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts, tie, n_updates = state.get
+        else:
+            ts, tie, n_updates = None, None, 0
+        start_updates = n_updates
+        for pdf in pdfs:
+            for r_ts, r_tie in zip(pdf[ts_col], pdf[tie_col]):
+                r_ts = None if pd.isna(r_ts) else int(r_ts)
+                r_tie = None if r_tie is None else str(r_tie)
+                # lexicographic (ts, tie), NULL lowest — the batch
+                # struct order
+                cur = (
+                    (ts is not None, ts if ts is not None else 0),
+                    (tie is not None, tie if tie is not None else ""),
+                )
+                new = (
+                    (r_ts is not None, r_ts if r_ts is not None else 0),
+                    (r_tie is not None, r_tie if r_tie is not None else ""),
+                )
+                # n_updates == 0 iff no winner has ever been seated
+                # (every seating increments it), so it doubles as the
+                # "state holds a real winner" flag even when the seated
+                # winner is (NULL, NULL)
+                if n_updates == 0 or new > cur:
+                    ts, tie = r_ts, r_tie
+                    n_updates += 1
+        state.update((ts, tie, n_updates))
+        if n_updates > start_updates:
+            yield pd.DataFrame(
+                [(key[0], ts, tie, n_updates)],
+                columns=[key_col, ts_col, tie_col, "n_updates"],
+            )
+
+    return rows.select(key_col, ts_col, tie_col).groupBy(
+        key_col
+    ).applyInPandasWithState(
+        pick,
+        outputStructType=(
+            f"{key_col} string, {ts_col} long, {tie_col} string,"
+            " n_updates long"
+        ),
+        stateStructType="ts long, tie string, n_updates long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -657,3 +657,71 @@ def test_stream_span_dedup_matches_batch_keep_first(spark, tmp_path):
     for r in out:
         final_drops[r.span] = max(final_drops.get(r.span, 0), r.n_dropped)
     assert sum(final_drops.values()) == n_total - len(batch_kept)
+
+
+def test_stateful_latest_snapshot_matches_batch(spark, tmp_path):
+    """Streaming keep-latest per url: after all micro-batches, the LAST
+    emitted row per key must equal the batch latest_snapshot of the
+    union — including out-of-order arrivals, ties broken by digest, and
+    NULL timestamps."""
+    from deduplication_framework_spark.operators.snapshots import (
+        latest_snapshot,
+    )
+    from deduplication_framework_spark.streaming.stateful import (
+        stateful_latest_snapshot,
+    )
+
+    batches = [
+        # (url, ts_micros, digest)
+        [("a", 100, "d1"), ("b", 50, "d2"), ("c", None, "d3")],
+        [("a", 90, "d4"),   # late: loses, emits nothing
+         ("b", 50, "d9"),   # same ts, larger digest: wins by tie
+         ("c", 10, "d0")],  # real ts beats NULL
+        [("a", 200, "d5"), ("d", None, None)],  # new winner; NULL-NULL key
+    ]
+    src = tmp_path / "snap_stream"
+    src.mkdir()
+    for i, chunk in enumerate(batches):
+        spark.createDataFrame(
+            chunk, "url string, ts_micros long, digest string"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("url string, ts_micros long, digest string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = stateful_latest_snapshot(stream, key_col="url")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latest_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "snap_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql(
+        "SELECT * FROM latest_stream ORDER BY n_updates"
+    ).collect()
+    # last emitted winner per key
+    last = {}
+    for r in emitted:
+        last[r.url] = (r.ts_micros, r.digest)
+
+    union = spark.createDataFrame(
+        [row for b in batches for row in b],
+        "url string, ts_micros long, digest string",
+    )
+    want = {
+        r.url: (r.ts_micros, r.digest)
+        for r in latest_snapshot(
+            union, ["url"], "ts_micros", tie_cols=["digest"]
+        ).collect()
+    }
+    assert last == want
+    # the losing recrawl (a, 90) must not have produced an emission
+    a_rows = [r for r in emitted if r.url == "a"]
+    assert [r.ts_micros for r in a_rows] == [100, 200]
+    assert a_rows[-1].n_updates == 2
