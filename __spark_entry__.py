@@ -220,7 +220,7 @@ def _norm_sql(col: str) -> str:
 # char-3-gram exact-Jaccard >= 0.8 edge CTEs (g/pairs/e) shared by the
 # jaccard_cluster_keepers and leakage_safe_split oracles; the length
 # band + gram-count-ratio prunes are answer-preserving (J <= min/max)
-_CHAR3_EDGE_CTES = """            g AS (
+_CHAR3_EDGE_CTES = """            g AS MATERIALIZED (
                 SELECT doc_id, n_chars,
                        list_distinct(list_transform(
                            range(1, greatest(length(text)-1, 2)),
@@ -238,7 +238,10 @@ _CHAR3_EDGE_CTES = """            g AS (
                  AND len(a.grams) >= 0.8 * len(b.grams) - 1e-9
                  AND len(b.grams) >= 0.8 * len(a.grams) - 1e-9
             ),
-            e AS (
+            -- MATERIALIZED: the recursive CC below scans e every
+            -- iteration; without it DuckDB re-inlines (and re-computes)
+            -- the all-pairs intersect per round — hours at sf0.1
+            e AS MATERIALIZED (
                 SELECT src, dst FROM pairs
                 WHERE i::DOUBLE / (s - i) >= 0.8
             ),"""
@@ -2396,7 +2399,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_clusters": """
             WITH RECURSIVE
-            e AS (
+            e AS MATERIALIZED (
                 SELECT a.vec_id AS src, b.vec_id AS dst
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
                 WHERE list_sum(list_transform(
@@ -2785,7 +2788,7 @@ def oracle_sql() -> dict[str, str]:
                  AND len(a.grams) >= 0.8 * len(b.grams) - 1e-9
                  AND len(b.grams) >= 0.8 * len(a.grams) - 1e-9
             ),
-            e AS (
+            e AS MATERIALIZED (
                 SELECT src, dst FROM pairs
                 WHERE i::DOUBLE / (s - i) >= 0.8
             ),
@@ -2827,7 +2830,7 @@ def oracle_sql() -> dict[str, str]:
                      LATERAL (SELECT unnest(range(1,
                          greatest(length(text)-198, 1))) AS i)
             ),
-            e AS (
+            e AS MATERIALIZED (
                 SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
                 FROM grams a JOIN grams b
                   ON a.g = b.g AND a.doc_id < b.doc_id
@@ -2869,7 +2872,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, ({_SIMHASH_VOTE_TERMS}) AS f
                 FROM hashed GROUP BY doc_id
             ),
-            e AS (
+            e AS MATERIALIZED (
                 SELECT a.doc_id AS src, b.doc_id AS dst
                 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
                 WHERE bit_count(xor(a.f, b.f)) <= 10
@@ -3059,7 +3062,7 @@ def oracle_sql() -> dict[str, str]:
                       / (len(a.fs) + len(b.fs)
                          - len(list_intersect(a.fs, b.fs))) >= 0.8
             ),
-            e AS (
+            e AS MATERIALIZED (
                 SELECT src, dst FROM exact_e
                 UNION ALL SELECT src, dst FROM mh_e
             ),
@@ -3070,7 +3073,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_clusters": f"""
             WITH RECURSIVE
             {_winnow_fingerprint_ctes()},
-            e AS (
+            e AS MATERIALIZED (
                 SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
                 FROM fp a JOIN fp b
                   ON a.fph = b.fph AND a.doc_id < b.doc_id
