@@ -2374,8 +2374,6 @@ def oracle_sql() -> dict[str, str]:
                       list_zip(a.embedding, b.embedding),
                       p -> p[1]::DOUBLE * p[2]::DOUBLE)) >= 0.3
         """,
-        # J13+J10: recursive min-label CC over the same dot>=0.3 edge set
-        # (see q_embedding_clusters for the margin argument)
         # bipartite brute-force dots in SQL; every pair decision is
         # margin-protected (>= 7e-5 from 0.3, test_oracle_assumptions)
         "semantic_decontam_flags": """
@@ -2397,6 +2395,8 @@ def oracle_sql() -> dict[str, str]:
             FROM tr t CROSS JOIN ev e
             GROUP BY t.vec_id
         """,
+        # J13+J10: recursive min-label CC over the same dot>=0.3 edge set
+        # (see q_embedding_clusters for the margin argument)
         "embedding_clusters": """
             WITH RECURSIVE
             e AS MATERIALIZED (

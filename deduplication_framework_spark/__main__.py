@@ -464,33 +464,41 @@ def _quality_filter_pages(pages, *, repetition: bool):
 
 def _lm_filter_pages(pages, *, keep):
     """pages → (pages whose perplexity tertile is in ``keep``, metrics).
-    Scores with the corpus-trained bigram LM and buckets via the approx
-    map-side cutoffs (no global sort); empty/whitespace-only pages have
-    no LM score and are kept (the quality gate owns those). Per-bucket
-    counts ride the cutoff pass's persisted frame."""
+    Doc identity comes from the pipeline's own ``prepare_docs`` (explicit
+    doc_order when present, else the (warc_ts, url) dense rank — the
+    sibling layers' contract). Scores with the corpus-trained bigram LM
+    and buckets via the approx map-side cutoffs (no global sort);
+    empty/whitespace-only pages have no LM score and pass through
+    unscored (the quality gate owns those; counted in
+    ``lm_filter.n_unscored``). ``lm_filter.n_in`` counts ALL input
+    pages, matching the other layers' accounting."""
     from pyspark.sql import functions as F
 
     from deduplication_framework_spark.operators.lm import (
         bucket_lm_scores,
         lm_score_docs,
     )
+    from deduplication_framework_spark.plans.pipeline import prepare_docs
 
-    scored = bucket_lm_scores(
-        lm_score_docs(pages, id_col="doc_order"), approx=True
-    )
+    docs = prepare_docs(pages)
+    n_in = docs.count()
+    scored = bucket_lm_scores(lm_score_docs(docs), approx=True)
     census = {
         r.bucket: r["count"]
         for r in scored.groupBy("bucket").count().collect()
     }
-    out = pages.join(
-        scored.select(F.col("doc_id").alias("doc_order"), "bucket"),
-        "doc_order",
-        "left",
-    ).filter(
-        F.col("bucket").isNull() | F.col("bucket").isin(*sorted(keep))
-    ).drop("bucket")
+    out = (
+        docs.join(scored.select("doc_id", "bucket"), "doc_id", "left")
+        .filter(
+            F.col("bucket").isNull() | F.col("bucket").isin(*sorted(keep))
+        )
+        .select(
+            F.col("doc_id").alias("doc_order"), "url", "text", "lang"
+        )
+    )
     metrics = {
-        "lm_filter.n_in": float(sum(census.values())),
+        "lm_filter.n_in": float(n_in),
+        "lm_filter.n_unscored": float(n_in - sum(census.values())),
         "lm_filter.kept_buckets": float(len(keep)),
     }
     for b, n in census.items():

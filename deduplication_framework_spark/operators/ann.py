@@ -336,7 +336,8 @@ def cross_neighbor_counts(
     normalize: bool = True,
     max_rows: int = MAX_BRUTEFORCE_ROWS, max_cells: int = MAX_BRUTEFORCE_CELLS,
 ) -> DataFrame:
-    """→ (vec_id, n_ref_hits) for EVERY df row: #``ref`` vectors with
+    """→ (``id_col``, n_ref_hits) for EVERY df row (ids must be LONG —
+    the Arrow schema is fixed): #``ref`` vectors with
     cosine >= threshold — the bipartite form of
     ``neighbor_counts_bruteforce`` (semantic eval-decontamination: df =
     train, ref = the eval/benchmark set). Only ``ref`` is collected and
@@ -346,6 +347,12 @@ def cross_neighbor_counts(
     consumer needs them). ``normalize=False`` compares RAW float64 dots
     (unit-norm corpora, oracle-parity mode)."""
     spark = df.sparkSession
+    if ref.limit(1).count() == 0:
+        # empty reference set: every row has zero hits (the documented
+        # contract), not a matmul shape crash
+        return df.select(
+            F.col(id_col), F.lit(0).cast("long").alias("n_ref_hits")
+        )
     ids, mat = _collect_matrix(ref, id_col, vec_col, normalize=normalize,
                                max_rows=max_rows, max_cells=max_cells)
     b_mat = spark.sparkContext.broadcast(mat)
@@ -355,7 +362,7 @@ def cross_neighbor_counts(
         for pdf in batches:
             q = np.array(list(pdf[vec_col]), dtype=np.float64)
             if len(q) == 0:
-                yield pd.DataFrame({"vec_id": [], "n_ref_hits": []})
+                yield pd.DataFrame({id_col: [], "n_ref_hits": []})
                 continue
             if normalize:
                 qn = np.linalg.norm(q, axis=1, keepdims=True)
@@ -364,7 +371,7 @@ def cross_neighbor_counts(
             sims = q @ M.T
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     "n_ref_hits": (sims >= threshold).sum(axis=1).astype(
                         "int64"
                     ),
@@ -372,5 +379,5 @@ def cross_neighbor_counts(
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        op, schema="vec_id long, n_ref_hits long"
+        op, schema=f"{id_col} long, n_ref_hits long"
     )

@@ -372,3 +372,33 @@ class TestCrossNeighborCounts:
         )
         with _pytest.raises(ValueError, match="ivf_topk"):
             cross_neighbor_counts(tr, ev, threshold=0.5, max_rows=10)
+
+    def test_empty_ref_yields_zero_hits(self, spark):
+        from deduplication_framework_spark.operators.ann import (
+            cross_neighbor_counts,
+        )
+
+        tr = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+        )
+        ev = tr.filter("vec_id < 0")  # empty
+        got = {
+            r.vec_id: r.n_ref_hits
+            for r in cross_neighbor_counts(tr, ev, threshold=0.5).collect()
+        }
+        assert got == {1: 0, 2: 0}
+
+    def test_custom_id_col_in_output(self, spark):
+        from deduplication_framework_spark.operators.ann import (
+            cross_neighbor_counts,
+        )
+
+        tr = spark.createDataFrame(
+            [(7, [1.0, 0.0])], ["doc_id", "embedding"]
+        )
+        ev = spark.createDataFrame(
+            [(8, [1.0, 0.0])], ["doc_id", "embedding"]
+        )
+        out = cross_neighbor_counts(tr, ev, threshold=0.9, id_col="doc_id")
+        assert out.columns == ["doc_id", "n_ref_hits"]
+        assert out.collect()[0].doc_id == 7
