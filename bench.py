@@ -1,6 +1,10 @@
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. The FINAL stdout line is one COMPACT JSON object:
   {"metric": "total_sec", "value": N, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": 0.1}
+   "queries": {...per-query minima...}, "sf": 0.1, "recall": {...}}
+The full payload (every rep's timing + the hard-asserted evidence dicts)
+goes to BENCH/evidence_last_run.json and an earlier stdout line — the
+driver tail-captures stdout, and round 4's single giant line outgrew the
+capture (BENCH_r04 parsed:null).
 
 Headline workloads:
   * full near-dup pipelines (exact+minhash / simhash / substring) over a
@@ -627,6 +631,95 @@ def decontaminate_evidence(spark, pages):
     }
 
 
+def _stream_batches_path(spark, pages, n_batches: int) -> str:
+    """Write the bench corpus once as ``n_batches`` sequential parquet
+    slices (b0..bN dirs) — the micro-batch source for the streaming
+    workload. Keyed beside the parquet_pages cache."""
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"bench_stream_{N_PAGES}_{n_batches}"
+    )
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        from pyspark.sql import functions as F
+
+        per = max(1, (N_PAGES + n_batches - 1) // n_batches)
+        for i in range(n_batches):
+            (
+                pages.filter(
+                    (F.col("doc_order") >= i * per)
+                    & (F.col("doc_order") < (i + 1) * per)
+                )
+                .select("doc_order", "text")
+                .coalesce(4)
+                .write.mode("overwrite")
+                .parquet(os.path.join(base, f"b{i}"))
+            )
+        open(os.path.join(base, "_DONE"), "w").close()
+    return base
+
+
+def bench_streaming_minhash(spark, pages, n_batches: int = 4):
+    """Stateful streaming MinHash-LSH, raw text in (VERDICT r4 #6: the
+    state-path perf had no bench presence): the bench corpus arrives as
+    ``n_batches`` micro-batches through stream_text_candidates →
+    applyInPandasWithState per-bucket matching. Returns (run, evidence):
+    the run is a tracked minimum like every workload; the evidence dict
+    asserts the accounting — edges found, NO evictions at the default
+    state cap (buckets here are orders of magnitude under it), and
+    docs/s across the whole multi-trigger query. Exact cross-micro-batch
+    pair parity with the batch band-collision set is pinned in
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from deduplication_framework_spark.streaming.stateful import (
+        stream_text_candidates,
+    )
+
+    src = _stream_batches_path(spark, pages, n_batches)
+    counter = {"i": 0}
+    evidence: dict = {"n_batches": n_batches, "n_docs": N_PAGES}
+
+    def run():
+        counter["i"] += 1
+        qname = f"bench_stream_{counter['i']}"
+        ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+        stream = (
+            spark.readStream.schema("doc_order long, text string")
+            .option("maxFilesPerTrigger", 4)
+            .parquet(os.path.join(src, "b*"))
+        )
+        out = stream_text_candidates(stream, detector="minhash")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        res = spark.sql(
+            f"SELECT count(DISTINCT struct(src, dst)) AS edges,"
+            f" max(n_state_evicted) AS ev FROM {qname}"
+            f" WHERE src IS NOT NULL"
+        ).first()
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        assert (res.ev or 0) == 0, (
+            f"unexpected state eviction at bench scale: {res.ev}"
+        )
+        assert res.edges > 0, "streaming LSH found no candidate edges"
+        evidence["n_candidate_edges"] = int(res.edges)
+        evidence["max_evicted"] = int(res.ev or 0)
+        return res.edges
+
+    return run, evidence
+
+
 def main():
     scaling = "--scaling" in sys.argv
     reps = int(os.environ.get("BENCH_REPS", "2"))
@@ -654,6 +747,8 @@ def main():
     ]
     cc_run, cc_stats = bench_distributed_cc(spark)
     workloads.append(("cc_distributed_chain_1m2_edges", cc_run))
+    stream_run, stream_stats = bench_streaming_minhash(spark, pages)
+    workloads.append(("streaming_minhash_lsh_e2e", stream_run))
     workloads.append(("incremental_bloom_e2e", bench_incremental_bloom(spark, pages)))
     workloads.append(("incremental_fuzzy_e2e", bench_incremental_fuzzy(spark, pages)))
     workloads.append(("decontaminate_e2e", bench_decontaminate(spark, pages)))
@@ -731,14 +826,10 @@ def main():
         scaling_report = run_scaling()
 
     total = round(sum(results.values()), 3)
-    line = {
-        "metric": "total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": results,
-        "sf": SF,
-        "n_pages": N_PAGES,
-        "reps": reps,
+    stream_stats["docs_per_sec"] = round(
+        N_PAGES / results["streaming_minhash_lsh_e2e"], 1
+    )
+    evidence = {
         "all_reps": all_times,
         "minhash_recall_vs_oracle": recall,
         "distributed_cc": cc_stats,
@@ -748,10 +839,35 @@ def main():
         "decontaminate": decontam,
         "ssjoin": ssjoin,
         "containment": containment,
+        "streaming_minhash": stream_stats,
     }
     if scaling_report:
-        line["scaling"] = scaling_report
-    print(json.dumps(line))
+        evidence["scaling"] = scaling_report
+    # Full payload -> sidecar file + an EARLY stdout line. The driver
+    # tail-captures stdout and parses the FINAL line; BENCH_r04 came back
+    # parsed:null because one giant line (all_reps + seven evidence
+    # dicts) outgrew the capture window (VERDICT r4, What's wrong #2).
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/evidence_last_run.json", "w") as fh:
+        json.dump(evidence, fh, indent=2)
+    print(json.dumps({"evidence": evidence}))
+    line = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF,
+        "n_pages": N_PAGES,
+        "reps": reps,
+        "evidence_file": "BENCH/evidence_last_run.json",
+        "evidence_asserts": "green",  # every evidence dict hard-asserts
+        "recall": {
+            "minhash_vs_oracle": recall["recall"],
+            "skew_salted": skew["recall_vs_oracle"],
+            "containment_planted": containment["planted_recall"],
+        },
+    }
+    print(json.dumps(line))  # compact FINAL line — the parse target
 
 
 def _burn(seconds: float) -> int:

@@ -127,6 +127,44 @@ def main(argv=None) -> int:
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
+    # pure-argument validation BEFORE any Spark session or preprocessing
+    # layer runs: a bad flag must fail in milliseconds, not minutes into
+    # the --block-urls/--quality-filter/--lm-filter collect jobs
+    if not args.input and not args.synthetic:
+        p.error("one of --input / --synthetic is required")
+    sweep_incompatible = [
+        ("--block-urls", args.block_urls),
+        ("--dedup-against", args.dedup_against is not None),
+        ("--quality-filter", args.quality_filter),
+        ("--lm-filter", args.lm_filter is not None),
+        ("--remove-frequent-spans", args.remove_frequent_spans is not None),
+        ("--span-dedup", args.span_dedup is not None),
+        ("--decontaminate-against", args.decontaminate_against is not None),
+        ("--assign-splits", args.assign_splits is not None),
+    ]
+    if args.sweep:
+        for flag, on in sweep_incompatible:
+            if on:
+                p.error(f"{flag} is not supported with --sweep")
+    if args.dedup_against_fuzzy and args.dedup_against is None:
+        p.error("--dedup-against-fuzzy requires --dedup-against")
+    if args.quality_repetition and not args.quality_filter:
+        p.error("--quality-repetition requires --quality-filter")
+    if args.lm_filter is not None:
+        lm_keep = {b.strip() for b in args.lm_filter.split(",") if b.strip()}
+        if not lm_keep or not lm_keep <= {"head", "middle", "tail"}:
+            p.error("--lm-filter BUCKETS must be from head,middle,tail")
+    if (args.remove_frequent_spans is not None
+            and args.remove_frequent_spans < 1):
+        p.error("--remove-frequent-spans MAX_COUNT must be >= 1")
+    if args.span_dedup_fuzzy and args.span_dedup is None:
+        p.error("--span-dedup-fuzzy requires --span-dedup")
+    if args.decontaminate_against is not None and args.decontaminate_ngram < 1:
+        p.error("--decontaminate-ngram N must be >= 1")
+    if (args.assign_splits is not None
+            and not 0.0 <= args.assign_splits <= 1.0):
+        p.error("--assign-splits VAL_FRAC must be in [0, 1]")
+
     from deduplication_framework_spark.config import load_pipeline_config
     from deduplication_framework_spark.plans.checkpoint import ParquetTableStore
     from deduplication_framework_spark.plans.pipeline import run_pipeline
@@ -138,10 +176,8 @@ def main(argv=None) -> int:
 
     if args.synthetic:
         pages = generate_pages(spark, args.synthetic)
-    elif args.input:
-        pages = spark.read.parquet(args.input)
     else:
-        p.error("one of --input / --synthetic is required")
+        pages = spark.read.parquet(args.input)
 
     detectors = [d.strip() for d in args.detectors.split(",") if d.strip()]
 
@@ -150,18 +186,12 @@ def main(argv=None) -> int:
     if args.block_urls:
         # the cheapest reject comes first: a blocked url never reaches
         # the recrawl prefilter, quality gate, or featurization
-        if args.sweep:
-            p.error("--block-urls is not supported with --sweep")
         if "url" not in pages.columns:
             p.error("--block-urls requires a url column in the input")
         pages, ub_metrics = _block_url_pages(pages)
         span_metrics.update(ub_metrics)
         input_tags.append("block_urls:1")
-    if args.dedup_against_fuzzy and args.dedup_against is None:
-        p.error("--dedup-against-fuzzy requires --dedup-against")
     if args.dedup_against is not None:
-        if args.sweep:
-            p.error("--dedup-against is not supported with --sweep")
         pages, inc_metrics = _incremental_pages(
             spark, pages, args.dedup_against
         )
@@ -178,13 +208,9 @@ def main(argv=None) -> int:
             input_tags.append(
                 f"dedup_against_fuzzy:{args.dedup_against}"
             )
-    if args.quality_repetition and not args.quality_filter:
-        p.error("--quality-repetition requires --quality-filter")
     if args.quality_filter:
         # after the exact-recrawl prefilter (cheapest first), before any
         # span surgery: quality is judged on the document as crawled
-        if args.sweep:
-            p.error("--quality-filter is not supported with --sweep")
         pages, q_metrics = _quality_filter_pages(
             pages, repetition=args.quality_repetition
         )
@@ -193,29 +219,17 @@ def main(argv=None) -> int:
     if args.lm_filter is not None:
         # after the quality gate (cheap scalar rules first), before span
         # surgery: perplexity is judged on the document as crawled
-        if args.sweep:
-            p.error("--lm-filter is not supported with --sweep")
         keep = {b.strip() for b in args.lm_filter.split(",") if b.strip()}
-        if not keep or not keep <= {"head", "middle", "tail"}:
-            p.error("--lm-filter BUCKETS must be from head,middle,tail")
         pages, lm_metrics = _lm_filter_pages(pages, keep=keep)
         span_metrics.update(lm_metrics)
         input_tags.append(f"lm_filter:{','.join(sorted(keep))}")
     if args.remove_frequent_spans is not None:
-        if args.sweep:
-            p.error("--remove-frequent-spans is not supported with --sweep")
-        if args.remove_frequent_spans < 1:
-            p.error("--remove-frequent-spans MAX_COUNT must be >= 1")
         pages, fs_metrics = _frequent_span_pages(
             pages, max_count=args.remove_frequent_spans
         )
         span_metrics.update(fs_metrics)
         input_tags.append(f"frequent_spans:{args.remove_frequent_spans}")
-    if args.span_dedup_fuzzy and args.span_dedup is None:
-        p.error("--span-dedup-fuzzy requires --span-dedup")
     if args.span_dedup is not None:
-        if args.sweep:
-            p.error("--span-dedup is not supported with --sweep")
         pages, sd_metrics = _span_dedup_pages(
             pages, sep=args.span_dedup, fuzzy=args.span_dedup_fuzzy, cfg=cfg
         )
@@ -223,10 +237,6 @@ def main(argv=None) -> int:
         mode = "span_dedup_fuzzy" if args.span_dedup_fuzzy else "span_dedup"
         input_tags.append(f"{mode}:{args.span_dedup}")
     if args.decontaminate_against is not None:
-        if args.sweep:
-            p.error("--decontaminate-against is not supported with --sweep")
-        if args.decontaminate_ngram < 1:
-            p.error("--decontaminate-ngram N must be >= 1")
         pages, dc_metrics = _decontaminate_pages(
             spark, pages, args.decontaminate_against, args.decontaminate_ngram
         )
@@ -235,12 +245,6 @@ def main(argv=None) -> int:
             f"decontaminate:{args.decontaminate_against}"
             f":{args.decontaminate_ngram}"
         )
-    if args.assign_splits is not None:
-        if args.sweep:
-            p.error("--assign-splits is not supported with --sweep")
-        if not 0.0 <= args.assign_splits <= 1.0:
-            p.error("--assign-splits VAL_FRAC must be in [0, 1]")
-
     input_tag = "|".join(input_tags)
 
     if args.sweep:

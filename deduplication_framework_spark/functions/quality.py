@@ -61,6 +61,11 @@ _BULLETS = ("-", "*", "•")  # line-start bullet markers
 # its old `\s+` and makes DuckDB match it.
 _WS_SPARK = r"[ \\t\\n\\r\\f\\x0B]+"  # SQL literal -> Java [ \t\n\r\f\x0B]+
 _WS_DUCK = r"[ \t\n\r\f\x0B]+"  # DuckDB literal (no escape pass) -> RE2 same
+# same pattern handed DIRECTLY to the Java regex engine (F.split /
+# F.regexp_* take the regex without a SQL-escape pass) — Java and RE2
+# read the explicit class identically, unlike \s (Java includes \x0B,
+# RE2 does not: the latent cross-engine divergence these twins close)
+_WS_JAVA = _WS_DUCK
 
 
 def _spark_templates(col: str) -> dict:

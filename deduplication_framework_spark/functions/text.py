@@ -430,10 +430,14 @@ def word_bigram_sets(
     and the bench workload (lowercase=True), so the shingle rule cannot
     drift between the two surfaces. Docs with <2 tokens emit no row.
     Pure JVM expressions — rides the scan at scale."""
+    from deduplication_framework_spark.functions.quality import _WS_JAVA
+
     text = F.trim(F.col(text_col))
     if lowercase:
         text = F.lower(text)
-    toks = F.split(text, r"\s+")
+    # explicit whitespace class (not \s): Java \s includes \x0B, RE2's
+    # does not — the shared twin keeps the DuckDB oracles byte-identical
+    toks = F.split(text, _WS_JAVA)
     return (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
         .filter(F.size("toks") >= 2)

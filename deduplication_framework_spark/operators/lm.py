@@ -32,12 +32,12 @@ Scale posture (100 TB):
   external (small) LM is supplied;
 * the input projection is persisted + eagerly counted (the count jobs
   are concurrent consumers — CLAUDE.md pitfall);
-* exact tertiles (``bucket_lm_scores``) use a GLOBAL ntile window —
-  single-partition sort, the transparent spec path the driver gate
-  verifies. At corpus scale use ``bucket_lm_scores(..., approx=True)``:
-  two approximate-percentile cutoffs from one aggregation, broadcast
-  into a map-side CASE — no global sort, same head/middle/tail
-  semantics up to quantile-sketch error at the cut lines.
+* bucketing defaults to ``approx=True``: two approximate-percentile
+  cutoffs from one aggregation, broadcast into a map-side CASE — no
+  global sort, same head/middle/tail semantics up to quantile-sketch
+  error at the cut lines (CCNet itself buckets by precomputed cutoffs).
+  ``approx=False`` is the exact-ntile spec path — a GLOBAL
+  single-partition sort — reserved for the driver-gate oracle query.
 """
 
 from __future__ import annotations
@@ -170,13 +170,18 @@ def lm_score_docs(
 
 
 def bucket_lm_scores(
-    scored: DataFrame, *, n_buckets: int = 3, approx: bool = False
+    scored: DataFrame, *, n_buckets: int = 3, approx: bool = True
 ) -> DataFrame:
     """Add ``avg_logp`` (logp_micro/n_tokens) and a CCNet-style bucket
     (``head``/``middle``/``tail`` for 3; bucket index string otherwise),
-    best-scoring docs first. ``approx=False`` is the exact-ntile spec
-    (global sort — gate scale); ``approx=True`` computes cutoffs with
-    ``percentile_approx`` and buckets map-side (the 100-TB path)."""
+    best-scoring docs first. ``approx=True`` (the DEFAULT and the 100-TB
+    path — CCNet's own bucketing is cutoff-based, not rank-based):
+    cutoffs from one ``percentile_approx`` aggregation, broadcast into a
+    map-side CASE — no global sort. ``approx=False`` is the exact-ntile
+    spec used ONLY where a DuckDB oracle needs deterministic rank
+    semantics (the driver gate query): it is a partition-less global
+    window — every row flows through ONE task — and must never appear
+    in a production plan (pinned by tests/test_plans.py)."""
     avg = F.col("logp_micro") * 1.0 / F.col("n_tokens")
     scored = scored.withColumn("avg_logp", avg)
     names = (

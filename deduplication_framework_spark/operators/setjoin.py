@@ -69,7 +69,10 @@ from deduplication_framework_spark.operators.verify import verify_jaccard
 
 __all__ = ["ssjoin_jaccard", "ssjoin_containment"]
 
-_EPS = 1e-9  # conservative-ceil guard for float threshold arithmetic
+# conservative-ceil guard for float threshold arithmetic — ONE definition
+# shared with the verify-side prefilters (defined in verify.py because
+# this module already imports from it)
+from deduplication_framework_spark.operators.verify import _EPS  # noqa: E402
 
 
 def ssjoin_jaccard(

@@ -28,6 +28,14 @@ from pyspark.sql.pandas.functions import pandas_udf
 
 from deduplication_framework_spark.functions.text import hamming_expr, jaccard_expr
 
+# conservative guard for float threshold arithmetic in recall-safe
+# prefilters: a threshold whose double literal rounds ABOVE its rational
+# value (e.g. 0.8 -> 0.8000...0444) could otherwise make a size prune
+# strictly tighter than the exact predicate and drop an
+# exactly-at-threshold pair. Shared with operators/setjoin.py (defined
+# here because setjoin already imports from this module).
+_EPS = 1e-9
+
 
 def _attach(pairs: DataFrame, feats: DataFrame, id_col: str, cols) -> DataFrame:
     fa = feats.select(
@@ -85,10 +93,12 @@ def verify_jaccard(
     joined = _attach(pairs, features, id_col, [feat_col])
     a, b = F.col(f"{feat_col}_a"), F.col(f"{feat_col}_b")
     if size_prefilter and threshold > 0 and use_sorted_udf:
-        # |A| >= θ|B| and |B| >= θ|A| are necessary for J >= θ
+        # |A| >= θ|B| and |B| >= θ|A| are necessary for J >= θ; -_EPS
+        # mirrors the setjoin candidate-side guard so the prune is
+        # provably recall-safe for ANY threshold literal (ADVICE r4)
         sa, sb = F.size(a), F.size(b)
         joined = joined.filter(
-            (sa >= threshold * sb) & (sb >= threshold * sa)
+            (sa >= threshold * sb - _EPS) & (sb >= threshold * sa - _EPS)
         )
     sim = make_sorted_jaccard_udf()(a, b) if use_sorted_udf else jaccard_expr(a, b)
     return (
@@ -152,8 +162,13 @@ def verify_containment(
     joined = _attach(pairs, features, id_col, [feat_col])
     a, b = F.col(f"{feat_col}_a"), F.col(f"{feat_col}_b")
     if threshold > 0:
-        # |B| >= overlap >= t*|A| is necessary
-        joined = joined.filter(F.size(b) >= threshold * F.size(a))
+        # |B| >= overlap >= t*|A| is necessary; -_EPS keeps the prune
+        # recall-safe for thresholds whose double literal rounds above
+        # the rational value (ADVICE r4 — mirrors ssjoin_containment's
+        # candidate-join guard)
+        joined = joined.filter(
+            F.size(b) >= threshold * F.size(a) - _EPS
+        )
     cont = make_sorted_containment_udf()(a, b)
     return (
         joined.withColumn("containment", cont)

@@ -60,7 +60,13 @@ def scored(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
     )
-    rows = bucket_lm_scores(lm_score_docs(df)).orderBy("doc_id").collect()
+    # approx=False: these tests pin the exact-ntile ORACLE semantics;
+    # the production default is the map-side approx path
+    rows = (
+        bucket_lm_scores(lm_score_docs(df), approx=False)
+        .orderBy("doc_id")
+        .collect()
+    )
     release_census_caches()
     return rows
 

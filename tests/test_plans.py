@@ -190,3 +190,33 @@ def test_sequence_packing_single_shard_exchange(spark):
     assert tree.count("Exchange") == 1, plan
     assert "hashpartitioning(shard" in plan, plan
     assert tree.count("Sort") == 1, plan
+
+
+def test_lm_default_bucketing_has_no_single_partition_window(spark):
+    """VERDICT r4 #2: ``bucket_lm_scores``' DEFAULT — the CLI
+    ``--lm-filter`` / production surface — must be the map-side
+    approx-cutoff bucketing: no partition-less ntile Window, no
+    Exchange SinglePartition anywhere in the plan. The exact global
+    ntile survives only behind ``approx=False`` for the driver-gate
+    oracle query."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.lm import (
+        bucket_lm_scores,
+        lm_score_docs,
+    )
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the a of tok"), (F.col("id") % 17).cast("string")
+        ).alias("text"),
+    )
+    out = bucket_lm_scores(lm_score_docs(df))
+    plan = _plan(out)
+    release_census_caches()
+    assert "SinglePartition" not in plan, plan
+    assert "ntile" not in plan.lower(), plan
