@@ -1194,9 +1194,11 @@ def q_vocab_coverage(spark, sf_dir):
         release_census_caches,
     )
 
+    from deduplication_framework_spark.functions.quality import _WS_SPARK
+
     toks = _docs(spark, sf_dir).select(
         F.explode(
-            F.expr("split(lower(trim(text)), '\\\\s+')")
+            F.expr(f"split(lower(trim(text)), '{_WS_SPARK}')")
         ).alias("w")
     ).filter("w <> ''")
     # persist the (vocab-sized) counts: the total collect and the
@@ -1345,6 +1347,86 @@ def q_ann_ivf_topk(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("vec_id", "neighbor_id", "rank")
     )
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-5 with exact rerank (operators/pq.py — the last
+    first-class ANN component without a driver oracle until r5; VERDICT
+    r4 #3). Same deterministic label-block IVF layout as q_ann_ivf_topk
+    (per-label mean centroids, probe the 4 nearest lists), but list
+    members are scanned as 16-byte PQ codes via each query's ADC LUT —
+    never as float vectors — and the ADC top-256 shortlist is reranked
+    with exact dots. Rerank makes the OUTPUT exact top-5 within the
+    probed lists whenever the shortlist covers it, so the oracle is the
+    same SQL as ann_ivf_topk (shared constant) and the float-margin
+    analysis carries over unchanged (probe gaps >= 4.4e-6, neighbor-rank
+    gaps >= 1.4e-6 vs ~1e-13 noise).
+
+    Shortlist-coverage precondition, measured per SF (m=16 subspaces,
+    256-entry codebooks, seeded k-means on the vec_id-ordered sample):
+    worst ADC rank of an exact-top-5 member = 17 (sf0.001), 17 (sf0.01),
+    65 (sf0.1) — rerank=256 is ~4x the sf0.1 worst. m=8 would NOT cover
+    (worst rank 309 at sf0.1: the corpus's label blocks are clusters of
+    near-identical vectors whose exact-dot gaps sit far below 8-byte
+    quantization error — the adversarial shape the reranked recipe
+    exists for). Operator==oracle equality is pinned per SF in
+    tests/test_oracle_assumptions.py; the raw-ADC recall contract stays
+    in tests/test_ann.py."""
+    from deduplication_framework_spark.operators.pq import (
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = _emb(spark, sf_dir)
+    # vec_id-ordered training sample -> deterministic codebooks (a bare
+    # limit() samples in partition order, which is not stable)
+    cb = pq_train(
+        emb.orderBy("vec_id"), m=16, k=256, sample_rows=2000, seed=42
+    )
+    out = ivfpq_topk(
+        emb, cb, k=5, n_probe=4, block_col="label", rerank=256
+    )
+    return out.select("vec_id", "neighbor_id", "rank")
+
+
+# Shared by the ann_ivf_topk AND ivfpq_topk oracle entries: both queries
+# reduce to exact (dot DESC, id) top-5 within the 4 probed label lists —
+# ivfpq via its exact rerank of a covering ADC shortlist (precondition
+# pinned per SF in tests/test_oracle_assumptions.py).
+_IVF_LABEL_TOP5_SQL = """
+    WITH cent AS (
+        SELECT label, t.i AS i, avg(embedding[t.i + 1]::DOUBLE) AS c
+        FROM embeddings, range(64) AS t(i)
+        GROUP BY label, t.i
+    ), cdots AS (
+        SELECT e.vec_id, c.label,
+               sum(e.embedding[c.i + 1]::DOUBLE * c.c) AS cdot
+        FROM embeddings e JOIN cent c ON TRUE
+        GROUP BY e.vec_id, c.label
+    ), probed AS (
+        SELECT vec_id, label FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cdot DESC, label) AS pr
+            FROM cdots
+        ) WHERE pr <= 4
+    ), cand AS (
+        SELECT p.vec_id, m.vec_id AS neighbor_id,
+               list_sum(list_transform(
+                   list_zip(q.embedding, m.embedding),
+                   z -> z[1]::DOUBLE * z[2]::DOUBLE)) AS mdot
+        FROM probed p
+        JOIN embeddings q ON q.vec_id = p.vec_id
+        JOIN embeddings m ON m.label = p.label
+                         AND m.vec_id <> p.vec_id
+    )
+    SELECT vec_id, neighbor_id, rank FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY mdot DESC, neighbor_id) AS rank
+        FROM cand
+    ) WHERE rank <= 5
+"""
 
 
 def q_props_json_stats(spark, sf_dir):
@@ -1911,7 +1993,10 @@ def q_lm_perplexity_buckets(spark, sf_dir):
         release_census_caches,
     )
 
-    b = bucket_lm_scores(lm_score_docs(_docs(spark, sf_dir)))
+    # approx=False: the DuckDB oracle's ntile is rank-exact; this is the
+    # ONE sanctioned use of the partition-less exact-ntile window (the
+    # production default is the map-side approx path — test_plans.py pin)
+    b = bucket_lm_scores(lm_score_docs(_docs(spark, sf_dir)), approx=False)
     out = b.select(
         "doc_id",
         "n_tokens",
@@ -1968,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorter_categories": q_sorter_categories,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "events_sessions": q_events_sessions,
         "top_events_per_user": q_top_events_per_user,
         "props_json_stats": q_props_json_stats,
@@ -2008,6 +2094,7 @@ def oracle_sql() -> dict[str, str]:
         redact_pii_sql as _redact_pii_sql,
     )
     from deduplication_framework_spark.functions.quality import (
+        _WS_DUCK,
         first_fail_sql as _ff_sql,
         quality_signal_sqls as _q_sqls,
     )
@@ -2498,10 +2585,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # integer threshold compare (cum*100 >= pct*T) keeps the decile
         # decision exact in both engines; ranks tie-break (count DESC, w)
-        "vocab_coverage": r"""
+        "vocab_coverage": rf"""
             WITH toks AS (
                 SELECT unnest(string_split_regex(lower(trim(text)),
-                                                 '\s+')) AS w
+                                                 '{_WS_DUCK}')) AS w
                 FROM documents
             ), uni AS (
                 SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY w
@@ -2637,10 +2724,10 @@ def oracle_sql() -> dict[str, str]:
         # because the union is at least the larger set and the
         # intersection at most the smaller) — so the band only prunes,
         # never changes the answer, and keeps the oracle O(banded pairs)
-        "ssjoin_dup_edges": """
+        "ssjoin_dup_edges": f"""
             WITH t AS (
                 SELECT doc_id,
-                       string_split_regex(trim(text), '\\s+') AS toks
+                       string_split_regex(trim(text), '{_WS_DUCK}') AS toks
                 FROM documents
             ),
             g AS (
@@ -2663,10 +2750,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # brute-force ordered all-pairs under the implied one-sided size
         # prune (|B| >= t|A|); intersect computed once per pair
-        "containment_edges": """
+        "containment_edges": f"""
             WITH t AS (
                 SELECT doc_id,
-                       string_split_regex(trim(text), '\\s+') AS toks
+                       string_split_regex(trim(text), '{_WS_DUCK}') AS toks
                 FROM documents
             ),
             g AS (
@@ -2990,41 +3077,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # label-block IVF top-5 (see q_ann_ivf_topk for the margin
         # analysis): centroids = per-label means, probe the 4 nearest
-        # lists by centroid dot, exact (dot DESC, id) top-5 within them
-        "ann_ivf_topk": """
-            WITH cent AS (
-                SELECT label, t.i AS i, avg(embedding[t.i + 1]::DOUBLE) AS c
-                FROM embeddings, range(64) AS t(i)
-                GROUP BY label, t.i
-            ), cdots AS (
-                SELECT e.vec_id, c.label,
-                       sum(e.embedding[c.i + 1]::DOUBLE * c.c) AS cdot
-                FROM embeddings e JOIN cent c ON TRUE
-                GROUP BY e.vec_id, c.label
-            ), probed AS (
-                SELECT vec_id, label FROM (
-                    SELECT vec_id, label,
-                           row_number() OVER (PARTITION BY vec_id
-                               ORDER BY cdot DESC, label) AS pr
-                    FROM cdots
-                ) WHERE pr <= 4
-            ), cand AS (
-                SELECT p.vec_id, m.vec_id AS neighbor_id,
-                       list_sum(list_transform(
-                           list_zip(q.embedding, m.embedding),
-                           z -> z[1]::DOUBLE * z[2]::DOUBLE)) AS mdot
-                FROM probed p
-                JOIN embeddings q ON q.vec_id = p.vec_id
-                JOIN embeddings m ON m.label = p.label
-                                 AND m.vec_id <> p.vec_id
-            )
-            SELECT vec_id, neighbor_id, rank FROM (
-                SELECT vec_id, neighbor_id,
-                       row_number() OVER (PARTITION BY vec_id
-                           ORDER BY mdot DESC, neighbor_id) AS rank
-                FROM cand
-            ) WHERE rank <= 5
-        """,
+        # lists by centroid dot, exact (dot DESC, id) top-5 within them.
+        # ivfpq_topk shares the SAME oracle: its exact rerank of the
+        # ADC top-256 shortlist reduces to exact top-5 within the probed
+        # lists (shortlist-coverage precondition measured + pinned per SF
+        # — see q_ivfpq_topk's docstring / test_oracle_assumptions.py)
+        "ann_ivf_topk": _IVF_LABEL_TOP5_SQL,
+        "ivfpq_topk": _IVF_LABEL_TOP5_SQL,
         # the flagship MinHash-LSH pipeline, oracled at the CLUSTER level:
         # datasketch *signature* parity needs sha1 (absent in DuckDB 1.0),
         # but the pipeline's final edges are exact-Jaccard-VERIFIED, and

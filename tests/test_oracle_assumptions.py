@@ -345,3 +345,72 @@ def test_sql_mulmod_and_splitmix_match_python_on_random_u64():
     for i, (gm, gs) in enumerate(got):
         assert np.uint64(gm) == want_mul[i], f"mulmod row {i}"
         assert np.uint64(gs) == want_mix[i], f"splitmix row {i}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_ivfpq_rerank_covers_exact_top5(sf_dir, spark):
+    """The ivfpq_topk oracle is the SAME exact-IVF SQL as ann_ivf_topk:
+    valid iff the ADC top-256 shortlist covers the exact top-5 within the
+    probed lists for EVERY query (then the exact rerank reduces the output
+    to exact top-5). Pin both the equality (operator == exact-IVF Spark
+    derivation) and the numeric slack (worst ADC rank of an exact-top-5
+    member must sit under rerank/2 = 128), so a corpus change that erodes
+    the margin fails HERE with a diagnostic, not as an opaque hash
+    mismatch in CORRECTNESS. Measured worst ranks: 17 (sf0.001),
+    17 (sf0.01), 65 (sf0.1 — checked out-of-suite; m=8 would be 309)."""
+    from __spark_entry__ import q_ann_ivf_topk, q_ivfpq_topk
+
+    got = {
+        (r.vec_id, r.rank): r.neighbor_id
+        for r in q_ivfpq_topk(spark, sf_dir).collect()
+    }
+    want = {
+        (r.vec_id, r.rank): r.neighbor_id
+        for r in q_ann_ivf_topk(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # numeric slack: recompute ADC ranks with the operator's own kernels
+    from deduplication_framework_spark.operators.pq import _kmeans_lloyd
+
+    pdf = _emb(sf_dir).sort_values("vec_id")
+    X = np.array(list(pdf.embedding), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    labs = pdf.label.to_numpy()
+    m, dsub = 16, 4
+    train = X[:2000]
+    cb = np.stack(
+        [
+            _kmeans_lloyd(train[:, j * dsub : (j + 1) * dsub], 256, 42 + j)
+            for j in range(m)
+        ]
+    )
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        sc = sub @ cb[j].T - 0.5 * (cb[j] * cb[j]).sum(axis=1)[None, :]
+        codes[:, j] = sc.argmax(axis=1)
+    cents = {l: X[labs == l].mean(axis=0) for l in set(labs)}
+    L = sorted(cents)
+    C = np.array([cents[l] for l in L])
+    worst = 0
+    for qi in range(len(X)):
+        q = X[qi]
+        cd = C @ q
+        probe = {
+            L[i]
+            for i in sorted(range(len(L)), key=lambda i: (-cd[i], L[i]))[:4]
+        }
+        midx = np.where(np.isin(labs, list(probe)) & (ids != ids[qi]))[0]
+        lut = np.stack(
+            [q[j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(m)]
+        )
+        adc = lut[np.arange(m)[None, :], codes[midx]].sum(axis=1)
+        exact_d = X[midx] @ q
+        top5 = sorted(
+            range(len(midx)), key=lambda i: (-exact_d[i], ids[midx[i]])
+        )[:5]
+        rof = np.empty(len(midx), dtype=np.int64)
+        rof[np.argsort(-adc, kind="stable")] = np.arange(len(midx))
+        worst = max(worst, int(max(rof[i] for i in top5)))
+    assert worst < 128, f"ADC shortlist slack eroded: worst rank {worst}"
