@@ -70,6 +70,14 @@ def main(argv=None) -> int:
                         "operators/incremental_fuzzy.py). The exact Bloom "
                         "prefilter runs first, so only survivors are "
                         "featurized")
+    p.add_argument("--fuzzy-index", default=None, metavar="DIR",
+                   help="with --dedup-against-fuzzy: persist the history "
+                        "feature/band/bloom index in DIR (ParquetTableStore "
+                        "atomic commits). First run builds + commits it; "
+                        "every later run — including after a process "
+                        "restart — loads it and featurizes ZERO history "
+                        "docs. A config change invalidates the index "
+                        "(config-hash check) and it is rebuilt")
     p.add_argument("--decontaminate-against", default=None, metavar="PATH",
                    help="parquet eval/benchmark corpus (text column): REMOVE "
                         "every word span covered by a shared n-gram from the "
@@ -148,6 +156,8 @@ def main(argv=None) -> int:
                 p.error(f"{flag} is not supported with --sweep")
     if args.dedup_against_fuzzy and args.dedup_against is None:
         p.error("--dedup-against-fuzzy requires --dedup-against")
+    if args.fuzzy_index is not None and not args.dedup_against_fuzzy:
+        p.error("--fuzzy-index requires --dedup-against-fuzzy")
     if args.quality_repetition and not args.quality_filter:
         p.error("--quality-repetition requires --quality-filter")
     if args.lm_filter is not None:
@@ -202,7 +212,8 @@ def main(argv=None) -> int:
         input_tags.append(f"dedup_against:{args.dedup_against}")
         if args.dedup_against_fuzzy:
             pages, fz_metrics = _incremental_fuzzy_pages(
-                spark, pages, args.dedup_against, cfg
+                spark, pages, args.dedup_against, cfg,
+                index_dir=args.fuzzy_index,
             )
             span_metrics.update(fz_metrics)
             input_tags.append(
@@ -375,7 +386,8 @@ def _incremental_pages(spark, pages, against_path: str):
     return out, metrics
 
 
-def _incremental_fuzzy_pages(spark, pages, against_path: str, cfg):
+def _incremental_fuzzy_pages(spark, pages, against_path: str, cfg,
+                             index_dir=None):
     """pages → (pages minus docs with a NEAR-duplicate in the historical
     corpus, metrics). Runs AFTER the exact Bloom prefilter (so only
     exact-new survivors pay featurization) and BEFORE --span-dedup / the
@@ -399,8 +411,36 @@ def _incremental_fuzzy_pages(spark, pages, against_path: str, cfg):
         .dropDuplicates(["doc_id"])
     )
     docs = prepare_docs(pages)
+    index_kw = {}
+    idx_resumed = None
+    if index_dir is not None:
+        # stored fuzzy index (VERDICT r4 #5 — the daily-recrawl
+        # contract): first run featurizes history ONCE and commits the
+        # feature/band/bloom tables; every later run — across process
+        # restarts — loads them and featurizes zero history docs. A
+        # config change fails the hash check and rebuilds.
+        from deduplication_framework_spark.operators.incremental_fuzzy import (
+            load_fuzzy_index,
+            save_fuzzy_index,
+        )
+        from deduplication_framework_spark.plans.checkpoint import (
+            ParquetTableStore,
+        )
+
+        istore = ParquetTableStore(spark, index_dir)
+        idx = load_fuzzy_index(istore, cfg)
+        idx_resumed = idx is not None
+        if idx is None:
+            save_fuzzy_index(istore, old, cfg, id_col="doc_id")
+            idx = load_fuzzy_index(istore, cfg)
+        index_kw = {
+            "old_features": idx["old_features"],
+            "old_bands": idx["old_bands"],
+            "bloom": idx["bloom"],
+        }
     kept, stats = incremental_near_new_rows(
-        docs.select("doc_id", "text"), old, cfg, id_col="doc_id"
+        docs.select("doc_id", "text"), old, cfg, id_col="doc_id",
+        **index_kw,
     )
     out = (
         docs.drop("text")
@@ -417,6 +457,8 @@ def _incremental_fuzzy_pages(spark, pages, against_path: str, cfg):
         ),
         "incremental_fuzzy.n_dup_docs": float(stats.get("n_dup_docs", 0)),
     }
+    if idx_resumed is not None:
+        metrics["fuzzy_index.resumed"] = 1.0 if idx_resumed else 0.0
     return out, metrics
 
 

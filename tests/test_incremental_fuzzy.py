@@ -236,3 +236,89 @@ def test_shuffle_verify_path_same_answer(spark):
         j for j in range(100, 130) if j % 3 == 1
     ]
     release_census_caches()
+
+
+def test_fuzzy_index_roundtrip_zero_history_featurization(spark, tmp_path):
+    """Stored-index contract (VERDICT r4 #5): save_fuzzy_index commits the
+    feature/band/bloom artifacts through a ParquetTableStore; a LOADED
+    index must reproduce the fresh-path answer while touching old_df not
+    at all — proven by handing the operator a POISONED history frame
+    whose text column raises on any evaluation."""
+    from deduplication_framework_spark.operators.incremental_fuzzy import (
+        load_fuzzy_index,
+        save_fuzzy_index,
+    )
+    from deduplication_framework_spark.plans.checkpoint import (
+        ParquetTableStore,
+    )
+
+    old, new = _corpora(spark)
+    store = ParquetTableStore(spark, str(tmp_path / "fidx"))
+    info = save_fuzzy_index(store, old, id_col="doc_id")
+    assert info["n_old"] == 40
+
+    idx = load_fuzzy_index(store)
+    assert idx is not None and idx["n_old"] == 40
+
+    poison = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.assert_true(F.lit(False)).cast("string").alias("text"),
+    )
+    res, stats = incremental_near_new_rows(
+        new,
+        poison,
+        old_features=idx["old_features"],
+        old_bands=idx["old_bands"],
+        bloom=idx["bloom"],
+    )
+    got = sorted(r.doc_id for r in res.collect())
+    assert got == [j for j in range(100, 130) if j % 3 == 1]
+    assert stats["n_dup_docs"] == 20
+    release_census_caches()
+
+    # a config change invalidates the committed index (stale-resume fix
+    # discipline): load must refuse, never serve wrong-config artifacts
+    changed = PipelineConfig()
+    changed.dedup.threshold = 0.9
+    assert load_fuzzy_index(store, changed) is None
+
+
+def test_cli_fuzzy_index_restart_resume(spark, tmp_path):
+    """Two separate CLI invocations sharing --fuzzy-index: the first
+    builds + commits (resumed=0), the second — a fresh main() as after a
+    process restart — loads it (resumed=1) and reaches the identical
+    answer."""
+    import json
+    import os
+
+    from deduplication_framework_spark.__main__ import main
+    from deduplication_framework_spark.sources.pages import generate_pages
+
+    hist = str(tmp_path / "hist_idx")
+    generate_pages(spark, 120).filter(
+        F.col("doc_order") < 60
+    ).select("text").write.parquet(hist)
+
+    def run(tag):
+        out = str(tmp_path / f"out_idx_{tag}")
+        rc = main(
+            [
+                "--synthetic", "120",
+                "--output", out,
+                "--detectors", "exact,minhash",
+                "--checkpoint-dir", str(tmp_path / f"ckpt_idx_{tag}"),
+                "--dedup-against", hist,
+                "--dedup-against-fuzzy",
+                "--fuzzy-index", str(tmp_path / "fuzzy_idx"),
+            ]
+        )
+        assert rc == 0
+        with open(os.path.join(out, "summary.json")) as fh:
+            return json.load(fh)
+
+    s1 = run("a")
+    assert s1["metrics"]["fuzzy_index.resumed"] == 0.0
+    s2 = run("b")
+    assert s2["metrics"]["fuzzy_index.resumed"] == 1.0
+    assert s2["docs"] == s1["docs"]
+    assert s2["keepers"] == s1["keepers"]

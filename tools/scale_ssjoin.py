@@ -1,11 +1,13 @@
 """Exact set-similarity join scale anchor (operators/setjoin.py).
 
-Corpus: n docs, each a set of 40 distinct words drawn deterministically
-from a 200k-word vocabulary (per-id RandomState — generation is
-DISTRIBUTED and partition-independent, the scale_srp pattern); every id
-with i % 10 == 1 is a near-copy of id i-1 with 3 of its 40 words
-replaced (set Jaccard 37/43 ~ 0.86 >= t=0.8; n/10 planted pairs).
-Random cross-doc pairs share ~40*40/200k << 1 expected words, so the
+Corpus: n docs, each a 40-element set drawn deterministically (per-id
+RandomState — generation is DISTRIBUTED and partition-independent, the
+scale_srp pattern): 35 from a SPARSE domain that scales with n (50*n ids
+— the word-bigram regime, avg df < 1) plus 5 from a 100-element HOT
+domain (Zipf-head stand-ins, df ~ n/20, which rarest-first prefixes must
+exclude); every id with i % 10 == 1 is a near-copy of id i-1 with 3
+sparse words replaced (set Jaccard 37/43 ~ 0.86 >= t=0.8; n/10 planted
+pairs). Random cross-doc pairs share < 1 expected element, so the
 planted pairs are the only qualifying edges by a huge margin.
 
 Hard assertions per run (the bench-evidence discipline):
@@ -35,21 +37,44 @@ import bench
 from deduplication_framework_spark.session import get_spark
 from tools.scale_once import _task_metrics
 
-VOCAB = 200_000
 WORDS = 40
 SWAP = 3
+HOT_WORDS = 5  # per doc, drawn from a 100-word "stopword bigram" domain
+HOT_DOMAIN = 100
 
 
 def synth_docs(spark, n: int, partitions: int):
-    """id -> deterministic 40-word set; i%10==1 near-copies i-1."""
+    """id -> deterministic 40-element set; i%10==1 near-copies i-1.
+
+    The sparse-universe domain SCALES with n (50*n element ids) — the
+    word-bigram regime the operator documents as its target: a real
+    corpus's distinct-shingle count grows with corpus tokens, so average
+    document frequency stays O(1) as n grows. (The tool's original fixed
+    200k vocab put avg df at 40 by n=200k, and the prefix join degraded
+    quadratically exactly as setjoin.py's dense-universe caveat predicts:
+    measured 10.0M candidates for 20k true pairs. A fixed small universe
+    is the WRONG input for this algorithm, not a bigger corpus.)
+    Each doc also carries HOT_WORDS draws from a tiny hot domain — Zipf
+    head stand-ins with df ~ n/20 — which the rarest-first ranking must
+    keep OUT of every prefix (prefix length 9 << the 35 sparse slots);
+    planted recall + the zero-noise-edge assert then certify both filters
+    at scale."""
+    vocab = 50 * n  # sparse domain: avg df = 35/50 < 1, independent of n
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def words(i: int) -> np.ndarray:
             # randint (not choice(replace=False), which permutes the whole
-            # 200k vocab per doc): ~0.4% of docs carry one within-doc dup,
-            # which array_distinct absorbs — a 39-distinct base still gives
-            # its planted copy J >= 36/42 ~ 0.857 >= t
-            return np.random.RandomState(i).randint(0, VOCAB, WORDS)
+            # vocab per doc): rare within-doc dups are absorbed by
+            # array_distinct — a 39-distinct base still gives its planted
+            # copy J >= 36/42 ~ 0.857 >= t
+            rng = np.random.RandomState(i)
+            w = rng.randint(0, vocab, WORDS)
+            # overwrite the tail with hot-domain draws (disjoint id space
+            # ABOVE the swap namespace)
+            w[WORDS - HOT_WORDS :] = (
+                rng.randint(0, HOT_DOMAIN, HOT_WORDS) + 2 * vocab
+            )
+            return w
 
         for pdf in batches:
             ids = pdf["id"].to_numpy()
@@ -57,15 +82,15 @@ def synth_docs(spark, n: int, partitions: int):
             for i in ids:
                 if i % 10 == 1 and i > 0:
                     w = words(i - 1).copy()
-                    # replace SWAP words with fresh ones from a disjoint
-                    # namespace so the copy stays ~37/43 by construction
+                    # replace SWAP sparse words with fresh ones from a
+                    # disjoint namespace so the copy stays ~37/43 >= 0.8
                     repl = np.random.RandomState(10**9 + i).randint(
-                        0, VOCAB, SWAP
+                        0, vocab, SWAP
                     )
-                    w[:SWAP] = repl + VOCAB  # disjoint namespace
+                    w[:SWAP] = repl + vocab  # disjoint namespace
                 else:
                     w = words(i)
-                out.append([f"w{int(x):07d}" for x in w])
+                out.append([f"w{int(x):09d}" for x in w])
             yield pd.DataFrame({"doc_id": ids, "grams": out})
 
     return spark.range(n, numPartitions=partitions).mapInPandas(
