@@ -950,11 +950,14 @@ def _srp_oracle_sql() -> str:
     b, r, d = _SRP_B, _SRP_R, _SRP_DIM
     return f"""
         WITH planes AS (SELECT [{_srp_plane_literals()}]::DOUBLE[] AS w),
-        emb AS (
+        emb AS MATERIALIZED (
           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
           FROM embeddings
         ),
-        keys AS (
+        -- MATERIALIZED: the bands self-join would otherwise re-inline
+        -- (and recompute) the expensive key derivation per side — the
+        -- DuckDB plain-CTE re-inline gotcha; measured 2x at sf0.01
+        keys AS MATERIALIZED (
           SELECT vec_id,
                  list_transform(range(0, {b}), bi ->
                    list_sum(list_transform(range(0, {r}), j ->
