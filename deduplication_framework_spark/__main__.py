@@ -78,6 +78,12 @@ def main(argv=None) -> int:
                         "restart — loads it and featurizes ZERO history "
                         "docs. A config change invalidates the index "
                         "(config-hash check) and it is rebuilt")
+    p.add_argument("--fuzzy-index-admit", action="store_true",
+                   help="with --fuzzy-index: after the pipeline, ADMIT the "
+                        "run's keepers into the stored index (only "
+                        "not-yet-indexed docs are featurized; idempotent "
+                        "under replay) so the NEXT recrawl batch dedups "
+                        "against them — the write half of the daily loop")
     p.add_argument("--decontaminate-against", default=None, metavar="PATH",
                    help="parquet eval/benchmark corpus (text column): REMOVE "
                         "every word span covered by a shared n-gram from the "
@@ -158,6 +164,8 @@ def main(argv=None) -> int:
         p.error("--dedup-against-fuzzy requires --dedup-against")
     if args.fuzzy_index is not None and not args.dedup_against_fuzzy:
         p.error("--fuzzy-index requires --dedup-against-fuzzy")
+    if args.fuzzy_index_admit and args.fuzzy_index is None:
+        p.error("--fuzzy-index-admit requires --fuzzy-index")
     if args.quality_repetition and not args.quality_filter:
         p.error("--quality-repetition requires --quality-filter")
     if args.lm_filter is not None:
@@ -322,6 +330,27 @@ def main(argv=None) -> int:
         ).collect():
             res.metrics[f"split.n_{r.split}"] = float(r.n_docs)
             res.metrics[f"split.n_groups_{r.split}"] = float(r.n_groups)
+
+    if args.fuzzy_index_admit:
+        # the write half of the daily recrawl loop: admit this run's
+        # keepers (md5-text identity, matching the history id scheme) so
+        # the NEXT batch's --fuzzy-index load dedups against them
+        from pyspark.sql import functions as F
+
+        from deduplication_framework_spark.operators.incremental_fuzzy import (
+            append_fuzzy_index,
+        )
+
+        admitted = append_fuzzy_index(
+            ParquetTableStore(spark, args.fuzzy_index),
+            res.keepers.select(
+                F.md5("text").alias("doc_id"), "text"
+            ).dropDuplicates(["doc_id"]),
+            cfg,
+            id_col="doc_id",
+        )
+        res.metrics["fuzzy_index.n_admitted"] = float(admitted["n_added"])
+        res.metrics["fuzzy_index.n_total"] = float(admitted["n_total"])
 
     elapsed = round(time.time() - t0, 2)
     n_docs = res.docs.count()

@@ -184,6 +184,8 @@ def bloom_build(
     expected_items: int | None = None,
     fpp: float = 1e-3,
     max_bits: int = 1 << 31,
+    m_bits: int | None = None,
+    k: int | None = None,
 ) -> BloomFilter:
     """Distributed build over ``key`` evaluated on ``df``.
 
@@ -191,10 +193,21 @@ def bloom_build(
     the build itself — explode k positions per row, or-combine masks per
     64-bit word (map-side partial aggregation collapses hot words before
     the shuffle), collect ≤ m/64 (word, mask) rows.
+
+    ``m_bits``/``k`` (both or neither) force the geometry instead of
+    sizing from ``expected_items`` — required to OR a part-filter into an
+    EXISTING filter (Bloom union is only defined at identical (m, k):
+    the fuzzy-index append path). ``n_items`` then records
+    ``expected_items`` if given, else the build count.
     """
-    if expected_items is None:
+    if (m_bits is None) != (k is None):
+        raise ValueError("m_bits and k must be given together")
+    if m_bits is None:
+        if expected_items is None:
+            expected_items = df.count()
+        m_bits, k = bloom_params(expected_items, fpp)
+    elif expected_items is None:
         expected_items = df.count()
-    m_bits, k = bloom_params(expected_items, fpp)
     if m_bits > max_bits:
         raise ValueError(
             f"bloom of {expected_items} items at fpp={fpp} needs {m_bits} bits "

@@ -59,6 +59,7 @@ __all__ = [
     "incremental_near_new_rows",
     "save_fuzzy_index",
     "load_fuzzy_index",
+    "append_fuzzy_index",
 ]
 
 
@@ -270,7 +271,12 @@ _IDX_BLOOM = "fuzzy_bloom"
 
 def _index_hash(cfg: PipelineConfig, fpp: float) -> str:
     """Index validity key: any change to the feature/signature/banding
-    config (or the bloom sizing) invalidates every stored index table."""
+    config (or the bloom sizing) invalidates every stored index table.
+    Every save/append stamps ``|gen=<uuid>`` on top (all three tables in
+    one generation): a crash BETWEEN the three table commits leaves
+    mixed generations, which ``load_fuzzy_index`` refuses — a torn
+    append degrades to "rebuild required", never to a band index that
+    silently misses documents whose features were already admitted."""
     return f"fuzzy_index|{cfg.config_hash()}|fpp={fpp}"
 
 
@@ -291,16 +297,18 @@ def save_fuzzy_index(
     committed feature table (one featurization pass total), the bloom
     from the committed band table. Returns stats; read back with
     ``load_fuzzy_index``."""
+    import uuid
+
     cfg = cfg or PipelineConfig()
     b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
-    h = _index_hash(cfg, fpp)
+    hg = f"{_index_hash(cfg, fpp)}|gen={uuid.uuid4().hex[:12]}"
 
     feats = store.write(
         _featurize(old_df, cfg, id_col, text_col).select(
             F.col("_id").alias("doc_id"), "sig", "shingles"
         ),
         _IDX_FEATURES,
-        h,
+        hg,
         lineage=["history"],
     )
     n_old = store.read_commit(_IDX_FEATURES).rows
@@ -312,7 +320,7 @@ def save_fuzzy_index(
             id_col="_id",
         ).select(F.col("_id").alias("doc_id"), "band_key"),
         _IDX_BANDS,
-        h,
+        hg,
         lineage=[_IDX_FEATURES],
     )
     bloom = bloom_build(
@@ -321,7 +329,17 @@ def save_fuzzy_index(
         expected_items=max(n_old * b, 1),
         fpp=fpp,
     )
-    spark = old_df.sparkSession
+    _write_bloom_row(store, old_df.sparkSession, bloom, hg)
+    return {
+        "n_old": n_old,
+        "b": b,
+        "r": r,
+        "m_bits": bloom.m_bits,
+        "k": bloom.k,
+    }
+
+
+def _write_bloom_row(store, spark, bloom: BloomFilter, hg: str) -> None:
     row = [
         (
             int(bloom.m_bits),
@@ -338,17 +356,10 @@ def save_fuzzy_index(
             "words binary",
         ),
         _IDX_BLOOM,
-        h,
+        hg,
         lineage=[_IDX_BANDS],
         metrics={"m_bits": float(bloom.m_bits), "k": float(bloom.k)},
     )
-    return {
-        "n_old": n_old,
-        "b": b,
-        "r": r,
-        "m_bits": bloom.m_bits,
-        "k": bloom.k,
-    }
 
 
 def load_fuzzy_index(
@@ -366,8 +377,14 @@ def load_fuzzy_index(
 
     cfg = cfg or PipelineConfig()
     h = _index_hash(cfg, fpp)
-    for name in (_IDX_FEATURES, _IDX_BANDS, _IDX_BLOOM):
-        if not store.is_valid(name, h):
+    fc = store.read_commit(_IDX_FEATURES)
+    if fc is None or not fc.config_hash.startswith(h + "|gen="):
+        return None
+    for name in (_IDX_BANDS, _IDX_BLOOM):
+        c = store.read_commit(name)
+        # all three tables must carry the SAME generation stamp — a torn
+        # save/append (crash between commits) fails closed here
+        if c is None or c.config_hash != fc.config_hash:
             return None
     brow = store.read(_IDX_BLOOM).first()
     bloom = BloomFilter(
@@ -382,4 +399,107 @@ def load_fuzzy_index(
         "old_bands": store.read(_IDX_BANDS),
         "bloom": bloom,
         "n_old": store.read_commit(_IDX_FEATURES).rows,
+    }
+
+
+def append_fuzzy_index(
+    store,
+    new_df: DataFrame,
+    cfg: Optional[PipelineConfig] = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fpp: float = 1e-3,
+) -> dict:
+    """ADMIT ``new_df`` into a committed fuzzy index — the write half of
+    the daily-recrawl loop (dedup the batch against the index, then
+    append the genuinely-new survivors so tomorrow's batch dedups against
+    them too). Only the NEW docs are featurized; docs whose id is
+    already indexed are skipped (idempotent under replay). The part
+    Bloom filter is built at the STORED geometry and OR-ed in (Bloom
+    union at identical (m, k) equals a fresh build over the union of
+    keys — bit-exact, pinned in tests); ``n_items`` bookkeeping grows so
+    fpp drift past the original sizing stays observable.
+
+    ParquetTableStore implements the append as an atomic union-rewrite
+    of each table (read-while-writing-tmp, then rename) — correct and
+    crash-safe, O(index) IO per append; at real corpus scale back the
+    same contract with IcebergTableStore appends. All three tables are
+    re-committed under ONE fresh generation stamp; a crash between
+    commits leaves mixed generations and ``load_fuzzy_index`` refuses
+    (rebuild, never a band index missing admitted docs)."""
+    import uuid
+
+    cfg = cfg or PipelineConfig()
+    b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
+    idx = load_fuzzy_index(store, cfg, fpp=fpp)
+    if idx is None:
+        raise ValueError(
+            "append_fuzzy_index: no valid committed index at this config "
+            "— run save_fuzzy_index first (or the index is torn/stale)"
+        )
+    old_feats = idx["old_features"]
+    old_bands = idx["old_bands"]
+    old_bloom: BloomFilter = idx["bloom"]
+    hg = f"{_index_hash(cfg, fpp)}|gen={uuid.uuid4().hex[:12]}"
+
+    fresh = new_df.join(
+        old_feats.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+    new_feats = _persist_tracked(
+        _featurize(fresh, cfg, id_col, text_col).select(
+            F.col("_id").alias("doc_id"), "sig", "shingles"
+        )
+    )
+    n_added = new_feats.count()  # eager: fill cache before the fan-out
+    if n_added == 0:
+        new_feats.unpersist()
+        return {
+            "n_added": 0,
+            "n_total": idx["n_old"],
+            "m_bits": old_bloom.m_bits,
+            "k": old_bloom.k,
+        }
+    new_bands = minhash_bands(
+        new_feats.select(F.col("doc_id").alias("_id"), "sig"),
+        b,
+        r,
+        id_col="_id",
+    ).select(F.col("_id").alias("doc_id"), "band_key")
+
+    store.write(
+        old_feats.unionByName(new_feats), _IDX_FEATURES, hg,
+        lineage=["history", "appended"],
+    )
+    n_total = store.read_commit(_IDX_FEATURES).rows
+    store.write(
+        old_bands.unionByName(new_bands), _IDX_BANDS, hg,
+        lineage=[_IDX_FEATURES],
+    )
+    # part filter over JUST the new band rows (recomputed from the
+    # persisted new_feats cache — cheap) at the stored geometry, then
+    # OR-ed into the stored words: Bloom union at identical (m, k) is
+    # bit-exact with a fresh build over the union of keys
+    part = bloom_build(
+        new_bands,
+        F.col("band_key"),
+        expected_items=n_added * b,
+        m_bits=old_bloom.m_bits,
+        k=old_bloom.k,
+    )
+    merged = BloomFilter(
+        words=old_bloom.words | part.words,
+        m_bits=old_bloom.m_bits,
+        k=old_bloom.k,
+        n_items=int(old_bloom.n_items) + n_added * b,
+        key_desc=old_bloom.key_desc,
+    )
+    _write_bloom_row(store, new_df.sparkSession, merged, hg)
+    new_feats.unpersist()
+    return {
+        "n_added": n_added,
+        "n_total": n_total,
+        "m_bits": merged.m_bits,
+        "k": merged.k,
+        "n_items": merged.n_items,
     }

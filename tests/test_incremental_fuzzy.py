@@ -322,3 +322,134 @@ def test_cli_fuzzy_index_restart_resume(spark, tmp_path):
     assert s2["metrics"]["fuzzy_index.resumed"] == 1.0
     assert s2["docs"] == s1["docs"]
     assert s2["keepers"] == s1["keepers"]
+
+
+def test_append_fuzzy_index_union_semantics(spark, tmp_path):
+    """append_fuzzy_index == history-union semantics: after admitting a
+    batch, a later batch dedups against old ∪ admitted via the LOADED
+    index (poisoned old_df again — zero history featurization), the
+    merged Bloom is BIT-EXACT with a fresh build over the union's band
+    keys at the stored geometry, and re-admitting is a no-op."""
+    from deduplication_framework_spark.operators.bloom import bloom_build
+    from deduplication_framework_spark.operators.incremental_fuzzy import (
+        append_fuzzy_index,
+        load_fuzzy_index,
+        save_fuzzy_index,
+    )
+    from deduplication_framework_spark.operators.lsh import minhash_bands
+    from deduplication_framework_spark.plans.checkpoint import (
+        ParquetTableStore,
+    )
+
+    old, new = _corpora(spark)
+    store = ParquetTableStore(spark, str(tmp_path / "fidx_app"))
+    save_fuzzy_index(store, old, id_col="doc_id")
+
+    batch1 = spark.createDataFrame(
+        [(200 + i, f"admitted batch one doc {i} " * 5) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    info = append_fuzzy_index(store, batch1, id_col="doc_id")
+    assert info["n_added"] == 6
+    assert info["n_total"] == 46
+
+    idx = load_fuzzy_index(store)
+    assert idx is not None and idx["n_old"] == 46
+
+    # merged bloom == fresh build over ALL band keys at the SAME (m, k)
+    cfg = PipelineConfig()
+    b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
+    all_bands = minhash_bands(
+        idx["old_features"].select(F.col("doc_id").alias("_id"), "sig"),
+        b, r, id_col="_id",
+    )
+    fresh = bloom_build(
+        all_bands, F.col("band_key"),
+        m_bits=idx["bloom"].m_bits, k=idx["bloom"].k,
+    )
+    assert (fresh.words == idx["bloom"].words).all()
+
+    # a near-copy of an ADMITTED doc is now caught through the index
+    batch2 = spark.createDataFrame(
+        [(300, "admitted batch one doc 3 " * 5 + "x"),
+         (301, "entirely novel content here " * 5)],
+        ["doc_id", "text"],
+    )
+    poison = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.assert_true(F.lit(False)).cast("string").alias("text"),
+    )
+    res, stats = incremental_near_new_rows(
+        batch2, poison,
+        old_features=idx["old_features"],
+        old_bands=idx["old_bands"],
+        bloom=idx["bloom"],
+    )
+    assert sorted(r.doc_id for r in res.collect()) == [301]
+    release_census_caches()
+
+    # replay: the same batch admits zero new docs (md5-id anti-join)
+    info2 = append_fuzzy_index(store, batch1, id_col="doc_id")
+    assert info2["n_added"] == 0
+    release_census_caches()
+
+
+def test_append_fuzzy_index_requires_saved_index(spark, tmp_path):
+    from deduplication_framework_spark.operators.incremental_fuzzy import (
+        append_fuzzy_index,
+    )
+    from deduplication_framework_spark.plans.checkpoint import (
+        ParquetTableStore,
+    )
+
+    store = ParquetTableStore(spark, str(tmp_path / "fidx_none"))
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="save_fuzzy_index"):
+        append_fuzzy_index(store, df)
+
+
+def test_cli_fuzzy_index_admit_daily_loop(spark, tmp_path):
+    """The full daily loop over the CLI: run 1 admits its keepers; run 2
+    sees a batch whose docs near-copy run-1 keepers and drops them via
+    the loaded+appended index."""
+    import json
+    import os
+
+    from deduplication_framework_spark.__main__ import main
+    from deduplication_framework_spark.sources.pages import generate_pages
+
+    hist = str(tmp_path / "hist_admit")
+    corpus = generate_pages(spark, 80)
+    corpus.filter(F.col("doc_order") < 20).select("text").write.parquet(hist)
+    idx_dir = str(tmp_path / "fuzzy_idx_admit")
+
+    def run(tag, n):
+        out = str(tmp_path / f"out_admit_{tag}")
+        rc = main(
+            [
+                "--synthetic", str(n),
+                "--output", out,
+                "--detectors", "exact,minhash",
+                "--checkpoint-dir", str(tmp_path / f"ckpt_admit_{tag}"),
+                "--dedup-against", hist,
+                "--dedup-against-fuzzy",
+                "--fuzzy-index", idx_dir,
+                "--fuzzy-index-admit",
+            ]
+        )
+        assert rc == 0
+        with open(os.path.join(out, "summary.json")) as fh:
+            return json.load(fh)
+
+    s1 = run("a", 60)
+    assert s1["metrics"]["fuzzy_index.resumed"] == 0.0
+    assert s1["metrics"]["fuzzy_index.n_admitted"] == s1["keepers"]
+
+    # run 2: the SAME synthetic batch (generate_pages is deterministic)
+    # — every run-1 KEEPER is now an exact recrawl of an ADMITTED doc
+    # and must be dropped by the index path (the exact Bloom layer only
+    # knows the 20-doc parquet history, so the catch is the index's)
+    s2 = run("b", 60)
+    assert s2["metrics"]["fuzzy_index.resumed"] == 1.0
+    assert s2["metrics"]["incremental_fuzzy.n_dup_docs"] >= s1["keepers"]
+    assert s2["metrics"]["fuzzy_index.n_total"] >= s1["metrics"]["fuzzy_index.n_total"]
