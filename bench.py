@@ -724,11 +724,21 @@ def decontaminate_evidence(spark, pages):
 def _stream_batches_path(spark, pages, n_batches: int) -> str:
     """Write the bench corpus once as ``n_batches`` sequential parquet
     slices (b0..bN dirs) — the micro-batch source for the streaming
-    workload. Keyed beside the parquet_pages cache."""
+    workload. Keyed like parquet_pages: generator-source tag included,
+    so a corpus change can never silently serve stale micro-batches
+    (the round-2 lesson)."""
+    import hashlib
+    import inspect
     import tempfile
 
+    import deduplication_framework_spark.sources.pages as pages_mod
+
+    gen_tag = hashlib.sha1(
+        inspect.getsource(pages_mod).encode("utf-8")
+    ).hexdigest()[:10]
     base = os.path.join(
-        tempfile.gettempdir(), f"bench_stream_{N_PAGES}_{n_batches}"
+        tempfile.gettempdir(),
+        f"bench_stream_{N_PAGES}_{n_batches}_{gen_tag}",
     )
     if not os.path.exists(os.path.join(base, "_DONE")):
         from pyspark.sql import functions as F

@@ -168,7 +168,10 @@ def main(argv=None) -> int:
         p.error("--fuzzy-index-admit requires --fuzzy-index")
     if args.quality_repetition and not args.quality_filter:
         p.error("--quality-repetition requires --quality-filter")
+    lm_keep = None
     if args.lm_filter is not None:
+        # parsed ONCE here; the use site below consumes this set, so
+        # validation and behavior can never desynchronize
         lm_keep = {b.strip() for b in args.lm_filter.split(",") if b.strip()}
         if not lm_keep or not lm_keep <= {"head", "middle", "tail"}:
             p.error("--lm-filter BUCKETS must be from head,middle,tail")
@@ -219,7 +222,7 @@ def main(argv=None) -> int:
         # same path changes, the same contract --input itself has
         input_tags.append(f"dedup_against:{args.dedup_against}")
         if args.dedup_against_fuzzy:
-            pages, fz_metrics = _incremental_fuzzy_pages(
+            pages, fz_metrics, fuzzy_src_ident = _incremental_fuzzy_pages(
                 spark, pages, args.dedup_against, cfg,
                 index_dir=args.fuzzy_index,
             )
@@ -235,13 +238,12 @@ def main(argv=None) -> int:
         )
         span_metrics.update(q_metrics)
         input_tags.append(f"quality:{int(args.quality_repetition)}")
-    if args.lm_filter is not None:
+    if lm_keep is not None:
         # after the quality gate (cheap scalar rules first), before span
         # surgery: perplexity is judged on the document as crawled
-        keep = {b.strip() for b in args.lm_filter.split(",") if b.strip()}
-        pages, lm_metrics = _lm_filter_pages(pages, keep=keep)
+        pages, lm_metrics = _lm_filter_pages(pages, keep=lm_keep)
         span_metrics.update(lm_metrics)
-        input_tags.append(f"lm_filter:{','.join(sorted(keep))}")
+        input_tags.append(f"lm_filter:{','.join(sorted(lm_keep))}")
     if args.remove_frequent_spans is not None:
         pages, fs_metrics = _frequent_span_pages(
             pages, max_count=args.remove_frequent_spans
@@ -348,6 +350,7 @@ def main(argv=None) -> int:
             ).dropDuplicates(["doc_id"]),
             cfg,
             id_col="doc_id",
+            src_ident=fuzzy_src_ident,
         )
         res.metrics["fuzzy_index.n_admitted"] = float(admitted["n_added"])
         res.metrics["fuzzy_index.n_total"] = float(admitted["n_total"])
@@ -442,13 +445,18 @@ def _incremental_fuzzy_pages(spark, pages, against_path: str, cfg,
     docs = prepare_docs(pages)
     index_kw = {}
     idx_resumed = None
+    src_ident = ""
     if index_dir is not None:
         # stored fuzzy index (VERDICT r4 #5 — the daily-recrawl
         # contract): first run featurizes history ONCE and commits the
         # feature/band/bloom tables; every later run — across process
         # restarts — loads them and featurizes zero history docs. A
-        # config change fails the hash check and rebuilds.
+        # config change OR a changed/replaced history corpus fails the
+        # hash check and rebuilds — over history UNION every admitted
+        # text, so docs admitted via --fuzzy-index-admit survive the
+        # rebuild (their features alone are not re-derivable).
         from deduplication_framework_spark.operators.incremental_fuzzy import (
+            load_admitted_texts,
             load_fuzzy_index,
             save_fuzzy_index,
         )
@@ -457,11 +465,28 @@ def _incremental_fuzzy_pages(spark, pages, against_path: str, cfg,
         )
 
         istore = ParquetTableStore(spark, index_dir)
-        idx = load_fuzzy_index(istore, cfg)
+        # one aggregation over the (already md5-collapsed) history —
+        # cheap next to the exact-Bloom layer's own history scan
+        idr = old.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("text")).alias("x"),
+        ).first()
+        src_ident = f"{idr['n']}:{idr['x']}"
+        idx = load_fuzzy_index(istore, cfg, src_ident=src_ident)
         idx_resumed = idx is not None
         if idx is None:
-            save_fuzzy_index(istore, old, cfg, id_col="doc_id")
-            idx = load_fuzzy_index(istore, cfg)
+            adm = load_admitted_texts(istore)
+            base = (
+                old
+                if adm is None
+                else old.unionByName(
+                    adm.select("doc_id", "text")
+                ).dropDuplicates(["doc_id"])
+            )
+            save_fuzzy_index(
+                istore, base, cfg, id_col="doc_id", src_ident=src_ident
+            )
+            idx = load_fuzzy_index(istore, cfg, src_ident=src_ident)
         index_kw = {
             "old_features": idx["old_features"],
             "old_bands": idx["old_bands"],
@@ -488,7 +513,7 @@ def _incremental_fuzzy_pages(spark, pages, against_path: str, cfg,
     }
     if idx_resumed is not None:
         metrics["fuzzy_index.resumed"] = 1.0 if idx_resumed else 0.0
-    return out, metrics
+    return out, metrics, src_ident
 
 
 def _block_url_pages(pages):

@@ -60,6 +60,7 @@ __all__ = [
     "save_fuzzy_index",
     "load_fuzzy_index",
     "append_fuzzy_index",
+    "load_admitted_texts",
 ]
 
 
@@ -267,17 +268,30 @@ def incremental_near_new_rows(
 _IDX_FEATURES = "fuzzy_features"
 _IDX_BANDS = "fuzzy_bands"
 _IDX_BLOOM = "fuzzy_bloom"
+# Raw texts of every ADMITTED doc, committed config/generation-FREE
+# (texts are config-independent): any rebuild — config change, source
+# corpus change, torn append — re-featurizes history ∪ admitted, so
+# admitted docs survive every invalidation (their features alone could
+# not be re-derived: the index stores sig/shingles, not text).
+_IDX_ADMITTED = "fuzzy_admitted"
+_ADMITTED_HASH = "fuzzy_admitted|v1"
 
 
-def _index_hash(cfg: PipelineConfig, fpp: float) -> str:
+def _index_hash(cfg: PipelineConfig, fpp: float, src_ident: str = "") -> str:
     """Index validity key: any change to the feature/signature/banding
-    config (or the bloom sizing) invalidates every stored index table.
+    config (or the bloom sizing) invalidates every stored index table;
+    ``src_ident`` (an identity stamp of the SOURCE history corpus, e.g.
+    rowcount:contenthash) additionally invalidates the index when the
+    corpus it was built from changes — without it a grown/replaced
+    history would be silently ignored by the fuzzy layer.
     Every save/append stamps ``|gen=<uuid>`` on top (all three tables in
     one generation): a crash BETWEEN the three table commits leaves
     mixed generations, which ``load_fuzzy_index`` refuses — a torn
-    append degrades to "rebuild required", never to a band index that
-    silently misses documents whose features were already admitted."""
-    return f"fuzzy_index|{cfg.config_hash()}|fpp={fpp}"
+    append degrades to "rebuild required" (admitted texts survive in
+    ``fuzzy_admitted``), never to a band index that silently misses
+    documents whose features were already admitted."""
+    base = f"fuzzy_index|{cfg.config_hash()}|fpp={fpp}"
+    return f"{base}|src={src_ident}" if src_ident else base
 
 
 def save_fuzzy_index(
@@ -288,6 +302,7 @@ def save_fuzzy_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     fpp: float = 1e-3,
+    src_ident: str = "",
 ) -> dict:
     """Featurize ``old_df`` ONCE and commit the three index artifacts to
     ``store`` (a ParquetTableStore-contract object): ``fuzzy_features``
@@ -295,13 +310,14 @@ def save_fuzzy_index(
     ``fuzzy_bloom`` (a single-row frame carrying the band-key Bloom
     filter's sizing + packed 64-bit words). Bands are built FROM the
     committed feature table (one featurization pass total), the bloom
-    from the committed band table. Returns stats; read back with
-    ``load_fuzzy_index``."""
+    from the committed band table. ``src_ident`` stamps the source
+    corpus's identity into the validity hash (pass the same stamp to
+    ``load``). Returns stats; read back with ``load_fuzzy_index``."""
     import uuid
 
     cfg = cfg or PipelineConfig()
     b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
-    hg = f"{_index_hash(cfg, fpp)}|gen={uuid.uuid4().hex[:12]}"
+    hg = f"{_index_hash(cfg, fpp, src_ident)}|gen={uuid.uuid4().hex[:12]}"
 
     feats = store.write(
         _featurize(old_df, cfg, id_col, text_col).select(
@@ -367,16 +383,17 @@ def load_fuzzy_index(
     cfg: Optional[PipelineConfig] = None,
     *,
     fpp: float = 1e-3,
+    src_ident: str = "",
 ) -> Optional[dict]:
     """→ ``{"old_features", "old_bands", "bloom", "n_old"}`` ready to pass
     to ``incremental_near_new_rows`` (id_col="doc_id"), or ``None`` when
     any index table is missing or was committed under a DIFFERENT config
-    hash (stale index ⇒ rebuild, never a silently-wrong answer — the
-    stage-resume discipline)."""
+    hash / source-corpus identity (stale index ⇒ rebuild, never a
+    silently-wrong answer — the stage-resume discipline)."""
     import numpy as np
 
     cfg = cfg or PipelineConfig()
-    h = _index_hash(cfg, fpp)
+    h = _index_hash(cfg, fpp, src_ident)
     fc = store.read_commit(_IDX_FEATURES)
     if fc is None or not fc.config_hash.startswith(h + "|gen="):
         return None
@@ -402,6 +419,17 @@ def load_fuzzy_index(
     }
 
 
+def load_admitted_texts(store) -> Optional[DataFrame]:
+    """The raw texts of every doc ever admitted via ``append_fuzzy_index``
+    (config/generation-free commit), or ``None`` if nothing was admitted.
+    A rebuild after ANY invalidation must featurize history UNION this
+    frame, or admitted docs silently fall out of the index."""
+    c = store.read_commit(_IDX_ADMITTED)
+    if c is None or c.config_hash != _ADMITTED_HASH:
+        return None
+    return store.read(_IDX_ADMITTED)
+
+
 def append_fuzzy_index(
     store,
     new_df: DataFrame,
@@ -410,6 +438,7 @@ def append_fuzzy_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     fpp: float = 1e-3,
+    src_ident: str = "",
 ) -> dict:
     """ADMIT ``new_df`` into a committed fuzzy index — the write half of
     the daily-recrawl loop (dedup the batch against the index, then
@@ -421,18 +450,31 @@ def append_fuzzy_index(
     keys — bit-exact, pinned in tests); ``n_items`` bookkeeping grows so
     fpp drift past the original sizing stays observable.
 
-    ParquetTableStore implements the append as an atomic union-rewrite
-    of each table (read-while-writing-tmp, then rename) — correct and
-    crash-safe, O(index) IO per append; at real corpus scale back the
-    same contract with IcebergTableStore appends. All three tables are
-    re-committed under ONE fresh generation stamp; a crash between
-    commits leaves mixed generations and ``load_fuzzy_index`` refuses
-    (rebuild, never a band index missing admitted docs)."""
+    Write protocol, in order, each commit atomic (tmp + rename):
+
+    1. the new part is materialized to a TEMP parquet first and every
+       later frame derives from that stored copy — a cache-partition
+       loss mid-append can therefore never re-evaluate lineage through
+       index files a later step has already replaced;
+    2. ``fuzzy_admitted`` (raw texts, config/gen-free) is committed
+       BEFORE the index tables: whatever happens after, a rebuild can
+       re-featurize history ∪ admitted and no admitted doc is lost;
+    3. features → bands → bloom are re-committed under ONE fresh
+       generation stamp; a crash between them leaves mixed generations
+       and ``load_fuzzy_index`` refuses (rebuild — which step 2 made
+       lossless — never a band index missing admitted docs).
+
+    ParquetTableStore implements each append as an atomic union-rewrite
+    (read-while-writing-tmp, then rename) — correct and crash-safe,
+    O(index) IO per append; at real corpus scale back the same contract
+    with IcebergTableStore appends."""
+    import shutil
+    import tempfile
     import uuid
 
     cfg = cfg or PipelineConfig()
     b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
-    idx = load_fuzzy_index(store, cfg, fpp=fpp)
+    idx = load_fuzzy_index(store, cfg, fpp=fpp, src_ident=src_ident)
     if idx is None:
         raise ValueError(
             "append_fuzzy_index: no valid committed index at this config "
@@ -441,61 +483,85 @@ def append_fuzzy_index(
     old_feats = idx["old_features"]
     old_bands = idx["old_bands"]
     old_bloom: BloomFilter = idx["bloom"]
-    hg = f"{_index_hash(cfg, fpp)}|gen={uuid.uuid4().hex[:12]}"
+    hg = f"{_index_hash(cfg, fpp, src_ident)}|gen={uuid.uuid4().hex[:12]}"
+    spark = new_df.sparkSession
 
-    fresh = new_df.join(
-        old_feats.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
-    )
-    new_feats = _persist_tracked(
-        _featurize(fresh, cfg, id_col, text_col).select(
+    fresh = new_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).join(old_feats.select("doc_id"), "doc_id", "left_anti")
+
+    tmp = tempfile.mkdtemp(prefix="fuzzy_append_")
+    try:
+        # step 1: new texts + features to deterministic TEMP storage;
+        # everything below derives from these files, never from cached
+        # lineage over the index tables being replaced
+        fresh.write.mode("overwrite").parquet(f"{tmp}/texts")
+        new_texts = spark.read.parquet(f"{tmp}/texts")
+        _featurize(new_texts, cfg, "doc_id", "text").select(
             F.col("_id").alias("doc_id"), "sig", "shingles"
-        )
-    )
-    n_added = new_feats.count()  # eager: fill cache before the fan-out
-    if n_added == 0:
-        new_feats.unpersist()
-        return {
-            "n_added": 0,
-            "n_total": idx["n_old"],
-            "m_bits": old_bloom.m_bits,
-            "k": old_bloom.k,
-        }
-    new_bands = minhash_bands(
-        new_feats.select(F.col("doc_id").alias("_id"), "sig"),
-        b,
-        r,
-        id_col="_id",
-    ).select(F.col("_id").alias("doc_id"), "band_key")
+        ).write.mode("overwrite").parquet(f"{tmp}/feats")
+        new_feats = spark.read.parquet(f"{tmp}/feats")
+        n_added = new_feats.count()
+        if n_added == 0:
+            return {
+                "n_added": 0,
+                "n_total": idx["n_old"],
+                "m_bits": old_bloom.m_bits,
+                "k": old_bloom.k,
+            }
+        new_bands = minhash_bands(
+            new_feats.select(F.col("doc_id").alias("_id"), "sig"),
+            b,
+            r,
+            id_col="_id",
+        ).select(F.col("_id").alias("doc_id"), "band_key")
 
-    store.write(
-        old_feats.unionByName(new_feats), _IDX_FEATURES, hg,
-        lineage=["history", "appended"],
-    )
-    n_total = store.read_commit(_IDX_FEATURES).rows
-    store.write(
-        old_bands.unionByName(new_bands), _IDX_BANDS, hg,
-        lineage=[_IDX_FEATURES],
-    )
-    # part filter over JUST the new band rows (recomputed from the
-    # persisted new_feats cache — cheap) at the stored geometry, then
-    # OR-ed into the stored words: Bloom union at identical (m, k) is
-    # bit-exact with a fresh build over the union of keys
-    part = bloom_build(
-        new_bands,
-        F.col("band_key"),
-        expected_items=n_added * b,
-        m_bits=old_bloom.m_bits,
-        k=old_bloom.k,
-    )
-    merged = BloomFilter(
-        words=old_bloom.words | part.words,
-        m_bits=old_bloom.m_bits,
-        k=old_bloom.k,
-        n_items=int(old_bloom.n_items) + n_added * b,
-        key_desc=old_bloom.key_desc,
-    )
-    _write_bloom_row(store, new_df.sparkSession, merged, hg)
-    new_feats.unpersist()
+        # part filter over JUST the new band rows at the stored
+        # geometry: Bloom union at identical (m, k) is bit-exact with a
+        # fresh build over the union of keys. Built BEFORE any table
+        # rewrite (write-protocol step 1 rationale).
+        part = bloom_build(
+            new_bands,
+            F.col("band_key"),
+            expected_items=n_added * b,
+            m_bits=old_bloom.m_bits,
+            k=old_bloom.k,
+        )
+
+        # step 2: admitted texts FIRST (loss-proof rebuilds)
+        prev_adm = load_admitted_texts(store)
+        adm = (
+            prev_adm.unionByName(new_texts)
+            if prev_adm is not None
+            else new_texts
+        )
+        store.write(
+            adm.dropDuplicates(["doc_id"]),
+            _IDX_ADMITTED,
+            _ADMITTED_HASH,
+            lineage=["admitted"],
+        )
+
+        # step 3: the three index tables under one fresh generation
+        store.write(
+            old_feats.unionByName(new_feats), _IDX_FEATURES, hg,
+            lineage=["history", "appended"],
+        )
+        n_total = store.read_commit(_IDX_FEATURES).rows
+        store.write(
+            old_bands.unionByName(new_bands), _IDX_BANDS, hg,
+            lineage=[_IDX_FEATURES],
+        )
+        merged = BloomFilter(
+            words=old_bloom.words | part.words,
+            m_bits=old_bloom.m_bits,
+            k=old_bloom.k,
+            n_items=int(old_bloom.n_items) + n_added * b,
+            key_desc=old_bloom.key_desc,
+        )
+        _write_bloom_row(store, spark, merged, hg)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return {
         "n_added": n_added,
         "n_total": n_total,

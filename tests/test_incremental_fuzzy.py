@@ -453,3 +453,74 @@ def test_cli_fuzzy_index_admit_daily_loop(spark, tmp_path):
     assert s2["metrics"]["fuzzy_index.resumed"] == 1.0
     assert s2["metrics"]["incremental_fuzzy.n_dup_docs"] >= s1["keepers"]
     assert s2["metrics"]["fuzzy_index.n_total"] >= s1["metrics"]["fuzzy_index.n_total"]
+
+
+def test_index_src_ident_invalidates_on_corpus_change(spark, tmp_path):
+    """A changed/replaced source corpus must invalidate the index (review
+    finding: nothing tied the index to the history it was built from)."""
+    from deduplication_framework_spark.operators.incremental_fuzzy import (
+        load_fuzzy_index,
+        save_fuzzy_index,
+    )
+    from deduplication_framework_spark.plans.checkpoint import (
+        ParquetTableStore,
+    )
+
+    old, _ = _corpora(spark)
+    store = ParquetTableStore(spark, str(tmp_path / "fidx_src"))
+    save_fuzzy_index(store, old, id_col="doc_id", src_ident="40:123")
+    assert load_fuzzy_index(store, src_ident="40:123") is not None
+    assert load_fuzzy_index(store, src_ident="41:999") is None
+    # and the un-stamped form does not match a stamped index either
+    assert load_fuzzy_index(store) is None
+
+
+def test_cli_rebuild_preserves_admitted_docs(spark, tmp_path):
+    """Review finding: an index rebuild (here forced by GROWING the
+    history corpus, which changes src_ident) must re-featurize history
+    UNION the admitted texts — run-1 keepers stay caught after the
+    rebuild instead of silently falling out of the index."""
+    import json
+    import os
+
+    from deduplication_framework_spark.__main__ import main
+    from deduplication_framework_spark.sources.pages import generate_pages
+
+    hist = str(tmp_path / "hist_grow")
+    corpus = generate_pages(spark, 60)
+    corpus.filter(F.col("doc_order") < 10).select("text").write.parquet(hist)
+    idx_dir = str(tmp_path / "fuzzy_idx_grow")
+
+    def run(tag):
+        out = str(tmp_path / f"out_grow_{tag}")
+        rc = main(
+            [
+                "--synthetic", "60",
+                "--output", out,
+                "--detectors", "exact,minhash",
+                "--checkpoint-dir", str(tmp_path / f"ckpt_grow_{tag}"),
+                "--dedup-against", hist,
+                "--dedup-against-fuzzy",
+                "--fuzzy-index", idx_dir,
+                "--fuzzy-index-admit",
+            ]
+        )
+        assert rc == 0
+        with open(os.path.join(out, "summary.json")) as fh:
+            return json.load(fh)
+
+    s1 = run("a")
+    assert s1["metrics"]["fuzzy_index.resumed"] == 0.0
+    n_admitted = s1["metrics"]["fuzzy_index.n_admitted"]
+    assert n_admitted == s1["keepers"] > 0
+
+    # grow the history corpus -> src_ident changes -> forced rebuild
+    spark.createDataFrame(
+        [("a brand new history document appended later " * 4,)], ["text"]
+    ).write.mode("append").parquet(hist)
+
+    s2 = run("b")
+    assert s2["metrics"]["fuzzy_index.resumed"] == 0.0  # rebuild happened
+    # every run-1 keeper is an exact recrawl of an ADMITTED doc; the
+    # rebuilt index must still catch all of them
+    assert s2["metrics"]["incremental_fuzzy.n_dup_docs"] >= n_admitted
