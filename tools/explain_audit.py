@@ -66,8 +66,13 @@ AUDITS = [
         [
             ("log2-bucket equi-join (hash join, not O(N^2) BNLJ)",
              _not(r"BroadcastNestedLoopJoin|CartesianProduct")),
-            ("gram arrays built JVM-side (no Python UDF)",
-             _not(r"BatchEvalPython|ArrowEvalPython|MapInPandas")),
+            # round-4 part 9c: pair verification moved to the sorted-merge
+            # ARROW UDF on purpose (~30x vs array_intersect); the pin is
+            # now "no row-at-a-time Python", not "no Python at all"
+            ("no row-at-a-time Python UDF (Arrow verify allowed)",
+             _not(r"BatchEvalPython")),
+            ("pair stage AQE-coalesce-proof (REPARTITION_BY_NUM)",
+             _has(r"REPARTITION_BY_NUM|Exchange RoundRobinPartitioning|Exchange hashpartitioning")),
         ],
     ),
     (
