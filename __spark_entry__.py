@@ -451,6 +451,37 @@ def q_ngram_jaccard_edges(spark, sf_dir):
     return _char3_jaccard_edges(_docs(spark, sf_dir))
 
 
+def q_minhash_signatures_sql(spark, sf_dir):
+    """J5/J8 at the SIGNATURE level — the parity seam every earlier round
+    documented as DuckDB-blocked (datasketch signatures need sha1, absent
+    in DuckDB 1.0). The md5-low32 / affine-mod-2^31-1 family
+    (functions/jvm_minhash.py) is computable EXACTLY in both engines, so
+    the driver verifies the actual MinHash construction — feature hash →
+    permutation → min — value by value, not just the downstream clusters
+    (minhash_clusters stays the cluster-level oracle for the datasketch
+    family). Also the Python-worker-free MinHash scale path: the whole
+    plan is whole-stage codegen (md5/conv/integer affine/min) and the
+    algebraic min map-side-combines to one row per doc per partition
+    before the exchange — shuffle is O(docs·perms), not O(grams). Gram
+    definition shared with ngram_jaccard_edges (distinct char-3-grams)."""
+    from deduplication_framework_spark.functions.jvm_minhash import (
+        jvm_minhash_signatures,
+    )
+
+    grams = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text)-2, 1)),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("gram"),
+    )
+    return jvm_minhash_signatures(grams, num_perm=16).orderBy("doc_id")
+
+
 def q_jaccard_cluster_keepers(spark, sf_dir):
     """Quality-priority keeper selection (W1/W2/W5) driver-verified: CC over
     the exact char-3-gram Jaccard >= 0.8 edge set (the q_ngram_jaccard_edges
@@ -2023,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "length_band_candidates": q_length_band_candidates,
         "ngram_jaccard_edges": q_ngram_jaccard_edges,
+        "minhash_signatures_sql": q_minhash_signatures_sql,
         "jaccard_cluster_keepers": q_jaccard_cluster_keepers,
         "leakage_safe_split": q_leakage_safe_split,
         "doc_stats_by_lang": q_doc_stats_by_lang,
@@ -2087,6 +2119,11 @@ def oracle_sql() -> dict[str, str]:
     from deduplication_framework_spark.functions.langid import (
         PROFILES as _LID_PROFILES,
         lang_id_sql as _lang_id_sql,
+    )
+    from deduplication_framework_spark.functions.jvm_minhash import (
+        MERSENNE_31 as _MERSENNE_31,
+        hex8_to_int_sql as _hex8_to_int_sql,
+        minhash_signature_sql_aggs as _minhash_sig_sql_aggs,
     )
     from deduplication_framework_spark.functions.urls import (
         canonical_url_sql as _canon_url_sql,
@@ -2308,6 +2345,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / (len(a.grams) + len(b.grams)
                      - len(list_intersect(a.grams, b.grams))) >= 0.8
+        """,
+        # signature-LEVEL MinHash parity: the md5-low32 / affine-mod-2^31-1
+        # family (functions/jvm_minhash.py) evaluated exactly in SQL —
+        # aggregate list GENERATED from the same (A_i, B_i) constants the
+        # Spark side uses, so the two sides cannot drift. hx computed once
+        # per gram row (inlining md5 into the digit parse evaluates it 8x).
+        "minhash_signatures_sql": f"""
+            WITH g AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(length(text)-1, 2)),
+                           i -> substring(text, i::INT, 3)))) AS gram
+                FROM documents
+            ),
+            hx AS (
+                SELECT doc_id, substring(md5(gram), 25, 8) AS hx FROM g
+            ),
+            h AS (
+                SELECT doc_id,
+                       {_hex8_to_int_sql("hx")} % {_MERSENNE_31} AS h
+                FROM hx
+            )
+            SELECT doc_id,
+                   {_minhash_sig_sql_aggs(16)}
+            FROM h GROUP BY doc_id ORDER BY doc_id
         """,
         # same edge semantics as ngram_jaccard_edges (intersect computed
         # ONCE in a materialized pair CTE — the correlated form defeats
