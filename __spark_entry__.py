@@ -482,6 +482,70 @@ def q_minhash_signatures_sql(spark, sf_dir):
     return jvm_minhash_signatures(grams, num_perm=16).orderBy("doc_id")
 
 
+def q_minhash_band_candidates(spark, sf_dir):
+    """J8/J9 at the BANDING level: LSH candidate pairs — docs colliding in
+    at least one of 4 bands × 4 rows over the jvm_minhash signatures —
+    verified value-by-value against DuckDB (the banding mechanics were
+    previously only checked through downstream clusters). Production
+    banding lives in operators/lsh.py (caps, salting, hot-bucket census);
+    this surface is the uncapped spec of what those buckets must contain.
+    b=4/r=8 over 32 perms puts the 50% collision point at J≈0.795 — the
+    pipeline's J>=0.8 regime — so the word-soup corpus baseline
+    (J~0.4-0.5 between unrelated docs: collision p<=1.6%) stays out of
+    the buckets ((4,4) banding fired on 16% of ALL pairs here). Banding
+    is exactly as lossy as the S-curve says: the ORACLE is the same
+    construction, not an independent J oracle (recall vs exact Jaccard
+    is minhash_clusters' job)."""
+    from deduplication_framework_spark.functions.jvm_minhash import (
+        jvm_minhash_signatures,
+    )
+
+    grams = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text)-2, 1)),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("gram"),
+    )
+    sigs = jvm_minhash_signatures(grams, num_perm=32)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"s{b * 8 + r:02d}").cast("string")
+                                for r in range(8)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+        .orderBy("src", "dst")
+    )
+
+
 def q_jaccard_cluster_keepers(spark, sf_dir):
     """Quality-priority keeper selection (W1/W2/W5) driver-verified: CC over
     the exact char-3-gram Jaccard >= 0.8 edge set (the q_ngram_jaccard_edges
@@ -2055,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_band_candidates": q_length_band_candidates,
         "ngram_jaccard_edges": q_ngram_jaccard_edges,
         "minhash_signatures_sql": q_minhash_signatures_sql,
+        "minhash_band_candidates": q_minhash_band_candidates,
         "jaccard_cluster_keepers": q_jaccard_cluster_keepers,
         "leakage_safe_split": q_leakage_safe_split,
         "doc_stats_by_lang": q_doc_stats_by_lang,
@@ -2153,6 +2218,14 @@ def oracle_sql() -> dict[str, str]:
 
     from deduplication_framework_spark.sources.loaders import (
         _rate_hex_threshold,
+    )
+
+    # 4 bands x 8 rows over the 32 jvm_minhash signature columns — the
+    # SAME (band, joined-key) construction as q_minhash_band_candidates
+    _band_structs = ", ".join(
+        "{'band': %d, 'key': concat_ws('-', %s)}"
+        % (b, ", ".join(f"s{b * 8 + r:02d}" for r in range(8)))
+        for b in range(4)
     )
 
     _pii_counts = _pii_count_sqls("raw")
@@ -2369,6 +2442,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    {_minhash_sig_sql_aggs(16)}
             FROM h GROUP BY doc_id ORDER BY doc_id
+        """,
+        # LSH banding over the same signatures: docs sharing any of the 4
+        # four-row band keys. bands MATERIALIZED — the self-join consumes
+        # it twice and DuckDB re-inlines plain CTEs (the SRP-oracle lesson)
+        "minhash_band_candidates": f"""
+            WITH g AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(length(text)-1, 2)),
+                           i -> substring(text, i::INT, 3)))) AS gram
+                FROM documents
+            ),
+            hx AS (
+                SELECT doc_id, substring(md5(gram), 25, 8) AS hx FROM g
+            ),
+            h AS (
+                SELECT doc_id,
+                       {_hex8_to_int_sql("hx")} % {_MERSENNE_31} AS h
+                FROM hx
+            ),
+            sig AS (
+                SELECT doc_id,
+                       {_minhash_sig_sql_aggs(32)}
+                FROM h GROUP BY doc_id
+            ),
+            bands AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest([{_band_structs}], recursive := true)
+                FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ORDER BY src, dst
         """,
         # same edge semantics as ngram_jaccard_edges (intersect computed
         # ONCE in a materialized pair CTE — the correlated form defeats
