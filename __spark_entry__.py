@@ -512,6 +512,13 @@ def q_minhash_band_candidates(spark, sf_dir):
         ).alias("gram"),
     )
     sigs = jvm_minhash_signatures(grams, num_perm=32)
+    return _jvm_band_pairs(sigs).orderBy("src", "dst")
+
+
+def _jvm_band_pairs(sigs: DataFrame) -> DataFrame:
+    """(4 bands × 8 rows) LSH candidate pairs over 32 jvm_minhash signature
+    columns — the shared banding construction of q_minhash_band_candidates
+    and q_jvm_minhash_clusters (and of their generated DuckDB twins)."""
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -542,8 +549,71 @@ def q_minhash_band_candidates(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .distinct()
-        .orderBy("src", "dst")
     )
+
+
+def q_jvm_minhash_clusters(spark, sf_dir):
+    """The FULL MinHash-LSH dedup pipeline, value-exact end to end at the
+    signature level: distinct char-3-grams → 32-perm jvm_minhash
+    signatures (md5-low32 / affine-mod-2^31-1 — every intermediate int64
+    in both engines) → (4,8) LSH banding → candidate pairs → exact
+    raw-gram Jaccard >= 0.8 verification → connected components. Where
+    minhash_clusters proves the datasketch-family pipeline at the CLUSTER
+    level (sha1 blocks DuckDB signature parity) and
+    minhash_signatures_sql / minhash_band_candidates prove the jvm family
+    stage by stage, this query closes the loop: every stage of the
+    candidate→verify→cluster cascade is re-derived in DuckDB from the
+    same constants and compared hash-exact — including the banding's own
+    S-curve losses, mirrored identically on both sides. Verification uses
+    the sorted-merge Arrow Jaccard (the production verify kernel); the
+    oracle computes the identical inter/(|A|+|B|-inter) double.
+    Reference analog: pipeline_api.py's minhash stage (signature →
+    band buckets → verified pairs → greedy clusters)."""
+    from deduplication_framework_spark.functions.jvm_minhash import (
+        jvm_minhash_signatures,
+    )
+    from deduplication_framework_spark.operators.cluster import (
+        clusters_from_edges,
+    )
+    from deduplication_framework_spark.operators.verify import (
+        make_sorted_jaccard_udf,
+    )
+
+    d = _docs(spark, sf_dir)
+    gset = d.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text)-2, 1)),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("grams"),
+    ).persist()
+    gset.count()  # eager: sigs + both verify sides consume it (round-2 lesson)
+    sigs = jvm_minhash_signatures(
+        gset.select("doc_id", F.explode("grams").alias("gram")), num_perm=32
+    )
+    cand = _jvm_band_pairs(sigs)
+    sim = make_sorted_jaccard_udf()(F.col("ga"), F.col("gb"))
+    edges = (
+        cand.join(
+            gset.select(F.col("doc_id").alias("src"), F.col("grams").alias("ga")),
+            "src",
+        )
+        .join(
+            gset.select(F.col("doc_id").alias("dst"), F.col("grams").alias("gb")),
+            "dst",
+        )
+        .filter(sim >= 0.8)
+        .select("src", "dst")
+    )
+    clusters, _rounds = clusters_from_edges(
+        d, edges, id_col="doc_id", driver_threshold=100_000
+    )
+    gset.unpersist()
+    return clusters.select("doc_id", "cluster_id")
 
 
 def q_jaccard_cluster_keepers(spark, sf_dir):
@@ -2120,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_edges": q_ngram_jaccard_edges,
         "minhash_signatures_sql": q_minhash_signatures_sql,
         "minhash_band_candidates": q_minhash_band_candidates,
+        "jvm_minhash_clusters": q_jvm_minhash_clusters,
         "jaccard_cluster_keepers": q_jaccard_cluster_keepers,
         "leakage_safe_split": q_leakage_safe_split,
         "doc_stats_by_lang": q_doc_stats_by_lang,
@@ -2475,6 +2546,65 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
             ORDER BY src, dst
+        """,
+        # the FULL pipeline: same signature + banding construction as the
+        # two queries above, then exact raw-gram Jaccard >= 0.8 verify
+        # (intersect computed ONCE in a materialized pair CTE — the
+        # correlated form defeats DuckDB's planner) and recursive
+        # min-label CC. Every stage re-derived from the same constants.
+        "jvm_minhash_clusters": f"""
+            WITH RECURSIVE
+            g AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(length(text)-1, 2)),
+                           i -> substring(text, i::INT, 3)))) AS gram
+                FROM documents
+            ),
+            hx AS (
+                SELECT doc_id, substring(md5(gram), 25, 8) AS hx FROM g
+            ),
+            h AS (
+                SELECT doc_id,
+                       {_hex8_to_int_sql("hx")} % {_MERSENNE_31} AS h
+                FROM hx
+            ),
+            sig AS (
+                SELECT doc_id,
+                       {_minhash_sig_sql_aggs(32)}
+                FROM h GROUP BY doc_id
+            ),
+            bands AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest([{_band_structs}], recursive := true)
+                FROM sig
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+            ),
+            gs AS MATERIALIZED (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(text)-1, 2)),
+                           i -> substring(text, i::INT, 3))) AS grams
+                FROM documents
+            ),
+            pairs AS MATERIALIZED (
+                SELECT c.src, c.dst,
+                       len(list_intersect(ga.grams, gb.grams)) AS i,
+                       len(ga.grams) + len(gb.grams) AS s
+                FROM cand c
+                JOIN gs ga ON ga.doc_id = c.src
+                JOIN gs gb ON gb.doc_id = c.dst
+            ),
+            e AS MATERIALIZED (
+                SELECT src, dst FROM pairs
+                WHERE i::DOUBLE / (s - i) >= 0.8
+            ),
+            {_RECURSIVE_CC_CTES}
+            SELECT doc_id, cluster_id FROM cc
         """,
         # same edge semantics as ngram_jaccard_edges (intersect computed
         # ONCE in a materialized pair CTE — the correlated form defeats

@@ -54,6 +54,13 @@ class TextDedupConfig:
     #            S-curve statistics, no per-feature Python) — the 100-TB
     #            throughput path. Recall parity pinned in
     #            tests/test_e2e_recall.py::TestFastHashFamily.
+    #   "jvm"  — md5-low32/affine-mod-2^31-1 signatures built ENTIRELY from
+    #            per-row JVM expressions (functions/jvm_minhash.py: zero
+    #            Python workers, zero Arrow transfer, zero featurization
+    #            shuffle) — for clusters where Python worker slots are the
+    #            bottleneck, and the only family DuckDB can re-derive
+    #            signature-exact (driver gate: jvm_minhash_clusters).
+    #            Recall parity pinned in the same TestFastHashFamily.
     hash_family: str = "sha1"
 
 

@@ -92,6 +92,119 @@ def jvm_minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def jvm_minhash_features(
+    docs: DataFrame,
+    *,
+    num_perm: int,
+    ngram_size: int = 3,
+    max_words: int = 200,
+    max_char_grams: int = 200,
+    include_words: bool = True,
+    seed: int = _DEFAULT_SEED,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    strip_mode: str = "space",
+) -> DataFrame:
+    """(id, text) → (id, sig: array<long>, shingles: array<long>) with the
+    ENTIRE featurization per-row JVM expressions — no Python workers, no
+    Arrow transfer, and (unlike ``jvm_minhash_signatures``' explode+agg
+    shape) NO shuffle at all: normalize → capped word tokens ∪ char
+    n-grams → md5-low32 feature hashes → per-permutation affine min, one
+    projection per doc. This is the ``hash_family="jvm"`` pipeline path;
+    the output plugs straight into ``operators/lsh.minhash_bands`` (sig)
+    and ``operators/verify.verify_jaccard`` (shingles).
+
+    Feature-set semantics mirror the fused Arrow path (reference
+    pipeline_api.py:426-430: first ``max_words`` whitespace tokens ∪
+    space-stripped char ``ngram_size``-grams capped at
+    ``max_char_grams``), with two documented deltas that make this a
+    self-contained family rather than a bit-parity one (exactly like
+    ``kr32``): normalization strips via the Java regex class
+    ``[^\\p{L}\\p{N}_\\s]`` (Python's ``\\w`` under re.UNICODE is not
+    expressible verbatim in Java; identical on ASCII+CJK corpora), and
+    shingle ids are the md5-low32 feature hashes themselves (the sig's
+    own input domain) instead of sha1-slice ids. Recall parity against
+    the sha1 pipeline is pinned empirically in tests/test_e2e_recall.py.
+
+    Empty docs: zero features → every sig lane is the MERSENNE_31
+    sentinel (unreachable by real values, which are % P < P), so all
+    empty docs band-collide and the verifier's both-empty → 1.0 rule
+    (reference pipeline_api.py:478-485) merges them — the same outcome
+    as the Arrow path.
+    """
+    if strip_mode not in ("space", "delete"):
+        raise ValueError(f"unknown strip_mode {strip_mode!r}")
+    n = max(1, int(ngram_size))
+    params = affine_params(num_perm, seed)
+
+    norm = F.col(text_col)
+    if lowercase:
+        norm = F.lower(norm)
+    norm = F.regexp_replace(
+        norm, r"[^\p{L}\p{N}_\s]", " " if strip_mode == "space" else ""
+    )
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+
+    d0 = docs.select(F.col(id_col), norm.alias("_norm"))
+    gram_expr = (
+        "CASE WHEN length(_cleaned) = 0 THEN CAST(array() AS array<string>) "
+        f"WHEN length(_cleaned) < {n} THEN array(_cleaned) "
+        f"ELSE transform(sequence(1, length(_cleaned) - {n} + 1), "
+        f"i -> substring(_cleaned, i, {n})) END"
+    )
+    d1 = d0.select(
+        id_col,
+        F.slice(
+            F.expr("filter(split(_norm, ' '), w -> w != '')"), 1, max_words
+        ).alias("_words"),
+        F.expr("replace(_norm, ' ', '')").alias("_cleaned"),
+    )
+    d2 = d1.select(
+        id_col,
+        F.slice(F.expr(gram_expr), 1, max_char_grams).alias("_grams"),
+        "_words",
+    )
+    feats = (
+        F.array_distinct(F.concat("_words", "_grams"))
+        if include_words
+        else F.array_distinct(F.col("_grams"))
+    )
+    # one md5 per distinct feature; _hs is a materialized column consumed
+    # twice below (sig + shingles) — CollapseProject does not inline
+    # non-cheap aliases with >1 consumer, pinned by the one-md5 plan test
+    d3 = d2.select(id_col, feats.alias("_feats"))
+    d4 = d3.select(
+        id_col,
+        F.expr(
+            "transform(_feats, f -> CAST(conv(substring(md5(f), 25, 8),"
+            f" 16, 10) AS BIGINT) % {MERSENNE_31})"
+        ).alias("_hs"),
+    )
+    params_arr = F.expr(
+        "array("
+        + ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for a, b in params)
+        + ")"
+    )
+    sig = F.transform(
+        params_arr,
+        lambda p: F.coalesce(
+            F.array_min(
+                F.transform(
+                    F.col("_hs"),
+                    lambda h: (p["a"] * h + p["b"]) % F.lit(MERSENNE_31),
+                )
+            ),
+            F.lit(MERSENNE_31),
+        ),
+    )
+    return d4.select(
+        id_col,
+        sig.alias("sig"),
+        F.array_sort(F.array_distinct(F.col("_hs"))).alias("shingles"),
+    )
+
+
 def minhash_signature_py(
     grams: list[str], num_perm: int = 16, seed: int = _DEFAULT_SEED
 ) -> list[int]:

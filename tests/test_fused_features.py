@@ -73,3 +73,21 @@ def test_fused_partial_field_selection(spark, pages):
     out = docs.select(fused("text").alias("f")).select("f.*")
     assert out.columns == ["simhash"]
     assert out.count() == 5
+
+
+def test_jvm_family_rejected_by_arrow_path_but_ok_simhash_only():
+    """hash_family="jvm" has no Arrow featurization (the pipeline routes
+    it to functions/jvm_minhash.jvm_minhash_features); asking this UDF
+    for minhash/lsh features under it must fail loudly, while a
+    simhash-only request (the mixed-detector case) must succeed."""
+    import pytest
+
+    cfg = PipelineConfig()
+    cfg.dedup.hash_family = "jvm"
+    with pytest.raises(ValueError, match="jvm"):
+        make_fused_features_udf(
+            cfg.embedding, cfg.dedup, with_minhash=True
+        )
+    make_fused_features_udf(
+        cfg.embedding, cfg.dedup, with_minhash=False, with_simhash=True
+    )

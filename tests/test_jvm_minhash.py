@@ -96,3 +96,130 @@ def test_plan_is_jvm_only_with_partial_agg(spark):
     # appears again AFTER the Exchange line
     assert "HashAggregate" in plan[exchange:], "no map-side partial min"
     assert first_agg < exchange
+
+
+# ---------------------------------------------------------------------------
+# jvm_minhash_features — the hash_family="jvm" pipeline featurization
+# ---------------------------------------------------------------------------
+
+import re
+
+from deduplication_framework_spark.functions.jvm_minhash import (
+    jvm_minhash_features,
+)
+
+# ASCII corpus: Java's [^\p{L}\p{N}_\s] class coincides with Python's
+# [^\w\s] here, so the replica below is exact (the documented family
+# delta only opens up on non-ASCII letter categories).
+FEAT_TEXTS = [
+    "The quick, brown fox -- jumps over   the lazy dog!",
+    "the quick brown fox jumps over the lazy dog",
+    "word " * 300 + "tail",  # > max_words: cap must bite
+    "ab",  # cleaned shorter than one gram: single truncated gram
+    "",  # empty: sentinel signature, empty shingles
+    "  \t  ",  # whitespace-only: ditto
+    "under_score 123 mixed_4",
+]
+
+
+def _features_py(
+    text, n=3, max_words=200, max_grams=200, lowercase=True, strip_mode="space"
+):
+    t = text.lower() if lowercase else text
+    t = re.sub(r"[^\w\s]", " " if strip_mode == "space" else "", t, flags=re.ASCII)
+    t = re.sub(r"\s+", " ", t).strip()
+    words = [w for w in t.split(" ") if w][:max_words]
+    cleaned = t.replace(" ", "")
+    if not cleaned:
+        grams = []
+    elif len(cleaned) < n:
+        grams = [cleaned]
+    else:
+        grams = [cleaned[i : i + n] for i in range(len(cleaned) - n + 1)][:max_grams]
+    seen, feats = set(), []
+    for f in words + grams:
+        if f not in seen:
+            seen.add(f)
+            feats.append(f)
+    return feats
+
+
+def _md5low31(f: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f.encode()).hexdigest()[24:32], 16) % MERSENNE_31
+
+
+class TestJvmFeatures:
+    def _run(self, spark, **kw):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(FEAT_TEXTS)], "doc_id long, text string"
+        )
+        return {
+            r["doc_id"]: r
+            for r in jvm_minhash_features(docs, num_perm=16, **kw).collect()
+        }
+
+    def test_sig_and_shingles_match_python_spec(self, spark):
+        out = self._run(spark)
+        for i, t in enumerate(FEAT_TEXTS):
+            feats = _features_py(t)
+            want_sh = sorted({_md5low31(f) for f in feats})
+            assert list(out[i]["shingles"]) == want_sh, t
+            if feats:
+                assert list(out[i]["sig"]) == minhash_signature_py(
+                    feats, num_perm=16
+                ), t
+            else:
+                assert list(out[i]["sig"]) == [MERSENNE_31] * 16, t
+
+    def test_word_cap_bites(self, spark):
+        # doc 2 has 301 words; the 200-word cap must drop word #301
+        # ("tail") from the replica, and the Spark side must agree — its
+        # shingle set may not contain tail's hash. (Gram cap covered by
+        # the same doc: 200 grams of >1200 cleaned chars.)
+        capped = _features_py(FEAT_TEXTS[2])
+        uncapped = _features_py(FEAT_TEXTS[2], max_words=10**9, max_grams=10**9)
+        assert len(uncapped) > len(capped)
+        assert "tail" in uncapped and "tail" not in capped
+        out = self._run(spark)
+        assert _md5low31("tail") not in set(out[2]["shingles"])
+
+    def test_delete_strip_mode(self, spark):
+        out = self._run(spark, strip_mode="delete")
+        for i, t in enumerate(FEAT_TEXTS):
+            feats = _features_py(t, strip_mode="delete")
+            assert list(out[i]["shingles"]) == sorted(
+                {_md5low31(f) for f in feats}
+            ), t
+
+    def test_bad_strip_mode_raises(self, spark):
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="strip_mode"):
+            jvm_minhash_features(docs, num_perm=8, strip_mode="junk")
+
+    def test_plan_jvm_only_no_shuffle_one_md5(self, spark):
+        """The three structural claims of the path: zero Python workers,
+        zero Exchange (pure map-side — unlike the explode+agg shape of
+        jvm_minhash_signatures), and md5 evaluated ONCE per feature
+        (the _hs projection is materialized, not inlined into both the
+        sig transform and the shingles column)."""
+        docs = spark.createDataFrame(
+            [(0, "some text here")], "doc_id long, text string"
+        )
+        plan = (
+            jvm_minhash_features(docs, num_perm=16)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for marker in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "FlatMapsInPandas",
+            "Exchange",
+        ):
+            assert marker not in plan, marker
+        assert plan.count("md5") == 1, plan
