@@ -76,6 +76,12 @@ def _kr32_cfg():
     return cfg
 
 
+def _jvm_cfg():
+    cfg = PipelineConfig()
+    cfg.dedup.hash_family = "jvm"
+    return cfg
+
+
 def materialized_pages(spark, n, parts):
     """Generate + cache the corpus so detector timings exclude generation."""
     df = generate_pages(spark, n, num_partitions=parts)
@@ -837,6 +843,11 @@ def main():
         # feature hashing instead of per-feature sha1 (datasketch parity)
         ("pages_minhash_kr32_e2e", bench_pages_pipeline(
             spark, pages, ["exact", "minhash"], cfg=_kr32_cfg())),
+        # the Python-worker-free path: featurization entirely in JVM
+        # expressions (functions/jvm_minhash.py) — tracks the cost of
+        # trading the Arrow pass for zero Python workers
+        ("pages_minhash_jvm_e2e", bench_pages_pipeline(
+            spark, pages, ["exact", "minhash"], cfg=_jvm_cfg())),
         ("pages_simhash_e2e", bench_pages_pipeline(spark, pages, ["simhash"])),
         ("pages_substring_e2e", bench_pages_pipeline(spark, pages, ["substring"])),
         ("pages_suffix_array_e2e", bench_pages_pipeline(spark, pages, ["suffix_array"])),
