@@ -456,3 +456,33 @@ def test_cli_lm_filter_probes(spark, tmp_path):
                 "--sweep", "0.7",
             ]
         )
+
+
+def test_cli_config_yaml_jvm_hash_family(spark, tmp_path):
+    """The jvm hash family is reachable from the shipped surface: a user
+    config file (``--config``, deep-merged over defaults) flips
+    dedup.hash_family and the pipeline runs the Python-worker-free
+    featurization end to end, resume included."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cfgf = tmp_path / "cfg.yaml"
+    cfgf.write_text("dedup:\n  hash_family: jvm\n  num_perm: 32\n")
+    args = [
+        "--synthetic", "200",
+        "--output", out,
+        "--detectors", "exact,minhash",
+        "--checkpoint-dir", ckpt,
+        "--config", str(cfgf),
+    ]
+    assert main(args) == 0
+    with open(os.path.join(out, "summary.json")) as fh:
+        summary = json.load(fh)
+    assert summary["docs"] == 200
+    assert 0 < summary["keepers"] <= 200
+    # resume: the jvm featurization stage participates in the
+    # config-hash store (stage name features_minhash_jvm)
+    assert main(args) == 0
+    with open(os.path.join(out, "summary.json")) as fh:
+        resumed = json.load(fh)
+    assert resumed["metrics"].get("features_minhash_jvm.resumed") == 1.0
+    assert resumed["keepers"] == summary["keepers"]
