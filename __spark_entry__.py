@@ -597,6 +597,9 @@ def q_jvm_minhash_clusters(spark, sf_dir):
     )
     cand = _jvm_band_pairs(sigs)
     sim = make_sorted_jaccard_udf()(F.col("ga"), F.col("gb"))
+    # persist: clusters_from_edges consumes edges twice (count + driver
+    # union-find collect) — without this the band self-join + both gram
+    # joins + the Arrow verify UDF all run twice (session LRU reclaims)
     edges = (
         cand.join(
             gset.select(F.col("doc_id").alias("src"), F.col("grams").alias("ga")),
@@ -608,6 +611,7 @@ def q_jvm_minhash_clusters(spark, sf_dir):
         )
         .filter(sim >= 0.8)
         .select("src", "dst")
+        .persist()
     )
     clusters, _rounds = clusters_from_edges(
         d, edges, id_col="doc_id", driver_threshold=100_000
@@ -2554,11 +2558,15 @@ def oracle_sql() -> dict[str, str]:
         # min-label CC. Every stage re-derived from the same constants.
         "jvm_minhash_clusters": f"""
             WITH RECURSIVE
-            g AS (
-                SELECT doc_id, unnest(list_distinct(list_transform(
+            gs AS MATERIALIZED (
+                SELECT doc_id,
+                       list_distinct(list_transform(
                            range(1, greatest(length(text)-1, 2)),
-                           i -> substring(text, i::INT, 3)))) AS gram
+                           i -> substring(text, i::INT, 3))) AS grams
                 FROM documents
+            ),
+            g AS (
+                SELECT doc_id, unnest(grams) AS gram FROM gs
             ),
             hx AS (
                 SELECT doc_id, substring(md5(gram), 25, 8) AS hx FROM g
@@ -2583,13 +2591,6 @@ def oracle_sql() -> dict[str, str]:
                 FROM bands a JOIN bands b
                   ON a.band = b.band AND a.key = b.key
                  AND a.doc_id < b.doc_id
-            ),
-            gs AS MATERIALIZED (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(length(text)-1, 2)),
-                           i -> substring(text, i::INT, 3))) AS grams
-                FROM documents
             ),
             pairs AS MATERIALIZED (
                 SELECT c.src, c.dst,

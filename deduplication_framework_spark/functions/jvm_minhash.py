@@ -103,8 +103,7 @@ def jvm_minhash_features(
     seed: int = _DEFAULT_SEED,
     id_col: str = "doc_id",
     text_col: str = "text",
-    lowercase: bool = True,
-    strip_mode: str = "space",
+    emb=None,
 ) -> DataFrame:
     """(id, text) → (id, sig: array<long>, shingles: array<long>) with the
     ENTIRE featurization per-row JVM expressions — no Python workers, no
@@ -115,17 +114,19 @@ def jvm_minhash_features(
     the output plugs straight into ``operators/lsh.minhash_bands`` (sig)
     and ``operators/verify.verify_jaccard`` (shingles).
 
-    Feature-set semantics mirror the fused Arrow path (reference
-    pipeline_api.py:426-430: first ``max_words`` whitespace tokens ∪
-    space-stripped char ``ngram_size``-grams capped at
-    ``max_char_grams``), with two documented deltas that make this a
+    Normalization is ``functions/text.normalize_col`` with the passed
+    ``emb`` (``TextEmbeddingConfig``) — the SAME pinned JVM twin of
+    ``kernels.normalize_text`` every other JVM surface uses, honoring
+    all four knobs (lowercase / strip_non_alnum / collapse_whitespace /
+    strip_mode). Feature-set semantics mirror the fused Arrow path
+    (reference pipeline_api.py:426-430: first ``max_words`` whitespace
+    tokens ∪ space-stripped char ``ngram_size``-grams capped at
+    ``max_char_grams``), with one documented delta that makes this a
     self-contained family rather than a bit-parity one (exactly like
-    ``kr32``): normalization strips via the Java regex class
-    ``[^\\p{L}\\p{N}_\\s]`` (Python's ``\\w`` under re.UNICODE is not
-    expressible verbatim in Java; identical on ASCII+CJK corpora), and
-    shingle ids are the md5-low32 feature hashes themselves (the sig's
-    own input domain) instead of sha1-slice ids. Recall parity against
-    the sha1 pipeline is pinned empirically in tests/test_e2e_recall.py.
+    ``kr32``): shingle ids are the md5-low32 feature hashes themselves
+    (the sig's own input domain) instead of sha1-slice ids. Recall
+    parity against the sha1 pipeline is pinned empirically in
+    tests/test_e2e_recall.py.
 
     Empty docs: zero features → every sig lane is the MERSENNE_31
     sentinel (unreachable by real values, which are % P < P), so all
@@ -133,30 +134,35 @@ def jvm_minhash_features(
     (reference pipeline_api.py:478-485) merges them — the same outcome
     as the Arrow path.
     """
-    if strip_mode not in ("space", "delete"):
-        raise ValueError(f"unknown strip_mode {strip_mode!r}")
+    from deduplication_framework_spark.config import TextEmbeddingConfig
+    from deduplication_framework_spark.functions.text import normalize_col
+
+    emb = emb or TextEmbeddingConfig()
+    if emb.strip_mode not in ("space", "delete"):
+        raise ValueError(f"unknown strip_mode {emb.strip_mode!r}")
     n = max(1, int(ngram_size))
     params = affine_params(num_perm, seed)
 
-    norm = F.col(text_col)
-    if lowercase:
-        norm = F.lower(norm)
-    norm = F.regexp_replace(
-        norm, r"[^\p{L}\p{N}_\s]", " " if strip_mode == "space" else ""
+    d0 = docs.select(
+        F.col(id_col), normalize_col(F.col(text_col), emb).alias("_norm")
     )
-    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
-
-    d0 = docs.select(F.col(id_col), norm.alias("_norm"))
     gram_expr = (
         "CASE WHEN length(_cleaned) = 0 THEN CAST(array() AS array<string>) "
         f"WHEN length(_cleaned) < {n} THEN array(_cleaned) "
         f"ELSE transform(sequence(1, length(_cleaned) - {n} + 1), "
         f"i -> substring(_cleaned, i, {n})) END"
     )
+    # word tokens split on the Java twin of Python str.split() (any
+    # whitespace — only visible when collapse_whitespace=False); char
+    # grams strip ASCII spaces only (kernels.lsh_char_grams semantics)
     d1 = d0.select(
         id_col,
         F.slice(
-            F.expr("filter(split(_norm, ' '), w -> w != '')"), 1, max_words
+            F.filter(
+                F.split(F.col("_norm"), r"(?U)\s+"), lambda w: w != ""
+            ),
+            1,
+            max_words,
         ).alias("_words"),
         F.expr("replace(_norm, ' ', '')").alias("_cleaned"),
     )

@@ -65,6 +65,25 @@ __all__ = [
 
 
 def _featurize(df: DataFrame, cfg: PipelineConfig, id_col: str, text_col: str):
+    if getattr(cfg.dedup, "hash_family", "sha1") == "jvm":
+        # the Python-worker-free family (functions/jvm_minhash.py) emits
+        # the same (_id, sig, shingles) contract; the stored-index config
+        # hash covers hash_family, so an index built under one family is
+        # never silently verified under another
+        from deduplication_framework_spark.functions.jvm_minhash import (
+            jvm_minhash_features,
+        )
+
+        return jvm_minhash_features(
+            df,
+            num_perm=cfg.dedup.num_perm,
+            ngram_size=cfg.embedding.ngram_size,
+            max_words=cfg.dedup.max_words,
+            max_char_grams=cfg.dedup.max_char_grams,
+            id_col=id_col,
+            text_col=text_col,
+            emb=cfg.embedding,
+        ).select(F.col(id_col).alias("_id"), "sig", "shingles")
     fused = make_fused_features_udf(
         cfg.embedding, cfg.dedup, with_minhash=True, with_lsh_feats=True
     )

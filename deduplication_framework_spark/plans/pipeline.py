@@ -231,8 +231,7 @@ def run_pipeline(
                 ngram_size=cfg.embedding.ngram_size,
                 max_words=cfg.dedup.max_words,
                 max_char_grams=cfg.dedup.max_char_grams,
-                lowercase=cfg.embedding.lowercase,
-                strip_mode=cfg.embedding.strip_mode,
+                emb=cfg.embedding,
             ),
             ["docs_uniq"],
             persist=True,

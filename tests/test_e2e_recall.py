@@ -308,12 +308,27 @@ class TestFastHashFamily:
         assert res.clusters.count() > 0
 
     def test_jvm_with_simhash_still_runs_arrow_for_simhash(self, spark, pages):
-        """Mixed detectors: the Arrow pass still runs (simhash needs it)
-        but with_minhash/with_lsh_feats are off — and the combined run's
-        minhash clusters equal the minhash-only run's (branch isolation)."""
+        """Mixed detectors under hash_family="jvm": the Arrow pass still
+        runs (simhash needs it) while minhash featurization routes to the
+        jvm path. Pins: (a) both detector branches report stats; (b) the
+        jvm minhash branch sees the same banding as a minhash-only run
+        (bucket census equal); (c) the combined clustering only COARSENS
+        the minhash-only one (its edge set is a superset, so CC can merge
+        clusters but never split them)."""
+        from collections import defaultdict
+
         cfg = PipelineConfig()
         cfg.dedup.hash_family = "jvm"
-        res = run_pipeline(
+        both = run_pipeline(
             spark, pages, cfg, detectors=["exact", "minhash", "simhash"]
         )
-        assert res.clusters.count() > 0
+        mh = run_pipeline(spark, pages, cfg, detectors=["exact", "minhash"])
+        assert both.metrics["minhash.n_buckets"] == mh.metrics["minhash.n_buckets"]
+        assert any(k.startswith("simhash.") for k in both.metrics), both.metrics
+        lb = {r.doc_id: r.cluster_id for r in both.clusters.collect()}
+        lm = {r.doc_id: r.cluster_id for r in mh.clusters.collect()}
+        groups = defaultdict(list)
+        for d, c in lm.items():
+            groups[c].append(d)
+        for ds in groups.values():
+            assert len({lb[d] for d in ds}) == 1, ds

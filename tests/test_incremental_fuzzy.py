@@ -524,3 +524,19 @@ def test_cli_rebuild_preserves_admitted_docs(spark, tmp_path):
     # every run-1 keeper is an exact recrawl of an ADMITTED doc; the
     # rebuilt index must still catch all of them
     assert s2["metrics"]["incremental_fuzzy.n_dup_docs"] >= n_admitted
+
+
+def test_jvm_hash_family_same_answer(spark):
+    """hash_family="jvm" routes _featurize to the Python-worker-free
+    jvm_minhash_features (the review-pass finding: the first cut raised
+    ValueError mid-run from the fused-UDF factory). Same no-bloom
+    reference contract, same planted answer."""
+    cfg = PipelineConfig()
+    cfg.dedup.hash_family = "jvm"
+    old, new = _corpora(spark)
+    res, stats = incremental_near_new_rows(new, old, cfg)
+    got = sorted(r.doc_id for r in res.collect())
+    assert got == _oracle_new_ids(spark, new, old, cfg)
+    assert got == [j for j in range(100, 130) if j % 3 == 1]
+    assert stats["n_dup_docs"] == 20
+    release_census_caches()

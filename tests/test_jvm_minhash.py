@@ -123,12 +123,18 @@ FEAT_TEXTS = [
 
 
 def _features_py(
-    text, n=3, max_words=200, max_grams=200, lowercase=True, strip_mode="space"
+    text, n=3, max_words=200, max_grams=200, lowercase=True,
+    strip_mode="space", strip_non_alnum=True, collapse_whitespace=True,
 ):
     t = text.lower() if lowercase else text
-    t = re.sub(r"[^\w\s]", " " if strip_mode == "space" else "", t, flags=re.ASCII)
-    t = re.sub(r"\s+", " ", t).strip()
-    words = [w for w in t.split(" ") if w][:max_words]
+    if strip_non_alnum:
+        t = re.sub(
+            r"[^\w\s]", " " if strip_mode == "space" else "", t, flags=re.ASCII
+        )
+    if collapse_whitespace:
+        t = re.sub(r"\s+", " ", t)
+    t = t.strip()
+    words = t.split()[:max_words]
     cleaned = t.replace(" ", "")
     if not cleaned:
         grams = []
@@ -186,19 +192,43 @@ class TestJvmFeatures:
         assert _md5low31("tail") not in set(out[2]["shingles"])
 
     def test_delete_strip_mode(self, spark):
-        out = self._run(spark, strip_mode="delete")
+        from deduplication_framework_spark.config import TextEmbeddingConfig
+
+        out = self._run(spark, emb=TextEmbeddingConfig(strip_mode="delete"))
         for i, t in enumerate(FEAT_TEXTS):
             feats = _features_py(t, strip_mode="delete")
             assert list(out[i]["shingles"]) == sorted(
                 {_md5low31(f) for f in feats}
             ), t
 
+    def test_normalization_knobs_honored(self, spark):
+        """strip_non_alnum=False must KEEP punctuation as feature bytes
+        (the review-pass finding: the first cut hardcoded strip+collapse
+        and silently ignored the embedding knobs)."""
+        from deduplication_framework_spark.config import TextEmbeddingConfig
+
+        out = self._run(
+            spark, emb=TextEmbeddingConfig(strip_non_alnum=False)
+        )
+        for i, t in enumerate(FEAT_TEXTS):
+            feats = _features_py(t, strip_non_alnum=False)
+            assert list(out[i]["shingles"]) == sorted(
+                {_md5low31(f) for f in feats}
+            ), t
+        # sanity: the knob actually changes doc 0 (it has punctuation)
+        assert _features_py(FEAT_TEXTS[0], strip_non_alnum=False) != \
+            _features_py(FEAT_TEXTS[0])
+
     def test_bad_strip_mode_raises(self, spark):
+        from deduplication_framework_spark.config import TextEmbeddingConfig
+
         docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         import pytest as _pytest
 
         with _pytest.raises(ValueError, match="strip_mode"):
-            jvm_minhash_features(docs, num_perm=8, strip_mode="junk")
+            jvm_minhash_features(
+                docs, num_perm=8, emb=TextEmbeddingConfig(strip_mode="junk")
+            )
 
     def test_plan_jvm_only_no_shuffle_one_md5(self, spark):
         """The three structural claims of the path: zero Python workers,
