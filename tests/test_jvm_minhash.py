@@ -253,3 +253,30 @@ class TestJvmFeatures:
         ):
             assert marker not in plan, marker
         assert plan.count("md5") == 1, plan
+
+    def test_collapse_whitespace_off_splits_like_python(self, spark):
+        """collapse_whitespace=False leaves tabs/newlines in _norm; word
+        tokens must still match Python str.split() (any whitespace) and
+        char grams must strip ASCII spaces ONLY — the kernel semantics."""
+        from deduplication_framework_spark.config import TextEmbeddingConfig
+
+        texts = [
+            "alpha\tbeta\n\ngamma  delta",
+            "one\ntwo three\tfour",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in jvm_minhash_features(
+                docs,
+                num_perm=8,
+                emb=TextEmbeddingConfig(collapse_whitespace=False),
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            feats = _features_py(t, collapse_whitespace=False)
+            assert list(out[i]["shingles"]) == sorted(
+                {_md5low31(f) for f in feats}
+            ), (t, feats)
