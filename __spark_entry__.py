@@ -374,7 +374,7 @@ def q_length_band_candidates(spark, sf_dir):
     )
 
 
-def _char3_jaccard_edges(d: DataFrame) -> DataFrame:
+def _char3_jaccard_edges(d: DataFrame, corpus_n: int = None) -> DataFrame:
     """Exact char-3-gram Jaccard >= 0.8 edges (src < dst) over length-banded
     candidates — shared by q_ngram_jaccard_edges, the keeper/split queries
     and the tiered cascade. Same answer as the original banded
@@ -428,10 +428,14 @@ def _char3_jaccard_edges(d: DataFrame) -> DataFrame:
     # size-gated: 64 ways for sweep-scale inputs (sized for sf0.1's 12M
     # banded pairs), 16 at gate scale where 64 near-empty Arrow tasks
     # are pure overhead (~3 s/query of the sf0.01 driver budget; the
-    # count is parquet-metadata-cheap and the salted join still splits
-    # the one-bucket pair grind either way — measured 2.1 s vs 5.8 s
-    # unsalted at 500 docs).
-    n_part = 64 if d.count() > 4000 else 16
+    # count is parquet-metadata-cheap on the raw _docs frames the three
+    # direct gate callers pass, and the salted join still splits the
+    # one-bucket pair grind either way — measured 2.1 s vs 5.8 s
+    # unsalted at 500 docs). Callers handing a DERIVED frame (tiered's
+    # survivor set) pass corpus_n from the raw corpus instead: counting
+    # a derived frame is a full extra evaluation, and the width should
+    # track CORPUS scale, not how many docs earlier tiers removed.
+    n_part = 64 if (d.count() if corpus_n is None else corpus_n) > 4000 else 16
     a = a.repartition(n_part, "bucket", "salt")
     b = b.repartition(n_part, "bucket", "salt")
     sim = make_sorted_jaccard_udf()(F.col("ga"), F.col("gb"))
@@ -1898,6 +1902,7 @@ def q_tiered_dedup_attribution(spark, sf_dir):
     )
 
     d = _docs(spark, sf_dir)
+    corpus_n = d.count()  # raw parquet frame: metadata-cheap
 
     def t_exact(s):
         return keeper_assign(s, F.md5("text"))
@@ -1907,7 +1912,7 @@ def q_tiered_dedup_attribution(spark, sf_dir):
         return keeper_assign(s, canonical_url_expr("_synth_url"))
 
     def t_near(s):
-        edges = _char3_jaccard_edges(s)
+        edges = _char3_jaccard_edges(s, corpus_n=corpus_n)
         clusters, _rounds = clusters_from_edges(
             s, edges, id_col="doc_id", driver_threshold=100_000
         )
