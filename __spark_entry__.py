@@ -2198,6 +2198,81 @@ def q_lm_perplexity_buckets(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_windowed_greedy_keepers(spark, sf_dir):
+    """J3 rolling-window greedy dedup (operators/windowed.py) as a driver
+    surface: the reference's sequential fallback loop — keep a doc iff no
+    KEPT doc among the last ``window_size`` kept ones has multigranularity
+    n-gram Jaccard >= threshold, else inherit that keeper (first match in
+    kept order; reference text/method/pipeline_api.py:305-311,531-576).
+    Deterministic contiguous chunks (doc_id DIV 64 — the chunk_col seam;
+    the production path's range partitioning is boundary-sampled and not
+    replayable) make the answer engine-exact: the oracle re-runs the greedy
+    recurrence as a DuckDB recursive CTE carrying the per-chunk kept list,
+    over an edge set built from the SAME normalize + char-3-gram ∪
+    word-3-gram features. Input capped at doc_id < 2000 — the windowed
+    fallback is the reference's small-corpus mode (it activates only under
+    max_candidates); LSH owns the corpus-scale path."""
+    from deduplication_framework_spark.operators.windowed import (
+        windowed_jaccard_dedup,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 2000)
+        .withColumn("_wchunk", F.expr("doc_id DIV 64"))
+    )
+    return windowed_jaccard_dedup(
+        docs, threshold=0.8, window_size=40, chunk_col="_wchunk"
+    )
+
+
+def q_signbit_jaccard_edges(spark, sf_dir):
+    """J14 binary-vector Jaccard (the multimodal fingerprint similarity,
+    functions/multimodal.py:209) on a driver-checkable surface: embeddings
+    binarized to 64 sign bits packed into two BIGINT lanes JVM-side (no
+    Python workers), blocked on the exact low-8-bit sign prefix (the
+    Hamming-style bucket-equality candidate rule), then active-set Jaccard
+    via bit_count — bc(a&b)/bc(a|b) >= 0.5 edges (binarization is a lossy
+    surrogate: random 64-dim sign sets sit at J~1/3, the corpus max is
+    ~0.69 — 0.5 is the discriminative regime here). Integer bit identities +
+    one float division make the oracle bit-exact; at scale the mask build
+    rides the scan and the bucket join is an equi-join (same shuffle class
+    as LSH banding)."""
+    lanes = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, 31), 0L, (acc, i) -> acc | "
+            "IF(embedding[i] >= 0, shiftleft(1L, i), 0L))"
+        ).alias("lo"),
+        F.expr(
+            "aggregate(sequence(32, 63), 0L, (acc, i) -> acc | "
+            "IF(embedding[i] >= 0, shiftleft(1L, i - 32), 0L))"
+        ).alias("hi"),
+    ).withColumn("bucket", F.expr("lo & 255"))
+    a, b = lanes.alias("a"), lanes.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        F.expr(
+            "CAST(bit_count(a.lo & b.lo) + bit_count(a.hi & b.hi) AS BIGINT)"
+        ).alias("inter_bits"),
+        F.expr(
+            "CAST(bit_count(a.lo | b.lo) + bit_count(a.hi | b.hi) AS BIGINT)"
+        ).alias("union_bits"),
+    )
+    return pairs.withColumn(
+        "jac",
+        F.expr(
+            "CASE WHEN union_bits = 0 THEN 1.0D"
+            " ELSE inter_bits / CAST(union_bits AS DOUBLE) END"
+        ),
+    ).filter("jac >= 0.5")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order is deliberate: CORRECTNESS_r04 covered exactly the
     # first 50 registered queries, so if the driver's budget cuts again, it
@@ -2209,9 +2284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "exact_keepers": q_exact_keepers,
         "dedup_rate_stats": q_dedup_rate_stats,
-        "char_ngram_counts": q_char_ngram_counts,
         "token_counts": q_token_counts,
-        "length_band_candidates": q_length_band_candidates,
+        "windowed_greedy_keepers": q_windowed_greedy_keepers,
+        "signbit_jaccard_edges": q_signbit_jaccard_edges,
         "ngram_jaccard_edges": q_ngram_jaccard_edges,
         "minhash_signatures_sql": q_minhash_signatures_sql,
         "minhash_band_candidates": q_minhash_band_candidates,
@@ -2257,6 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
         # ---- tail block: stable + sub-second (see comment above) ----
+        "char_ngram_counts": q_char_ngram_counts,
+        "length_band_candidates": q_length_band_candidates,
         "normalize_text": q_normalize_text,
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "source_rollup": q_source_rollup,
@@ -2516,6 +2593,131 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / (len(a.grams) + len(b.grams)
                      - len(list_intersect(a.grams, b.grams))) >= 0.8
+        """,
+        # J3 greedy rolling-window dedup: the sequential keep-loop replayed
+        # exactly as a recursive CTE — one row of state per chunk carrying
+        # the kept list; each round admits the next doc in id order, scans
+        # the last-40-kept window for its smallest edge partner (kept is in
+        # id order, so "first match in scan order" == list minimum), and
+        # emits the (doc, keeper) decision as a non-state row. Features =
+        # the operator's multigranularity grams (char-3 WITH spaces ∪
+        # word-3-grams over _norm_sql text; whole text when shorter than
+        # 3). Edge CTEs MATERIALIZED: the recursion re-inlines plain CTEs
+        # per round (round-4 part-9d gotcha).
+        "windowed_greedy_keepers": f"""
+            WITH RECURSIVE
+            d AS MATERIALIZED (
+                SELECT doc_id, doc_id // 64 AS chunk,
+                       {_norm_sql('text')} AS nt
+                FROM documents WHERE doc_id < 2000
+            ),
+            fw AS (
+                SELECT doc_id, chunk, nt, string_split(nt, ' ') AS w FROM d
+            ),
+            f AS MATERIALIZED (
+                SELECT doc_id, chunk,
+                       list_distinct(list_concat(
+                           CASE WHEN nt = '' THEN []::VARCHAR[]
+                                WHEN length(nt) < 3 THEN [nt]
+                                ELSE list_transform(
+                                    range(1, length(nt) - 1),
+                                    i -> substring(nt, i::INT, 3)) END,
+                           CASE WHEN nt = '' OR len(w) < 3 THEN []::VARCHAR[]
+                                ELSE list_transform(
+                                    range(1, len(w) - 1),
+                                    i -> w[i::INT] || ' ' || w[i::INT + 1]
+                                         || ' ' || w[i::INT + 2]) END
+                       )) AS feats
+                FROM fw
+            ),
+            pr AS (
+                SELECT a.chunk, a.doc_id AS i, b.doc_id AS j,
+                       len(list_intersect(a.feats, b.feats)) AS it,
+                       len(a.feats) AS la, len(b.feats) AS lb
+                FROM f a JOIN f b ON a.chunk = b.chunk
+                 AND a.doc_id < b.doc_id
+                 -- implied by J >= 0.8 (J <= min/max set size): prune only
+                 AND len(a.feats) >= 0.8 * len(b.feats) - 1e-9
+                 AND len(b.feats) >= 0.8 * len(a.feats) - 1e-9
+            ),
+            e AS MATERIALIZED (
+                SELECT chunk, i AS a, j AS b FROM pr
+                WHERE (la = 0 AND lb = 0)
+                   OR it::DOUBLE / nullif(la + lb - it, 0) >= 0.8
+            ),
+            cands AS MATERIALIZED (
+                SELECT b AS doc_id, list_sort(list(a)) AS partners
+                FROM e GROUP BY b
+            ),
+            ord AS MATERIALIZED (
+                SELECT doc_id, chunk,
+                       row_number() OVER (
+                           PARTITION BY chunk ORDER BY doc_id) AS rn
+                FROM d
+            ),
+            walk(chunk, pos, kept, doc_id, keeper, is_state) AS (
+                SELECT chunk, 0::BIGINT, []::BIGINT[], NULL::BIGINT,
+                       NULL::BIGINT, true
+                FROM (SELECT DISTINCT chunk FROM d)
+                UNION ALL
+                SELECT s.chunk, s.pos,
+                       CASE WHEN t.emit_state AND s.hit IS NULL
+                                 THEN list_append(s.kept, s.did)
+                            WHEN t.emit_state THEN s.kept ELSE NULL END,
+                       CASE WHEN t.emit_state THEN NULL ELSE s.did END,
+                       CASE WHEN t.emit_state THEN NULL
+                            ELSE coalesce(s.hit, s.did) END,
+                       t.emit_state
+                FROM (
+                    SELECT o.chunk, wk.pos + 1 AS pos, wk.kept,
+                           o.doc_id AS did,
+                           (list_filter(
+                               coalesce(c.partners, []::BIGINT[]),
+                               x -> list_contains(
+                                   wk.kept[greatest(len(wk.kept) - 39, 1):],
+                                   x)))[1] AS hit
+                    FROM walk wk
+                    JOIN ord o ON o.chunk = wk.chunk AND o.rn = wk.pos + 1
+                    LEFT JOIN cands c ON c.doc_id = o.doc_id
+                    WHERE wk.is_state
+                ) s
+                CROSS JOIN (VALUES (true), (false)) t(emit_state)
+            )
+            SELECT doc_id, keeper AS keeper_id FROM walk WHERE NOT is_state
+        """,
+        # J14 binary-vector Jaccard: sign bits packed into two BIGINT
+        # lanes (shifts <= 31 keep every intermediate positive in both
+        # engines; list_sum over disjoint powers == bit_or), exact low-16
+        # sign-prefix blocking, bit_count Jaccard. list_sum returns
+        # HUGEINT — cast back to BIGINT before the bit ops.
+        "signbit_jaccard_edges": """
+            WITH lanes AS MATERIALIZED (
+                SELECT vec_id,
+                       list_sum(list_transform(range(0, 32),
+                           i -> CASE WHEN embedding[i + 1] >= 0
+                                     THEN (1::BIGINT << i::INT)
+                                     ELSE 0::BIGINT END))::BIGINT AS lo,
+                       list_sum(list_transform(range(32, 64),
+                           i -> CASE WHEN embedding[i + 1] >= 0
+                                     THEN (1::BIGINT << (i::INT - 32))
+                                     ELSE 0::BIGINT END))::BIGINT AS hi
+                FROM embeddings
+            ), p AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       (bit_count(a.lo & b.lo)
+                        + bit_count(a.hi & b.hi))::BIGINT AS inter_bits,
+                       (bit_count(a.lo | b.lo)
+                        + bit_count(a.hi | b.hi))::BIGINT AS union_bits
+                FROM lanes a JOIN lanes b
+                  ON (a.lo & 255) = (b.lo & 255)
+                 AND a.vec_id < b.vec_id
+            )
+            SELECT src, dst, inter_bits, union_bits,
+                   CASE WHEN union_bits = 0 THEN 1.0
+                        ELSE inter_bits::DOUBLE / union_bits END AS jac
+            FROM p
+            WHERE (CASE WHEN union_bits = 0 THEN 1.0
+                        ELSE inter_bits::DOUBLE / union_bits END) >= 0.5
         """,
         # signature-LEVEL MinHash parity: the md5-low32 / affine-mod-2^31-1
         # family (functions/jvm_minhash.py) evaluated exactly in SQL —

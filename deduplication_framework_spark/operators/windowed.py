@@ -32,9 +32,16 @@ def windowed_jaccard_dedup(
     emb: TextEmbeddingConfig = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    chunk_col: str = None,
 ) -> DataFrame:
     """→ (doc_id, keeper_id): keeper_id = the kept doc this one matched
-    (itself when kept). Reference loop semantics per contiguous chunk."""
+    (itself when kept). Reference loop semantics per contiguous chunk.
+
+    ``chunk_col``: optional caller-provided DETERMINISTIC chunk key (must
+    group docs into contiguous doc-order ranges, e.g. ``doc_id DIV 128``).
+    Overrides the ``n_chunks`` range partitioning, whose reservoir-sampled
+    boundaries vary run to run — use it when the answer must be stable
+    across runs/engines (resumable restarts, cross-engine parity)."""
     emb = emb or TextEmbeddingConfig()
     n = emb.ngram_size
     lc, strip, collapse, mode = (
@@ -51,11 +58,20 @@ def windowed_jaccard_dedup(
     # Range boundaries come from Spark's reservoir sampling rather than
     # exact N/k splits; both chunkings miss only cross-boundary dups, the
     # fallback mode's documented recall trade-off.
-    chunked = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .repartitionByRange(n_chunks, "doc_id")
-        .withColumn("_chunk", F.spark_partition_id())
-    )
+    if chunk_col is not None:
+        chunked = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.col(chunk_col).alias("_chunk"),
+        )
+    else:
+        chunked = (
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            .repartitionByRange(n_chunks, "doc_id")
+            .withColumn("_chunk", F.spark_partition_id())
+        )
 
     def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         from deduplication_framework_spark.functions import kernels as K

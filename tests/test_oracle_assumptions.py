@@ -414,3 +414,47 @@ def test_ivfpq_rerank_covers_exact_top5(sf_dir, spark):
         rof[np.argsort(-adc, kind="stable")] = np.arange(len(midx))
         worst = max(worst, int(max(rof[i] for i in top5)))
     assert worst < 128, f"ADC shortlist slack eroded: worst rank {worst}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_signbit_jaccard_numpy_third_opinion(sf_dir):
+    """signbit_jaccard_edges is exact by construction (integer bit
+    identities + one float division) in BOTH engines; this numpy replay is
+    the independent third opinion on the spec itself: sign rule v >= 0,
+    low-8-bit prefix blocking, active-set Jaccard >= 0.5. Also asserts the
+    output is non-trivial (the 0-row hash match would be vacuous)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    emb = _emb(sf_dir)
+    vecs = np.stack(emb["embedding"].to_numpy())
+    ids = emb["vec_id"].to_numpy()
+    bits = vecs >= 0  # (n, 64)
+    weights = 1 << np.arange(64, dtype=np.uint64)
+    masks = (bits * weights).sum(axis=1).astype(np.uint64)
+    bucket = masks & np.uint64(255)
+    expect = set()
+    order = np.argsort(ids)
+    for ai in range(len(order)):
+        for bi in range(ai + 1, len(order)):
+            a, b = order[ai], order[bi]
+            if bucket[a] != bucket[b]:
+                continue
+            inter = int(bin(int(masks[a] & masks[b])).count("1"))
+            union = int(bin(int(masks[a] | masks[b])).count("1"))
+            jac = 1.0 if union == 0 else inter / union
+            if jac >= 0.5:
+                expect.add((int(ids[a]), int(ids[b]), inter, union))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    got = {
+        (int(r.src), int(r.dst), int(r.inter_bits), int(r.union_bits))
+        for r in con.execute(
+            entrymod.oracle_sql()["signbit_jaccard_edges"]
+        ).df().itertuples()
+    }
+    assert got == expect
+    assert len(got) > 0

@@ -8,6 +8,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from deduplication_framework_spark.config import TextEmbeddingConfig
 from deduplication_framework_spark.operators.windowed import (
@@ -52,6 +53,70 @@ def test_windowed_dedup_plan_has_no_single_partition_exchange(spark, pages):
     )
     plan = _plan(out)
     assert "SinglePartition" not in plan, plan
+
+
+def test_windowed_chunk_col_matches_reference_loop(spark):
+    """chunk_col path semantics vs an INDEPENDENT greedy replay: keep a doc
+    iff no kept doc among the last window_size kept has multigranularity
+    Jaccard >= t (first match in kept order wins); chunks are isolated
+    (a cross-chunk dup must NOT merge); a small window must actually MISS
+    a dup that a full window would catch (the fallback's documented recall
+    trade-off — asserting the miss proves the window is honored)."""
+    from deduplication_framework_spark.functions import kernels as K
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base),                       # kept
+        (1, "completely different words here about spark shuffles"),
+        (2, base + " x"),                # dup of 0 — but window may miss
+        (3, "third unrelated text with its own vocabulary entirely"),
+        (4, base + " y"),                # dup of 0/2
+        (5, "fourth unrelated doc padding out the first chunk nicely"),
+        (6, base + " z"),                # chunk 2: same text class, but
+        (7, "fifth unrelated entry"),    # cross-chunk pairs must not merge
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).withColumn(
+        "ch", F.expr("doc_id DIV 6")
+    )
+
+    def replay(window):
+        feats = [
+            K.multigranularity_ngrams(K.normalize_text(t, True, True, True), 3)
+            for _, t in docs
+        ]
+        out = {}
+        for chunk in (0, 1):
+            kept, kof = [], {}
+            for i, (did, _) in enumerate(docs):
+                if did // 6 != chunk:
+                    continue
+                hit = None
+                for j in kept[max(0, len(kept) - window):]:
+                    a, b = feats[i], feats[j]
+                    u = a | b
+                    if (len(a & b) / len(u) if u else 1.0) >= 0.5:
+                        hit = j
+                        break
+                if hit is None:
+                    kept.append(i)
+                    out[did] = did
+                else:
+                    out[did] = docs[hit][0]
+        return out
+
+    for window in (1, 100):
+        got = {
+            r.doc_id: r.keeper_id
+            for r in windowed_jaccard_dedup(
+                df, threshold=0.5, window_size=window, chunk_col="ch"
+            ).collect()
+        }
+        assert got == replay(window), (window, got)
+    # the window=1 run must actually miss the 0~2 dup (kept=[0,1] when 2
+    # arrives; window 1 sees only doc 1) while window=100 catches it
+    assert replay(1)[2] == 2 and replay(100)[2] == 0
+    # chunk isolation: doc 6 duplicates doc 0's class but sits in chunk 1
+    assert replay(100)[6] == 6
 
 
 def test_span_keep_first_plan_combines_map_side(spark):
