@@ -2226,6 +2226,34 @@ def q_windowed_greedy_keepers(spark, sf_dir):
     )
 
 
+def q_repeated_substring_removal(spark, sf_dir):
+    """ExactSubstr corpus-level repeated-substring removal (Lee et al.
+    2022; operators/spans.py:remove_repeated_substrings): delete every
+    character inside any UNALIGNED substring of length >= 40 occurring
+    >= 2 times anywhere in the corpus (within-doc repeats included) —
+    the span-removal family's missing member next to the chunk-aligned
+    keep-first (span_dedup_chunks) and frequency-threshold
+    (frequent_span_removal) policies. key_mode='raw' is the spec surface
+    the oracle mirrors gram-for-gram (census -> hot join -> per-doc
+    interval union -> cut); the production default key_mode='hash'
+    (16-byte double-Karp-Rabin keys through the census shuffle) is
+    parity-pinned in tests/test_spans.py."""
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+    from deduplication_framework_spark.operators.spans import (
+        remove_repeated_substrings,
+    )
+
+    out, _ = remove_repeated_substrings(
+        _docs(spark, sf_dir), min_len=40, key_mode="raw"
+    )
+    rows = out.collect()
+    schema = out.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
+
+
 def q_signbit_jaccard_edges(spark, sf_dir):
     """J14 binary-vector Jaccard (the multimodal fingerprint similarity,
     functions/multimodal.py:209) on a driver-checkable surface: embeddings
@@ -2284,7 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "exact_keepers": q_exact_keepers,
         "dedup_rate_stats": q_dedup_rate_stats,
-        "token_counts": q_token_counts,
+        "repeated_substring_removal": q_repeated_substring_removal,
         "windowed_greedy_keepers": q_windowed_greedy_keepers,
         "signbit_jaccard_edges": q_signbit_jaccard_edges,
         "ngram_jaccard_edges": q_ngram_jaccard_edges,
@@ -2332,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
         # ---- tail block: stable + sub-second (see comment above) ----
+        "token_counts": q_token_counts,
         "char_ngram_counts": q_char_ngram_counts,
         "length_band_candidates": q_length_band_candidates,
         "normalize_text": q_normalize_text,
@@ -2684,6 +2713,81 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN (VALUES (true), (false)) t(emit_state)
             )
             SELECT doc_id, keeper AS keeper_id FROM walk WHERE NOT is_state
+        """,
+        # ExactSubstr removal: gram census (>= 2 anywhere, self-repeats
+        # included) -> covered positions -> gaps-and-islands interval
+        # union (running max(pos+L) window; breaks only when pos strictly
+        # exceeds the running exclusive end, so adjacent intervals fuse
+        # into ONE removed span, mirroring the operator's merge loop) ->
+        # complement segments re-joined with lag(). 1-based positions
+        # here vs the operator's 0-based are internal only — outputs are
+        # doc-level stats + cleaned text.
+        "repeated_substring_removal": """
+            WITH d AS MATERIALIZED (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       length(coalesce(text, '')) AS n
+                FROM documents
+            ),
+            g AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(n - 38, 1)),
+                           i -> {'pos': i,
+                                 'gr': substring(text, i::INT, 40)}),
+                           recursive := true)
+                FROM d
+            ),
+            hot AS MATERIALIZED (
+                SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2
+            ),
+            cov AS MATERIALIZED (
+                SELECT doc_id, pos FROM g JOIN hot USING (gr)
+            ),
+            isl0 AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > coalesce(max(pos + 40) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS brk
+                FROM cov
+            ),
+            isl1 AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS isl
+                FROM isl0
+            ),
+            islands AS MATERIALIZED (
+                SELECT doc_id, isl, min(pos) AS a, max(pos + 40) AS b
+                FROM isl1 GROUP BY doc_id, isl
+            ),
+            kept AS (
+                SELECT doc_id,
+                       coalesce(lag(b) OVER (
+                           PARTITION BY doc_id ORDER BY a), 1) AS ka,
+                       a AS kb
+                FROM islands
+                UNION ALL
+                SELECT i.doc_id, max(i.b), any_value(d.n) + 1
+                FROM islands i JOIN d USING (doc_id) GROUP BY i.doc_id
+            ),
+            asm AS (
+                SELECT k.doc_id,
+                       string_agg(CASE WHEN kb > ka
+                           THEN substring(d.text, ka::INT, (kb - ka)::INT)
+                           ELSE '' END, '' ORDER BY ka) AS text_clean
+                FROM kept k JOIN d USING (doc_id) GROUP BY k.doc_id
+            ),
+            st AS (
+                SELECT doc_id, count(*) AS n_spans,
+                       sum(b - a) AS n_removed
+                FROM islands GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.n::BIGINT AS n_chars,
+                   coalesce(st.n_removed, 0)::BIGINT AS n_removed_chars,
+                   coalesce(st.n_spans, 0)::BIGINT AS n_spans_removed,
+                   coalesce(asm.text_clean, d.text) AS text_clean
+            FROM d LEFT JOIN st USING (doc_id) LEFT JOIN asm USING (doc_id)
         """,
         # J14 binary-vector Jaccard: sign bits packed into two BIGINT
         # lanes (shifts <= 31 keep every intermediate positive in both

@@ -611,6 +611,96 @@ def bench_decontaminate(spark, pages):
     return run
 
 
+def bench_repeated_substrings(spark, pages):
+    """ExactSubstr removal (operators/spans.py) over the full bench corpus,
+    production key_mode='hash' — the suffix-array cost class (one row per
+    character position) with a 16-byte-key census shuffle."""
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+    from deduplication_framework_spark.operators.spans import (
+        remove_repeated_substrings,
+    )
+
+    docs = pages.selectExpr("doc_order AS doc_id", "text")
+
+    def run():
+        out, _ = remove_repeated_substrings(
+            docs, min_len=40, key_mode="hash"
+        )
+        n = out.count()
+        release_census_caches()
+        return n
+
+    return run
+
+
+def repeated_substring_evidence(spark, n_docs=2000):
+    """Planted-truth asserts for ExactSubstr removal on the generator
+    corpus (with_truth): every exact-class doc is FULLY removed (its
+    byte-identical text occurs >= 2 times), every substring-class doc is
+    touched but NOT fully removed (the planted shared span goes, the
+    unique remainder stays), and NO unique-class doc is touched (zero
+    false positives at min_len=40). raw (spec) and hash (production
+    16-byte-key) modes must agree row-for-row."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+    from deduplication_framework_spark.operators.spans import (
+        remove_repeated_substrings,
+    )
+
+    truth = generate_pages(
+        spark, n_docs, num_partitions=CPUS, with_truth=True
+    ).selectExpr("doc_order AS doc_id", "text", "dup_class")
+    docs = truth.select("doc_id", "text")
+    out_hash, _ = remove_repeated_substrings(
+        docs, min_len=40, key_mode="hash"
+    )
+    j = out_hash.join(truth.select("doc_id", "dup_class"), "doc_id")
+    per_class = {
+        r["dup_class"]: r
+        for r in j.groupBy("dup_class")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("n_removed_chars") == F.col("n_chars")).cast("int")
+            ).alias("full"),
+            F.sum((F.col("n_removed_chars") > 0).cast("int")).alias(
+                "touched"
+            ),
+        )
+        .collect()
+    }
+    ex, sub, uq = (
+        per_class["exact"],
+        per_class["substring"],
+        per_class["unique"],
+    )
+    assert ex["full"] == ex["n"], f"exact not fully removed: {ex}"
+    assert sub["touched"] == sub["n"] and sub["full"] == 0, (
+        f"substring class wrong: {sub}"
+    )
+    assert uq["touched"] == 0, f"false positives on unique docs: {uq}"
+    out_raw, _ = remove_repeated_substrings(docs, min_len=40, key_mode="raw")
+    n_diff = (
+        out_hash.select("doc_id", "text_clean")
+        .exceptAll(out_raw.select("doc_id", "text_clean"))
+        .count()
+    )
+    assert n_diff == 0, f"hash vs raw key-mode divergence: {n_diff} rows"
+    release_census_caches()
+    return {
+        "n_docs": int(n_docs),
+        "exact_fully_removed": int(ex["full"]),
+        "substring_touched": int(sub["touched"]),
+        "unique_false_positives": int(uq["touched"]),
+        "hash_raw_divergent_rows": int(n_diff),
+    }
+
+
 def containment_evidence(spark, n_docs=800):
     """Planted-quote recall for the exact containment join
     (operators/setjoin.py::ssjoin_containment): every 10th bench doc
@@ -863,6 +953,9 @@ def main():
     workloads.append(("incremental_bloom_e2e", bench_incremental_bloom(spark, pages)))
     workloads.append(("incremental_fuzzy_e2e", bench_incremental_fuzzy(spark, pages)))
     workloads.append(("decontaminate_e2e", bench_decontaminate(spark, pages)))
+    workloads.append(
+        ("repeated_substrings_e2e", bench_repeated_substrings(spark, pages))
+    )
     workloads.append(("ssjoin_exact_edges", bench_ssjoin(spark, pages)))
     workloads += [
         (f"q_{name}", (lambda n: lambda: qs[n](spark, SF_DIR).count())(name))
@@ -929,6 +1022,7 @@ def main():
     inc_fuzzy = incremental_fuzzy_evidence(spark, pages)
     decontam = decontaminate_evidence(spark, pages)
     ssjoin = ssjoin_evidence(spark)
+    rep_sub = repeated_substring_evidence(spark)
     containment = containment_evidence(spark)
     sorter_eval = sorter_eval_evidence(spark, pages)
 
@@ -950,6 +1044,7 @@ def main():
         "incremental_fuzzy": inc_fuzzy,
         "decontaminate": decontam,
         "ssjoin": ssjoin,
+        "repeated_substrings": rep_sub,
         "containment": containment,
         "streaming_minhash": stream_stats,
         "sorter_eval": sorter_eval,

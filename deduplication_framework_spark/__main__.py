@@ -48,6 +48,13 @@ def main(argv=None) -> int:
                         "spans (MinHash/LSH + exact-Jaccard >= the config "
                         "threshold at span granularity; keeper = earliest "
                         "occurrence of each cluster)")
+    p.add_argument("--remove-repeated-substrings", type=int, default=None,
+                   metavar="MIN_LEN",
+                   help="ExactSubstr removal (Lee et al. 2022): delete "
+                        "every character inside any UNALIGNED substring "
+                        "of length >= MIN_LEN occurring twice anywhere in "
+                        "the corpus (within-doc repeats included); docs "
+                        "left empty are removed")
     p.add_argument("--remove-frequent-spans", type=int, default=None,
                    metavar="MAX_COUNT",
                    help="C4/RefinedWeb-style boilerplate removal: drop "
@@ -151,6 +158,8 @@ def main(argv=None) -> int:
         ("--dedup-against", args.dedup_against is not None),
         ("--quality-filter", args.quality_filter),
         ("--lm-filter", args.lm_filter is not None),
+        ("--remove-repeated-substrings",
+         args.remove_repeated_substrings is not None),
         ("--remove-frequent-spans", args.remove_frequent_spans is not None),
         ("--span-dedup", args.span_dedup is not None),
         ("--decontaminate-against", args.decontaminate_against is not None),
@@ -178,6 +187,9 @@ def main(argv=None) -> int:
     if (args.remove_frequent_spans is not None
             and args.remove_frequent_spans < 1):
         p.error("--remove-frequent-spans MAX_COUNT must be >= 1")
+    if (args.remove_repeated_substrings is not None
+            and args.remove_repeated_substrings < 2):
+        p.error("--remove-repeated-substrings MIN_LEN must be >= 2")
     if args.span_dedup_fuzzy and args.span_dedup is None:
         p.error("--span-dedup-fuzzy requires --span-dedup")
     if args.decontaminate_against is not None and args.decontaminate_ngram < 1:
@@ -244,6 +256,14 @@ def main(argv=None) -> int:
         pages, lm_metrics = _lm_filter_pages(pages, keep=lm_keep)
         span_metrics.update(lm_metrics)
         input_tags.append(f"lm_filter:{','.join(sorted(lm_keep))}")
+    if args.remove_repeated_substrings is not None:
+        pages, rs_metrics = _repeated_substring_pages(
+            pages, min_len=args.remove_repeated_substrings
+        )
+        span_metrics.update(rs_metrics)
+        input_tags.append(
+            f"repeated_substrings:{args.remove_repeated_substrings}"
+        )
     if args.remove_frequent_spans is not None:
         pages, fs_metrics = _frequent_span_pages(
             pages, max_count=args.remove_frequent_spans
@@ -603,6 +623,56 @@ def _lm_filter_pages(pages, *, keep):
     }
     for b, n in census.items():
         metrics[f"lm_filter.n_{b}"] = float(n)
+    return out, metrics
+
+
+def _repeated_substring_pages(pages, min_len: int):
+    """pages → (pages with repeated substrings cut out, metrics): the
+    ExactSubstr remove-all policy (operators/spans.py::
+    remove_repeated_substrings, key_mode='hash' — the 16-byte-key census
+    path) at character granularity. Same doc-identity and empty-doc-drop
+    contract as the other span layers; untouched docs keep their text
+    byte-identical (text_clean IS the original when nothing was cut)."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.operators.spans import (
+        remove_repeated_substrings,
+    )
+    from deduplication_framework_spark.plans.pipeline import prepare_docs
+
+    docs = prepare_docs(pages)
+    rs, stats = remove_repeated_substrings(
+        docs, min_len=min_len, key_mode="hash",
+        id_col="doc_id", text_col="text",
+    )
+    rs = rs.persist()
+    agg = rs.agg(
+        F.sum("n_removed_chars").alias("removed"),
+        F.sum("n_spans_removed").alias("spans"),
+        F.sum((F.col("n_spans_removed") > 0).cast("long")).alias("touched"),
+        F.sum(
+            ((F.col("n_chars") > 0) & (F.col("text_clean") == ""))
+            .cast("long")
+        ).alias("emptied"),
+    ).first()
+    out = (
+        docs.drop("text")
+        .join(rs, "doc_id")
+        .filter((F.col("text_clean") != "") | (F.col("n_chars") == 0))
+        .select(
+            F.col("doc_id").alias("doc_order"),
+            "url",
+            F.col("text_clean").alias("text"),
+            "lang",
+        )
+    )
+    metrics = {
+        "repeated_substrings.n_removed_chars": float(agg["removed"] or 0),
+        "repeated_substrings.n_spans_removed": float(agg["spans"] or 0),
+        "repeated_substrings.n_docs_touched": float(agg["touched"] or 0),
+        "repeated_substrings.n_docs_emptied": float(agg["emptied"] or 0),
+        "repeated_substrings.n_hot_grams": float(stats["n_hot_grams"]),
+    }
     return out, metrics
 
 

@@ -24,8 +24,12 @@ Spark form, scale posture:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
 
 
 def explode_spans(
@@ -326,3 +330,186 @@ def remove_frequent_spans(
         join_sep=join_sep,
     )
     return out, {"n_hot_spans": n_hot, "hot_join_path": hot_join_path}
+
+
+def _positions_hashes128_udf(min_len: int):
+    """text → struct(h1, h2): the 128-bit double-Karp-Rabin key of the
+    length-``min_len`` gram at EVERY position (aligned with 0-based char
+    offset — no per-doc dedup, unlike kernels.lgram_hashes128: removal
+    needs every occurrence's position, including within-doc repeats)."""
+    from deduplication_framework_spark.functions import kernels as K
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("h1", T.ArrayType(T.LongType())),
+                T.StructField("h2", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def pos_keys(texts: pd.Series) -> pd.DataFrame:
+        c1, c2 = [], []
+        for t in texts:
+            h1 = K.rolling_kgram_hashes(t or "", min_len)
+            h2 = K.rolling_kgram_hashes(
+                t or "", min_len, K._KR_BASE2, K._KR_BASE2_INV
+            )
+            c1.append(np.ascontiguousarray(h1).view(np.int64))
+            c2.append(np.ascontiguousarray(h2).view(np.int64))
+        return pd.DataFrame({"h1": c1, "h2": c2})
+
+    return pos_keys
+
+
+def remove_repeated_substrings(
+    docs: DataFrame,
+    *,
+    min_len: int = 50,
+    min_count: int = 2,
+    key_mode: str = "hash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_broadcast_threshold: int = 2_000_000,
+) -> tuple:
+    """ExactSubstr corpus-level repeated-substring removal (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    delete every character that lies inside some substring of length
+    >= ``min_len`` occurring >= ``min_count`` times anywhere in the corpus
+    (across OR within documents — every copy goes; run exact doc-dedup
+    first or identical documents erase each other). Unlike
+    :func:`dedup_spans` / :func:`remove_frequent_spans`, the spans are
+    UNALIGNED: a quote starting mid-sentence in one doc and mid-paragraph
+    in another is still caught.
+
+    Reduction (exact, standard): a char is part of a repeated substring of
+    length >= L iff it is covered by some length-L window whose gram
+    occurs >= min_count times — so mark every position whose L-gram is
+    corpus-hot, union the [pos, pos+L) intervals per doc, cut.
+
+    Scale posture: one row per CHARACTER POSITION (the suffix-array cost
+    class, same as operators/suffix_array.py). ``key_mode="hash"``
+    (default) ships 16-byte double-Karp-Rabin keys through the census
+    shuffle (collision budget 2^-93 at 10^14 positions — the
+    kernels.lgram_hashes128 bound); ``key_mode="raw"`` ships the L-char
+    gram itself, JVM-only — the spec mode the DuckDB oracle mirrors,
+    parity pinned in tests/test_spans.py. The census gets full map-side
+    combine (count per key); the hot keyset (>= min_count) is persisted,
+    eagerly counted, and broadcast into the position join under
+    ``hot_broadcast_threshold``, else shuffle-joined. Interval union +
+    text cut is a bounded per-doc Arrow pass over the (sparse) covered
+    positions. ASCII/BMP corpora only in mixed-mode use: Python slicing
+    counts code points, matching Spark/DuckDB substring on BMP text.
+
+    Returns ``(df, stats)``: one row per input doc
+    ``(id_col, n_chars, n_removed_chars, n_spans_removed, text_clean)``
+    and ``stats = {n_hot_grams, hot_join_path}``.
+    """
+    from deduplication_framework_spark.operators.lsh import _persist_tracked
+
+    if key_mode not in ("hash", "raw"):
+        raise ValueError(f"key_mode must be 'hash' or 'raw', got {key_mode!r}")
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+
+    base = docs.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("_t")
+    )
+    if key_mode == "raw":
+        grams = base.select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"CASE WHEN length(_t) >= {min_len} THEN "
+                    f"transform(sequence(1, length(_t) - {min_len} + 1),"
+                    f" i -> substring(_t, i, {min_len})) "
+                    "ELSE array() END"
+                )
+            ).alias("pos", "_k1"),
+        ).withColumn("_k2", F.lit(0))
+    else:
+        udf = _positions_hashes128_udf(min_len)
+        z = base.select(id_col, "_t", udf("_t").alias("_g"))
+        grams = z.select(
+            id_col,
+            F.posexplode(F.arrays_zip("_g.h1", "_g.h2")).alias("pos", "_p"),
+        ).select(
+            id_col,
+            "pos",
+            F.col("_p.h1").alias("_k1"),
+            F.col("_p.h2").alias("_k2"),
+        )
+    keyed = _persist_tracked(grams)
+    hot = _persist_tracked(
+        keyed.groupBy("_k1", "_k2")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_k1", "_k2")
+    )
+    n_hot = hot.count()  # eager: fills both caches before the fan-out
+    hot_join_path = (
+        "broadcast" if n_hot <= hot_broadcast_threshold else "shuffle"
+    )
+    hot_side = F.broadcast(hot) if hot_join_path == "broadcast" else hot
+    covered = keyed.join(hot_side, ["_k1", "_k2"], "inner").select(
+        id_col, "pos"
+    )
+    cov_by_doc = covered.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_cov")
+    )
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_chars", T.LongType()),
+                T.StructField("n_removed_chars", T.LongType()),
+                T.StructField("n_spans_removed", T.LongType()),
+                T.StructField("text_clean", T.StringType()),
+            ]
+        )
+    )
+    def cut(texts: pd.Series, covs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t, cov in zip(texts, covs):
+            t = t or ""
+            if cov is None or len(cov) == 0:
+                rows.append((len(t), 0, 0, t))
+                continue
+            spans = []  # merged [a, b) 0-based, cov is sorted
+            for p in cov:
+                p = int(p)
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + min_len)
+                else:
+                    spans.append([p, p + min_len])
+            kept, last = [], 0
+            removed = 0
+            for a, b in spans:
+                kept.append(t[last:a])
+                removed += b - a
+                last = b
+            kept.append(t[last:])
+            rows.append((len(t), removed, len(spans), "".join(kept)))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_chars",
+                "n_removed_chars",
+                "n_spans_removed",
+                "text_clean",
+            ],
+        )
+
+    out = (
+        base.join(cov_by_doc, id_col, "left")
+        .withColumn("_s", cut(F.col("_t"), F.col("_cov")))
+        .select(
+            id_col,
+            F.col("_s.n_chars").alias("n_chars"),
+            F.col("_s.n_removed_chars").alias("n_removed_chars"),
+            F.col("_s.n_spans_removed").alias("n_spans_removed"),
+            F.col("_s.text_clean").alias("text_clean"),
+        )
+    )
+    return out, {"n_hot_grams": n_hot, "hot_join_path": hot_join_path}

@@ -2,6 +2,8 @@
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from deduplication_framework_spark.operators.spans import (
@@ -352,4 +354,169 @@ def test_cli_span_dedup_fuzzy(spark, tmp_path):
         main([
             "--input", inp, "--output", str(tmp_path / "o_err"),
             "--span-dedup-fuzzy",
+        ])
+
+
+class TestRepeatedSubstrings:
+    """ExactSubstr removal (operators/spans.py::remove_repeated_substrings):
+    raw and hash key modes against an independent brute-force gram oracle."""
+
+    def _oracle(self, texts, L, min_count=2):
+        from collections import Counter
+
+        counts = Counter()
+        for t in texts.values():
+            for i in range(len(t) - L + 1):
+                counts[t[i : i + L]] += 1
+        out = {}
+        for did, t in texts.items():
+            cov = sorted(
+                i for i in range(len(t) - L + 1)
+                if counts[t[i : i + L]] >= min_count
+            )
+            spans = []
+            for p in cov:
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + L)
+                else:
+                    spans.append([p, p + L])
+            clean, last = [], 0
+            for a, b in spans:
+                clean.append(t[last:a])
+                last = b
+            clean.append(t[last:])
+            out[did] = (
+                len(t),
+                sum(b - a for a, b in spans),
+                len(spans),
+                "".join(clean),
+            )
+        return out
+
+    @pytest.mark.parametrize("key_mode", ["raw", "hash"])
+    def test_matches_bruteforce_oracle(self, spark, key_mode):
+        from deduplication_framework_spark.operators.spans import (
+            remove_repeated_substrings,
+        )
+
+        q = "the long boilerplate quote shared verbatim"
+        texts = {
+            0: "alpha prefix " + q + " alpha suffix",
+            1: "a completely different beginning then " + q + " tail",
+            2: "no repeated content here at all just original words",
+            3: "self " + q + " mid " + q,      # within-doc repeat
+            4: q,                               # whole doc = the quote
+            5: "",                              # empty
+            6: "short",                         # shorter than min_len
+        }
+        out, stats = remove_repeated_substrings(
+            spark.createDataFrame(
+                list(texts.items()), ["doc_id", "text"]
+            ),
+            min_len=12,
+            key_mode=key_mode,
+        )
+        got = {
+            r.doc_id: (
+                r.n_chars,
+                r.n_removed_chars,
+                r.n_spans_removed,
+                r.text_clean,
+            )
+            for r in out.collect()
+        }
+        assert got == self._oracle(texts, 12)
+        # the quote really was cut from every copy, incl. the whole-doc one
+        assert got[4][3] == "" and got[3][2] >= 1
+        assert stats["n_hot_grams"] > 0
+        assert stats["hot_join_path"] == "broadcast"
+
+    def test_adjacent_intervals_fuse_into_one_removed_span(self, spark):
+        from deduplication_framework_spark.operators.spans import (
+            remove_repeated_substrings,
+        )
+
+        # two hot 8-grams meeting end-to-start inside one doc: positions
+        # p and p+8 cover [p, p+16) contiguously -> ONE removed span
+        a8, b8 = "AAAAAAAA", "BBBBBBBB"
+        texts = {
+            0: "xx" + a8 + b8 + "yy",
+            1: "zz " + a8 + " qq " + b8 + " ww",
+        }
+        out, _ = remove_repeated_substrings(
+            spark.createDataFrame(
+                list(texts.items()), ["doc_id", "text"]
+            ),
+            min_len=8,
+            key_mode="raw",
+        )
+        got = {r.doc_id: r for r in out.collect()}
+        assert got[0].n_spans_removed == 1
+        assert got[0].text_clean == "xxyy"
+        assert self._oracle(texts, 8)[0] == (
+            got[0].n_chars,
+            got[0].n_removed_chars,
+            got[0].n_spans_removed,
+            got[0].text_clean,
+        )
+
+    def test_validation(self, spark):
+        from deduplication_framework_spark.operators.spans import (
+            remove_repeated_substrings,
+        )
+
+        df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="key_mode"):
+            remove_repeated_substrings(df, key_mode="bogus")
+        with pytest.raises(ValueError, match="min_len"):
+            remove_repeated_substrings(df, min_len=1)
+        with pytest.raises(ValueError, match="min_count"):
+            remove_repeated_substrings(df, min_count=1)
+
+
+def test_cli_repeated_substring_preprocessing(spark, tmp_path):
+    """--remove-repeated-substrings end to end: the unaligned quote is cut
+    from every doc, the all-quote doc is dropped and counted, untouched
+    docs keep byte-identical text, and --sweep rejects the flag."""
+    import json
+
+    from deduplication_framework_spark.__main__ import main
+
+    q = "shared verbatim boilerplate quote here"
+    inp = str(tmp_path / "pages_rss")
+    spark.createDataFrame(
+        [
+            (0, "u0", "intro zero " + q + " body zero", "en"),
+            (1, "u1", "different intro then " + q + " and a tail", "en"),
+            (2, "u2", q, "en"),
+            (3, "u3", "untouched original document text", "en"),
+        ],
+        ["doc_order", "url", "text", "lang"],
+    ).write.parquet(inp)
+    out = str(tmp_path / "out_rss")
+    assert main([
+        "--input", inp, "--output", out,
+        "--detectors", "exact", "--remove-repeated-substrings", "12",
+    ]) == 0
+    summary = json.loads((tmp_path / "out_rss" / "summary.json").read_text())
+    m = summary["metrics"]
+    assert m["repeated_substrings.n_docs_touched"] == 3.0
+    assert m["repeated_substrings.n_docs_emptied"] == 1.0
+    assert m["repeated_substrings.n_removed_chars"] >= 3 * len(q)
+    keepers = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{out}/keepers").collect()
+    }
+    assert 2 not in keepers
+    assert keepers[3] == "untouched original document text"
+    assert q not in keepers[0] and q not in keepers[1]
+    with pytest.raises(SystemExit):
+        main([
+            "--synthetic", "20", "--output", str(tmp_path / "o_swp"),
+            "--sweep", "--remove-repeated-substrings", "12",
+        ])
+    with pytest.raises(SystemExit):
+        main([
+            "--synthetic", "20", "--output", str(tmp_path / "o_bad"),
+            "--remove-repeated-substrings", "1",
         ])
