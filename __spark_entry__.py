@@ -2304,7 +2304,7 @@ def q_signbit_jaccard_edges(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order is deliberate: CORRECTNESS_r04 covered exactly the
     # first 50 registered queries, so if the driver's budget cuts again, it
-    # should fall on the TAIL block below — 16 sub-second queries that have
+    # should fall on the TAIL block below — 19 sub-second queries that have
     # been hash-exact in every driver run since rounds 1-2 and are trivial
     # to replicate (tools/check_contract.py <sf> <name>). Every query never
     # yet covered by an official CORRECTNESS record sits within the first 50.
@@ -2791,7 +2791,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # J14 binary-vector Jaccard: sign bits packed into two BIGINT
         # lanes (shifts <= 31 keep every intermediate positive in both
-        # engines; list_sum over disjoint powers == bit_or), exact low-16
+        # engines; list_sum over disjoint powers == bit_or), exact low-8
         # sign-prefix blocking, bit_count Jaccard. list_sum returns
         # HUGEINT — cast back to BIGINT before the bit ops.
         "signbit_jaccard_edges": """

@@ -655,14 +655,24 @@ def _repeated_substring_pages(pages, min_len: int):
             .cast("long")
         ).alias("emptied"),
     ).first()
+    # rs is fully materialized by the agg above: the operator's two
+    # corpus-scale tracked caches (one row per CHARACTER) are dead weight
+    # for the rest of the run — free them now instead of at pipeline end
+    for f in stats.pop("_caches", []):
+        f.unpersist()
     out = (
-        docs.drop("text")
+        docs.withColumnRenamed("text", "_text_in")
         .join(rs, "doc_id")
         .filter((F.col("text_clean") != "") | (F.col("n_chars") == 0))
         .select(
             F.col("doc_id").alias("doc_order"),
             "url",
-            F.col("text_clean").alias("text"),
+            # untouched docs keep their ORIGINAL text (incl. NULL —
+            # text_clean coalesces to '' — matching the sibling layers'
+            # byte-identical pass-through contract)
+            F.when(F.col("n_spans_removed") > 0, F.col("text_clean"))
+            .otherwise(F.col("_text_in"))
+            .alias("text"),
             "lang",
         )
     )

@@ -448,9 +448,14 @@ def remove_repeated_substrings(
         .select("_k1", "_k2")
     )
     n_hot = hot.count()  # eager: fills both caches before the fan-out
-    hot_join_path = (
-        "broadcast" if n_hot <= hot_broadcast_threshold else "shuffle"
+    # the threshold is calibrated for 16-byte hash keys; raw-mode keys are
+    # min_len-char strings, so scale the row budget to the same byte budget
+    eff_threshold = (
+        hot_broadcast_threshold
+        if key_mode == "hash"
+        else max(1, hot_broadcast_threshold * 16 // max(16, min_len))
     )
+    hot_join_path = "broadcast" if n_hot <= eff_threshold else "shuffle"
     hot_side = F.broadcast(hot) if hot_join_path == "broadcast" else hot
     covered = keyed.join(hot_side, ["_k1", "_k2"], "inner").select(
         id_col, "pos"
@@ -512,4 +517,11 @@ def remove_repeated_substrings(
             F.col("_s.text_clean").alias("text_clean"),
         )
     )
-    return out, {"n_hot_grams": n_hot, "hot_join_path": hot_join_path}
+    # "_caches": the two corpus-scale tracked frames (keyed = one row per
+    # CHARACTER) — safe to unpersist as soon as a caller has materialized
+    # the output (lsh.release_census_caches() frees them too)
+    return out, {
+        "n_hot_grams": n_hot,
+        "hot_join_path": hot_join_path,
+        "_caches": [keyed, hot],
+    }

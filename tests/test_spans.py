@@ -520,3 +520,39 @@ def test_cli_repeated_substring_preprocessing(spark, tmp_path):
             "--synthetic", "20", "--output", str(tmp_path / "o_bad"),
             "--remove-repeated-substrings", "1",
         ])
+
+
+def test_repeated_substring_layer_passes_null_text_through(spark):
+    """Review-finding regression: untouched docs keep their ORIGINAL text
+    byte-identical through the CLI layer — including NULL (the operator
+    coalesces internally; the layer must not launder NULL into '')."""
+    from pyspark.sql import types as T
+
+    from deduplication_framework_spark.__main__ import (
+        _repeated_substring_pages,
+    )
+
+    q = "a shared quote long enough to trip the gram census"
+    schema = T.StructType(
+        [
+            T.StructField("doc_order", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    pages = spark.createDataFrame(
+        [
+            (0, "u0", "first " + q + " tail zero", "en"),
+            (1, "u1", "second " + q + " tail one", "en"),
+            (2, "u2", None, "en"),
+            (3, "u3", "plain untouched text", "en"),
+        ],
+        schema,
+    )
+    out, metrics = _repeated_substring_pages(pages, min_len=12)
+    got = {r.doc_order: r.text for r in out.collect()}
+    assert got[2] is None
+    assert got[3] == "plain untouched text"
+    assert q not in got[0] and q not in got[1]
+    assert metrics["repeated_substrings.n_docs_touched"] == 2.0
