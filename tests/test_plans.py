@@ -285,3 +285,29 @@ def test_lm_default_bucketing_has_no_single_partition_window(spark):
     release_census_caches()
     assert "SinglePartition" not in plan, plan
     assert "ntile" not in plan.lower(), plan
+
+
+def test_repeated_substrings_plan_shape(spark):
+    """ExactSubstr removal scale pins: census is a partial-then-final
+    aggregation (map-side combine on the gram keys — a boilerplate gram
+    repeated a million times collapses per map partition), the hot-set
+    join is broadcast under the threshold, and the only Python in the
+    plan is Arrow-batched (featurization + cut UDFs) — never
+    row-at-a-time."""
+    import re
+
+    from deduplication_framework_spark.operators.spans import (
+        remove_repeated_substrings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i} " * 20) for i in range(50)], ["doc_id", "text"]
+    )
+    out, _ = remove_repeated_substrings(docs, min_len=12, key_mode="hash")
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert not re.search(r"BroadcastNestedLoopJoin|CartesianProduct", plan)
+    # partial census aggregate BEFORE its exchange (bottom-up numbering)
+    agg = re.search(r"\((\d+)\) HashAggregate\n(?:.*\n)*?.*partial_count", plan)
+    assert agg, plan
