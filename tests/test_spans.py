@@ -556,3 +556,70 @@ def test_repeated_substring_layer_passes_null_text_through(spark):
     assert got[3] == "plain untouched text"
     assert q not in got[0] and q not in got[1]
     assert metrics["repeated_substrings.n_docs_touched"] == 2.0
+
+
+def test_repeated_substrings_property_small_alphabet(spark):
+    """Hypothesis-style adversarial corpus (deterministic seeds, tiny
+    'ab '-alphabet, L=3): maximal overlap between hot grams stresses the
+    interval-union path far harder than prose. Both key modes must match
+    the brute-force oracle on every corpus."""
+    import random
+
+    from deduplication_framework_spark.operators.spans import (
+        remove_repeated_substrings,
+    )
+
+    def oracle(texts, L, min_count=2):
+        from collections import Counter
+
+        counts = Counter()
+        for t in texts.values():
+            for i in range(len(t) - L + 1):
+                counts[t[i : i + L]] += 1
+        out = {}
+        for did, t in texts.items():
+            cov = [
+                i
+                for i in range(len(t) - L + 1)
+                if counts[t[i : i + L]] >= min_count
+            ]
+            spans = []
+            for p in cov:
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + L)
+                else:
+                    spans.append([p, p + L])
+            clean, last = [], 0
+            for a, b in spans:
+                clean.append(t[last:a])
+                last = b
+            clean.append(t[last:])
+            out[did] = (
+                len(t),
+                sum(b - a for a, b in spans),
+                len(spans),
+                "".join(clean),
+            )
+        return out
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        texts = {
+            i: "".join(rng.choice("ab ") for _ in range(rng.randint(0, 14)))
+            for i in range(24)
+        }
+        df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        want = oracle(texts, 3)
+        for mode in ("raw", "hash"):
+            got = {
+                r.doc_id: (
+                    r.n_chars,
+                    r.n_removed_chars,
+                    r.n_spans_removed,
+                    r.text_clean,
+                )
+                for r in remove_repeated_substrings(
+                    df, min_len=3, key_mode=mode
+                )[0].collect()
+            }
+            assert got == want, (seed, mode)
