@@ -78,8 +78,22 @@ def synth_docs(spark, n: int, partitions: int):
 
 
 def main():
+    # pin BLAS before any numpy/Spark work: an unpinned OpenBLAS pool in
+    # the Arrow workers silently turns the local[2] leg many-core and
+    # poisons the N->4N efficiency number (CLAUDE.md round-4 part 3)
+    import os
+
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cores = int(sys.argv[1])
     n = int(sys.argv[2])
+    if n < 1000 or n % 100 != 0:
+        raise SystemExit(
+            "n_docs must be a multiple of 100 and >= 1000: the planted-truth "
+            "asserts assume every copy doc's source is in range and every "
+            "class is populated (a tail id with n % 50 == 3 would label a "
+            "source whose copy was never materialized)"
+        )
     out_path = (
         sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale_exactsubstr_runs.jsonl"
     )
