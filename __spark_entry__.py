@@ -2301,6 +2301,20 @@ def q_signbit_jaccard_edges(spark, sf_dir):
     ).filter("jac >= 0.5")
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 distinctive terms per document (TF-IDF keyword extraction,
+    operators/keywords.py). Ratio-damped score tf/df: IEEE division of
+    two int64s (< 2^53) is CORRECTLY ROUNDED, so the ranking double is
+    bit-identical in Spark and DuckDB — unlike ln-damping, which has no
+    correct-rounding guarantee. score_ppm uses the same op order
+    (1e6 * (tf/df)) in both engines; ties break (tf DESC, term ASC)."""
+    from deduplication_framework_spark.operators.keywords import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order is deliberate: CORRECTNESS_r04 covered exactly the
     # first 50 registered queries, so if the driver's budget cuts again, it
@@ -2321,7 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jvm_minhash_clusters": q_jvm_minhash_clusters,
         "jaccard_cluster_keepers": q_jaccard_cluster_keepers,
         "leakage_safe_split": q_leakage_safe_split,
-        "lang_id_ngram": q_lang_id_ngram,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "top_ngram_stats": q_top_ngram_stats,
         "span_dedup_chunks": q_span_dedup_chunks,
         "frequent_span_removal": q_frequent_span_removal,
@@ -2360,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
         # ---- tail block: stable + sub-second (see comment above) ----
+        "lang_id_ngram": q_lang_id_ngram,
         "token_counts": q_token_counts,
         "char_ngram_counts": q_char_ngram_counts,
         "length_band_candidates": q_length_band_candidates,
@@ -3214,6 +3229,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # integer threshold compare (cum*100 >= pct*T) keeps the decile
+        # tf/df: int64/int64 double division is IEEE-correctly-rounded in
+        # both engines -> ranking + ppm rounding engine-exact; op order
+        # 1e6 * (tf/df) matches operators/keywords.py exactly
+        "tfidf_top_terms": rf"""
+            WITH terms AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)),
+                                                 '{_WS_DUCK}')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM terms WHERE term <> '' GROUP BY doc_id, term
+            ), dfc AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            ), ranked AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY (tf.tf::DOUBLE / dfc.df::DOUBLE) DESC,
+                                    tf.tf DESC, tf.term ASC
+                       ) AS rank
+                FROM tf JOIN dfc USING (term)
+            )
+            SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+                   CAST(round(1e6 * (tf::DOUBLE / df::DOUBLE)) AS BIGINT)
+                       AS score_ppm
+            FROM ranked WHERE rank <= 3
+        """,
         # decision exact in both engines; ranks tie-break (count DESC, w)
         "vocab_coverage": rf"""
             WITH toks AS (
