@@ -486,3 +486,107 @@ def test_cli_config_yaml_jvm_hash_family(spark, tmp_path):
         resumed = json.load(fh)
     assert resumed["metrics"].get("features_minhash_jvm.resumed") == 1.0
     assert resumed["keepers"] == summary["keepers"]
+
+
+def test_cli_full_layer_stack(spark, tmp_path):
+    """The switch-over story: EVERY preprocessing layer composed in one
+    run — url blocking → exact recrawl filter → repeated-substring cut →
+    span dedup → decontamination → pipeline → split assignment. Each
+    layer's metrics land in the one summary, the composed input_tag
+    resumes stage-for-stage on an identical rerun, and removing one
+    layer breaks resume (fresh config hash)."""
+    from pyspark.sql import functions as F
+
+    from deduplication_framework_spark.sources.pages import generate_pages
+
+    corpus = generate_pages(spark, 240, seed=7, with_truth=True)
+    base_cols = ["url", "warc_ts", "html", "text", "lang", "doc_order"]
+    inp = str(tmp_path / "stack_pages")
+    corpus.withColumn(
+        "url",
+        F.expr(
+            "CASE WHEN doc_order < 10 THEN"
+            " concat('https://badspam.example.net/p/', doc_order)"
+            " ELSE url END"
+        ),
+    ).select(*base_cols).write.parquet(inp)
+
+    hist = str(tmp_path / "stack_hist")
+    corpus.filter(
+        (F.col("doc_order") >= 10) & (F.col("doc_order") < 50)
+    ).select("text").write.parquet(hist)
+
+    # eval set = 5 unique-class docs outside the history range: untouched
+    # by the earlier layers (their text repeats nowhere), so their
+    # 8-grams still match at the decontamination layer
+    ev = str(tmp_path / "stack_eval")
+    eval_ids = [
+        r.doc_order
+        for r in corpus.filter(
+            (F.col("dup_class") == "unique") & (F.col("doc_order") >= 60)
+        ).select("doc_order").orderBy("doc_order").limit(5).collect()
+    ]
+    corpus.filter(F.col("doc_order").isin(eval_ids)).select(
+        "text"
+    ).write.parquet(ev)
+
+    out = str(tmp_path / "stack_out")
+    ckpt = str(tmp_path / "stack_ckpt")
+    argv = [
+        "--input", inp,
+        "--output", out,
+        "--detectors", "exact,minhash",
+        "--checkpoint-dir", ckpt,
+        "--block-urls",
+        "--dedup-against", hist,
+        "--remove-repeated-substrings", "40",
+        "--span-dedup",
+        "--decontaminate-against", ev,
+        "--decontaminate-ngram", "8",
+        "--assign-splits", "0.25",
+    ]
+    rc = main(argv)
+    assert rc == 0
+    with open(os.path.join(out, "summary.json")) as fh:
+        summary = json.load(fh)
+    m = summary["metrics"]
+    # layer 1: url blocking
+    assert m["url_block.n_in"] == 240
+    assert m["url_block.n_kept"] == 230
+    # layer 2: exact recrawl filter saw only unblocked docs; all 40
+    # historical texts route through the candidate path
+    assert m["incremental.n_batch"] == 230
+    assert m["incremental.n_candidates"] >= 40
+    # layers 3-4 ran and reported (semantics pinned in their own tests)
+    assert "repeated_substrings.n_hot_grams" in m
+    assert "span_dedup.n_spans" in m and m["span_dedup.n_spans"] > 0
+    # layer 5: the 5 planted eval docs are hit (unique-class, so no
+    # earlier layer touched their text)
+    assert m["decontaminate.n_docs_hit"] >= 5
+    assert m["decontaminate.n_docs_emptied"] >= 5
+    # pipeline input reflects the stacked drops
+    assert 100 <= summary["docs"] <= 190
+    # splits ride the pipeline's own clusters, over exactly its docs
+    assigned = spark.read.parquet(os.path.join(out, "splits"))
+    assert assigned.count() == summary["docs"]
+    assert m["split.n_train"] + m["split.n_val"] == summary["docs"]
+
+    # identical rerun: the composed input_tag reproduces -> full resume
+    rc = main(argv)
+    assert rc == 0
+    with open(os.path.join(out, "summary.json")) as fh:
+        m2 = json.load(fh)["metrics"]
+    assert m2.get("keepers.resumed") == 1.0
+    assert spark.read.parquet(os.path.join(out, "splits")).count() == (
+        summary["docs"]
+    )
+
+    # drop one layer -> different input_tag -> must NOT resume
+    out2 = str(tmp_path / "stack_out2")
+    argv2 = [a for a in argv if a != "--span-dedup"]
+    argv2[argv2.index(out)] = out2
+    rc = main(argv2)
+    assert rc == 0
+    with open(os.path.join(out2, "summary.json")) as fh:
+        m3 = json.load(fh)["metrics"]
+    assert "keepers.resumed" not in m3
