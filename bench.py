@@ -974,6 +974,7 @@ def main():
             "sequence_packing",
             "url_block_flags",
             "containment_edges",
+            "tfidf_top_terms",
         ]
     ]
 

@@ -59,8 +59,10 @@ def tfidf_top_terms(
     ``round(1e6 * tf / df)`` as an integer score (the double is
     engine-identical, so its rounding is too).
 
-    ``min_tf`` drops terms occurring fewer than that many times in the
-    document before ranking (a cheap noise filter; 1 keeps everything).
+    ``min_tf`` drops (doc, term) cells with fewer than that many
+    occurrences BEFORE document frequency is counted — df then means
+    "documents where the term clears min_tf", and the dropped cells
+    never reach the join (a cheap noise filter; 1 keeps everything).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

@@ -105,3 +105,27 @@ def test_plan_shape(docs):
     # row_number window is partitioned -> no single-partition global sort
     assert "Window" in plan
     assert "windowspecdefinition(doc_id" in plan
+
+
+def test_small_alphabet_random_corpora(spark):
+    """Adversarial tie pressure: a tiny vocabulary forces many identical
+    tf/df ratios ACROSS different (tf, df) pairs (2/4 == 1/2), identical
+    scores across docs, and rank collisions — the full (score DESC,
+    tf DESC, term ASC) chain must match the Python IEEE oracle exactly."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["a", "b", "c", "aa", "ab", "ba"]
+    for trial in range(3):
+        texts = [
+            " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(0, 30))
+            )
+            for _ in range(40)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in tfidf_top_terms(docs, k=4).collect())
+        assert got == _oracle(texts, k=4), f"trial {trial}"
