@@ -3228,17 +3228,18 @@ def oracle_sql() -> dict[str, str]:
                        '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+')) AS n_bpe_tokens
             FROM documents
         """,
-        # integer threshold compare (cum*100 >= pct*T) keeps the decile
         # tf/df: int64/int64 double division is IEEE-correctly-rounded in
         # both engines -> ranking + ppm rounding engine-exact; op order
-        # 1e6 * (tf/df) matches operators/keywords.py exactly
+        # 1e6 * (tf/df) matches operators/keywords.py exactly; tf is
+        # MATERIALIZED (dual-consumed: dfc + ranked — DuckDB 1.0
+        # re-inlines plain CTEs per consumer)
         "tfidf_top_terms": rf"""
             WITH terms AS (
                 SELECT doc_id,
                        unnest(string_split_regex(lower(trim(text)),
                                                  '{_WS_DUCK}')) AS term
                 FROM documents
-            ), tf AS (
+            ), tf AS MATERIALIZED (
                 SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
                 FROM terms WHERE term <> '' GROUP BY doc_id, term
             ), dfc AS (
@@ -3258,6 +3259,7 @@ def oracle_sql() -> dict[str, str]:
                        AS score_ppm
             FROM ranked WHERE rank <= 3
         """,
+        # integer threshold compare (cum*100 >= pct*T) keeps the decile
         # decision exact in both engines; ranks tie-break (count DESC, w)
         "vocab_coverage": rf"""
             WITH toks AS (
