@@ -567,6 +567,65 @@ def _jvm_band_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
+def q_minhash_jaccard_estimates(spark, sf_dir):
+    """J7/J12 at the ESTIMATOR level: the signature-agreement Jaccard
+    estimate (matching minima / num_perm, datasketch's MinHash.jaccard)
+    for every LSH band-candidate pair — the number a production MinHash
+    pipeline thresholds on when re-shingling raw text at verify time is
+    too expensive. Engine-exact WITHOUT margin pins: n_match is a sum of
+    32 integer equalities, and est_ppm = round(1e6*(n_match/32)) is
+    arithmetic on exact doubles (n_match/32 is dyadic; 31250*n_match is
+    an exact integer), so both engines agree bit-for-bit. Candidate
+    pairs share >= 1 full 8-row band by construction, so n_match >= 8 on
+    every row (pinned in tests). Estimator-vs-exact-Jaccard recall is
+    jvm_minhash_clusters' job; this pins the estimator itself. Scale
+    shape: two hash joins of the candidate list back to the one-row-per-
+    doc signature frame — no new corpus-scale surface."""
+    from deduplication_framework_spark.functions.jvm_minhash import (
+        jvm_minhash_signatures,
+    )
+
+    grams = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text)-2, 1)),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("gram"),
+    )
+    sigs = jvm_minhash_signatures(grams, num_perm=32)
+    sigs.persist()  # consumed 3x: band pairs + both join sides
+    pairs = _jvm_band_pairs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("src"),
+        *[F.col(f"s{i:02d}").alias(f"a{i:02d}") for i in range(32)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("dst"),
+        *[F.col(f"s{i:02d}").alias(f"b{i:02d}") for i in range(32)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i:02d}") == F.col(f"b{i:02d}"), 1).otherwise(0)
+        for i in range(32)
+    ).cast("int")
+    return (
+        pairs.join(sa, "src")
+        .join(sb, "dst")
+        .select("src", "dst", n_match.alias("n_match"))
+        .withColumn(
+            "est_ppm",
+            F.expr(
+                "CAST(round(1e6 * (CAST(n_match AS DOUBLE) / 32.0D))"
+                " AS BIGINT)"
+            ),
+        )
+        .orderBy("src", "dst")
+    )
+
+
 def q_jvm_minhash_clusters(spark, sf_dir):
     """The FULL MinHash-LSH dedup pipeline, value-exact end to end at the
     signature level: distinct char-3-grams → 32-perm jvm_minhash
@@ -2332,11 +2391,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_edges": q_ngram_jaccard_edges,
         "minhash_signatures_sql": q_minhash_signatures_sql,
         "minhash_band_candidates": q_minhash_band_candidates,
+        "minhash_jaccard_estimates": q_minhash_jaccard_estimates,
         "jvm_minhash_clusters": q_jvm_minhash_clusters,
         "jaccard_cluster_keepers": q_jaccard_cluster_keepers,
         "leakage_safe_split": q_leakage_safe_split,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "top_ngram_stats": q_top_ngram_stats,
         "span_dedup_chunks": q_span_dedup_chunks,
         "frequent_span_removal": q_frequent_span_removal,
         "stratified_sample": q_stratified_sample,
@@ -2374,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
         # ---- tail block: stable + sub-second (see comment above) ----
+        "top_ngram_stats": q_top_ngram_stats,
         "lang_id_ngram": q_lang_id_ngram,
         "token_counts": q_token_counts,
         "char_ngram_counts": q_char_ngram_counts,
@@ -2893,6 +2953,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ORDER BY src, dst
+        """,
+        # signature-agreement Jaccard estimator per band-candidate pair:
+        # n_match = sum of 32 integer equalities; est_ppm arithmetic is
+        # on exact doubles (n_match/32 dyadic, 31250*n_match an exact
+        # integer) -> no rounding edge in either engine. sig and bands
+        # MATERIALIZED: each is consumed more than once (sig: bands +
+        # both estimate-join sides; bands: self-join) and DuckDB 1.0
+        # re-inlines plain CTEs per consumer.
+        "minhash_jaccard_estimates": f"""
+            WITH g AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(length(text)-1, 2)),
+                           i -> substring(text, i::INT, 3)))) AS gram
+                FROM documents
+            ),
+            hx AS (
+                SELECT doc_id, substring(md5(gram), 25, 8) AS hx FROM g
+            ),
+            h AS (
+                SELECT doc_id,
+                       {_hex8_to_int_sql("hx")} % {_MERSENNE_31} AS h
+                FROM hx
+            ),
+            sig AS MATERIALIZED (
+                SELECT doc_id,
+                       {_minhash_sig_sql_aggs(32)}
+                FROM h GROUP BY doc_id
+            ),
+            bands AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest([{_band_structs}], recursive := true)
+                FROM sig
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT src, dst, n_match,
+                   CAST(round(1e6 * (CAST(n_match AS DOUBLE) / 32.0))
+                        AS BIGINT) AS est_ppm
+            FROM (
+                SELECT c.src, c.dst,
+                       CAST({" + ".join(
+                           f"CASE WHEN a.s{i:02d} = b.s{i:02d}"
+                           f" THEN 1 ELSE 0 END"
+                           for i in range(32)
+                       )} AS INT) AS n_match
+                FROM cand c
+                JOIN sig a ON a.doc_id = c.src
+                JOIN sig b ON b.doc_id = c.dst
+            )
             ORDER BY src, dst
         """,
         # the FULL pipeline: same signature + banding construction as the

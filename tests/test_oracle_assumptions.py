@@ -458,3 +458,55 @@ def test_signbit_jaccard_numpy_third_opinion(sf_dir):
     }
     assert got == expect
     assert len(got) > 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_minhash_jaccard_estimator_invariants(sf_dir, spark):
+    """minhash_jaccard_estimates' docstring claims, pinned: every
+    band-candidate pair shares >= 1 full 8-row band so n_match >= 8;
+    est_ppm is EXACT integer arithmetic (31250 * n_match — n_match/32 is
+    dyadic and the 1e6 product is an exactly-representable integer, so
+    round() has no edge in either engine); and the numpy third opinion
+    agrees with the Spark n_match on every pair (non-vacuously)."""
+    import pandas as pd
+
+    from __spark_entry__ import q_minhash_jaccard_estimates
+
+    out = q_minhash_jaccard_estimates(spark, sf_dir).toPandas()
+    assert len(out) > 0  # a 0-row hash match would be vacuous
+    assert int(out["n_match"].min()) >= 8
+    assert (out["est_ppm"] == 31250 * out["n_match"].astype("int64")).all()
+
+    # numpy third opinion: recompute agreement counts from the signature
+    # frame itself for every candidate pair
+    from deduplication_framework_spark.functions.jvm_minhash import (
+        jvm_minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    grams = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(length(text)-2, 1)),"
+                        " i -> substring(text, i, 3))"
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    sigs = (
+        jvm_minhash_signatures(grams, num_perm=32)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    mat = sigs.to_numpy()
+    idx = {d: i for i, d in enumerate(sigs.index)}
+    src = out["src"].map(idx).to_numpy()
+    dst = out["dst"].map(idx).to_numpy()
+    np_match = (mat[src] == mat[dst]).sum(axis=1)
+    assert (np_match == out["n_match"].to_numpy()).all()
