@@ -597,7 +597,11 @@ def q_minhash_jaccard_estimates(spark, sf_dir):
         ).alias("gram"),
     )
     sigs = jvm_minhash_signatures(grams, num_perm=32)
-    sigs.persist()  # consumed 3x: band pairs + both join sides
+    # consumed 4x (band self-join sides + both estimate-join sides):
+    # persist AND materialize eagerly — concurrent shuffle-map stages of
+    # one job race to fill a lazy cache and each recomputes the input
+    # (the fused-UDF 4x-blowup lesson)
+    sigs.persist().count()
     pairs = _jvm_band_pairs(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("src"),
