@@ -497,6 +497,36 @@ def q_minhash_signatures_sql(spark, sf_dir):
     return jvm_minhash_signatures(grams, num_perm=16).orderBy("doc_id")
 
 
+def q_oph_signatures_sql(spark, sf_dir):
+    """J5/J7 as ONE-Permutation Hashing (Li, Owen & Zhang 2012 + the
+    Shrivastava & Li 2014 rotation densification): each feature hashed
+    ONCE and scattered into K bins — O(F + K) per doc vs the K-permutation
+    family's O(F·K), the signature-construction term that dominates
+    featurization CPU at 10^12 docs. The densified lane has a closed form
+    (min over features of h div K + dist(h mod K, lane)·2^32 —
+    functions/oph.py docstring has the proof), so the whole construction
+    is K algebraic MIN aggregates: whole-stage codegen, map-side combine
+    (shuffle O(docs·K)), and value-exact in DuckDB. Same md5-low32 feature
+    hash + char-3-gram definition as minhash_signatures_sql, so the two
+    queries differ ONLY in the estimator construction. Reference analog:
+    the datasketch K-permutation build in text/method/pipeline_api.py,
+    re-expressed as the one-pass estimator."""
+    from deduplication_framework_spark.functions.oph import jvm_oph_signatures
+
+    grams = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text)-2, 1)),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("gram"),
+    )
+    return jvm_oph_signatures(grams, num_bins=16).orderBy("doc_id")
+
+
 def q_minhash_band_candidates(spark, sf_dir):
     """J8/J9 at the BANDING level: LSH candidate pairs — docs colliding in
     at least one of 4 bands × 4 rows over the jvm_minhash signatures —
@@ -2388,7 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
         "exact_keepers": q_exact_keepers,
-        "dedup_rate_stats": q_dedup_rate_stats,
+        "oph_signatures_sql": q_oph_signatures_sql,
         "repeated_substring_removal": q_repeated_substring_removal,
         "windowed_greedy_keepers": q_windowed_greedy_keepers,
         "signbit_jaccard_edges": q_signbit_jaccard_edges,
@@ -2437,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
         # ---- tail block: stable + sub-second (see comment above) ----
+        "dedup_rate_stats": q_dedup_rate_stats,
         "top_ngram_stats": q_top_ngram_stats,
         "lang_id_ngram": q_lang_id_ngram,
         "token_counts": q_token_counts,
@@ -2472,6 +2503,9 @@ def oracle_sql() -> dict[str, str]:
         MERSENNE_31 as _MERSENNE_31,
         hex8_to_int_sql as _hex8_to_int_sql,
         minhash_signature_sql_aggs as _minhash_sig_sql_aggs,
+    )
+    from deduplication_framework_spark.functions.oph import (
+        oph_sql_aggs as _oph_sql_aggs,
     )
     from deduplication_framework_spark.functions.urls import (
         canonical_url_sql as _canon_url_sql,
@@ -2925,6 +2959,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    {_minhash_sig_sql_aggs(16)}
             FROM h GROUP BY doc_id ORDER BY doc_id
+        """,
+        # One-Permutation Hashing twin: same md5-low32 feature hash split
+        # into (bin, val) = (h % K, h // K), then the closed-form rotation-
+        # densified minima — aggregate list GENERATED from functions/oph.py
+        # so the engines share the constants. h computed once in its own
+        # CTE (inlining the hex parse into bin AND val evaluates it twice).
+        "oph_signatures_sql": f"""
+            WITH g AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(length(text)-1, 2)),
+                           i -> substring(text, i::INT, 3)))) AS gram
+                FROM documents
+            ),
+            hx AS (
+                SELECT doc_id, substring(md5(gram), 25, 8) AS hx FROM g
+            ),
+            h AS (
+                SELECT doc_id, {_hex8_to_int_sql("hx")} AS h FROM hx
+            ),
+            bv AS (
+                SELECT doc_id, h % 16 AS bin, h // 16 AS val FROM h
+            )
+            SELECT doc_id,
+                   {_oph_sql_aggs(16)}
+            FROM bv GROUP BY doc_id ORDER BY doc_id
         """,
         # LSH banding over the same signatures: docs sharing any of the 4
         # four-row band keys. bands MATERIALIZED — the self-join consumes
