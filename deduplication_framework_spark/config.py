@@ -61,6 +61,12 @@ class TextDedupConfig:
     #            bottleneck, and the only family DuckDB can re-derive
     #            signature-exact (driver gate: jvm_minhash_clusters).
     #            Recall parity pinned in the same TestFastHashFamily.
+    #   "oph"  — kr32 feature hashes + One-Permutation Hashing with
+    #            rotation densification (functions/oph.py): signature
+    #            construction is O(F + K) per doc instead of O(F·K) —
+    #            the cheapest Arrow family at high num_perm. Estimator
+    #            statistics ≈ MinHash (gate: oph_signatures_sql; recall
+    #            parity pinned in the same TestFastHashFamily).
     hash_family: str = "sha1"
 
 

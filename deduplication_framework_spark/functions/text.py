@@ -279,16 +279,24 @@ def make_fused_features_udf(
     num_perm, max_words, max_grams = ded.num_perm, ded.max_words, ded.max_char_grams
     hash_family = getattr(ded, "hash_family", "sha1")
     need_hash_family = with_minhash or with_lsh_feats
-    if need_hash_family and hash_family not in ("sha1", "kr32"):
+    if need_hash_family and hash_family not in ("sha1", "kr32", "oph"):
         # "jvm" never reaches the Arrow path: the pipeline routes it to
         # functions/jvm_minhash.jvm_minhash_features (per-row JVM exprs)
         # and only asks this UDF for the non-minhash detector features
         raise ValueError(
             f"hash_family {hash_family!r} has no Arrow featurization path"
-            " (valid here: sha1, kr32; jvm is handled by"
+            " (valid here: sha1, kr32, oph; jvm is handled by"
             " functions/jvm_minhash.jvm_minhash_features)"
         )
-    perms = K.minhash_permutations(num_perm) if with_minhash else None
+    perms = (
+        K.minhash_permutations(num_perm)
+        if with_minhash and hash_family != "oph"
+        else None
+    )
+    if hash_family == "oph":
+        from deduplication_framework_spark.functions.oph import (
+            oph_from_hashvalues,
+        )
     need_feats = with_minhash or with_lsh_feats
     need_norm = need_feats or with_simhash
 
@@ -339,14 +347,20 @@ def make_fused_features_udf(
                 if need_norm
                 else ""
             )
-            if need_feats and hash_family == "kr32":
-                # fast family: one vectorized pass over the SAME feature
-                # sets, no per-feature Python sha1 (the 100-TB path)
+            if need_feats and hash_family in ("kr32", "oph"):
+                # fast families: one vectorized pass over the SAME feature
+                # sets, no per-feature Python sha1 (the 100-TB path).
+                # oph additionally replaces the K-permutation min matrix
+                # with the one-pass densified estimator — O(F + K) sig
+                # construction per doc instead of O(F·K)
                 hv = K.fast_feature_hashes32(
                     norm, n, max_words, max_grams, include_words
                 )
                 if with_minhash:
-                    sig = K.minhash_from_hashvalues(hv, perms)
+                    if hash_family == "oph":
+                        sig = oph_from_hashvalues(hv, num_perm)
+                    else:
+                        sig = K.minhash_from_hashvalues(hv, perms)
                     cols["sig"].append(sig.astype(np.int64).tolist())
                 if with_lsh_feats:
                     cols["shingles"].append(

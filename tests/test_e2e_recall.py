@@ -192,6 +192,46 @@ class TestAlternateConfigParity:
         assert recall >= 0.99, f"recall {recall:.4f} at theta=0.9/perm=64/n=4"
 
 
+def _assert_family_recall_contract(spark, pages, texts, family,
+                                   mutual_back=0.95):
+    """Shared contract for every alternative hash family: pairs at
+    J >= 0.95 in the pipeline's OWN capped banded feature space must be
+    recalled >= 0.99 (true for ANY uniform family at the default (9,13)
+    banding), and mutual recall vs the sha1 family's clusters — which can
+    differ only through banding randomness near the 0.8 threshold — must
+    stay >= 0.95 sha1→family and >= ``mutual_back`` family→sha1 (every
+    pair on either side is exact-Jaccard VERIFIED, so a deficit in the
+    back direction means sha1's banding missed true duplicates the other
+    family caught — a property of sha1's S-curve, not a family defect)."""
+    txts, _ = texts
+    base = PipelineConfig()
+    fast = PipelineConfig()
+    fast.dedup.hash_family = family
+    res_a = run_pipeline(spark, pages, base, detectors=["exact", "minhash"])
+    res_b = run_pipeline(spark, pages, fast, detectors=["exact", "minhash"])
+    pairs_a, _ = _cluster_pairs(res_a.clusters)
+    pairs_b, _ = _cluster_pairs(res_b.clusters)
+
+    norm = O.normalize_all(txts)
+    capped = [
+        set(K.lsh_word_tokens(t, base.dedup.max_words))
+        | set(K.lsh_char_grams(t, base.embedding.ngram_size,
+                               base.dedup.max_char_grams))
+        for t in norm
+    ]
+    strong = set()
+    for i in range(len(capped)):
+        for j in range(i + 1, len(capped)):
+            u = capped[i] | capped[j]
+            if u and len(capped[i] & capped[j]) / len(u) >= 0.95:
+                strong.add((i, j))
+    assert len(strong) > 30
+    assert O.dup_pair_recall(strong, pairs_b) >= 0.99
+    assert len(pairs_a) > 50
+    assert O.dup_pair_recall(pairs_a, pairs_b) >= 0.95
+    assert O.dup_pair_recall(pairs_b, pairs_a) >= mutual_back
+
+
 class TestFastHashFamily:
     def test_kr32_recall_vs_strong_oracle_and_sha1(self, spark, pages, texts):
         """hash_family="kr32" hashes the same (capped) feature space with a
@@ -205,33 +245,7 @@ class TestFastHashFamily:
         to the S-curve, not the family.) Against the sha1 family's
         clusters, only banding randomness near the 0.8 threshold differs —
         mutual recall must stay >= 0.95."""
-        txts, _ = texts
-        base = PipelineConfig()
-        fast = PipelineConfig()
-        fast.dedup.hash_family = "kr32"
-        res_a = run_pipeline(spark, pages, base, detectors=["exact", "minhash"])
-        res_b = run_pipeline(spark, pages, fast, detectors=["exact", "minhash"])
-        pairs_a, _ = _cluster_pairs(res_a.clusters)
-        pairs_b, _ = _cluster_pairs(res_b.clusters)
-
-        norm = O.normalize_all(txts)
-        capped = [
-            set(K.lsh_word_tokens(t, base.dedup.max_words))
-            | set(K.lsh_char_grams(t, base.embedding.ngram_size,
-                                   base.dedup.max_char_grams))
-            for t in norm
-        ]
-        strong = set()
-        for i in range(len(capped)):
-            for j in range(i + 1, len(capped)):
-                u = capped[i] | capped[j]
-                if u and len(capped[i] & capped[j]) / len(u) >= 0.95:
-                    strong.add((i, j))
-        assert len(strong) > 30
-        assert O.dup_pair_recall(strong, pairs_b) >= 0.99
-        assert len(pairs_a) > 50
-        assert O.dup_pair_recall(pairs_a, pairs_b) >= 0.95
-        assert O.dup_pair_recall(pairs_b, pairs_a) >= 0.95
+        _assert_family_recall_contract(spark, pages, texts, "kr32")
 
     def test_kr32_feature_sets_distinct(self):
         """The fast hashes must keep distinct features distinct (no
@@ -261,33 +275,26 @@ class TestFastHashFamily:
         pairs must be recalled >= 0.99, and mutual recall vs the sha1
         family's clusters (banding randomness only) >= 0.95. This is the
         empirical pin the jvm_minhash_features docstring promises."""
-        txts, _ = texts
-        base = PipelineConfig()
-        fast = PipelineConfig()
-        fast.dedup.hash_family = "jvm"
-        res_a = run_pipeline(spark, pages, base, detectors=["exact", "minhash"])
-        res_b = run_pipeline(spark, pages, fast, detectors=["exact", "minhash"])
-        pairs_a, _ = _cluster_pairs(res_a.clusters)
-        pairs_b, _ = _cluster_pairs(res_b.clusters)
+        _assert_family_recall_contract(spark, pages, texts, "jvm")
 
-        norm = O.normalize_all(txts)
-        capped = [
-            set(K.lsh_word_tokens(t, base.dedup.max_words))
-            | set(K.lsh_char_grams(t, base.embedding.ngram_size,
-                                   base.dedup.max_char_grams))
-            for t in norm
-        ]
-        strong = set()
-        for i in range(len(capped)):
-            for j in range(i + 1, len(capped)):
-                u = capped[i] | capped[j]
-                if u and len(capped[i] & capped[j]) / len(u) >= 0.95:
-                    strong.add((i, j))
-        assert len(strong) > 30
-        assert O.dup_pair_recall(strong, pairs_b) >= 0.99
-        assert len(pairs_a) > 50
-        assert O.dup_pair_recall(pairs_a, pairs_b) >= 0.95
-        assert O.dup_pair_recall(pairs_b, pairs_a) >= 0.95
+    def test_oph_recall_vs_strong_oracle_and_sha1(self, spark, pages, texts):
+        """hash_family="oph" (functions/oph.py: One-Permutation Hashing,
+        rotation-densified) hashes the same capped feature space (kr32
+        hashes) but builds the signature in ONE pass — O(F + K) per doc.
+        Lane agreement is ≈ unbiased for J (dense regime; mild sparse-doc
+        bias is bounded by the post-banding exact-Jaccard verification),
+        so the same contract holds: capped-space J >= 0.95 recall >= 0.99
+        + sha1→oph recall >= 0.95. The BACK direction is looser (0.90):
+        densified lanes are copies of other bins' minima, so two docs
+        sharing a source bin agree on its borrowed lanes too — bands are
+        less independent and moderate-J pairs collide MORE than the iid
+        S-curve predicts. With verification on, those extras are genuine
+        J >= 0.8 duplicates sha1's banding missed (measured: oph finds
+        ~7% more verified pairs on this corpus), which depresses
+        oph→sha1 recall through no fault of oph's."""
+        _assert_family_recall_contract(
+            spark, pages, texts, "oph", mutual_back=0.90
+        )
 
     def test_jvm_minhash_only_pipeline_never_builds_arrow_udf(
         self, spark, pages, monkeypatch

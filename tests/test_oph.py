@@ -200,3 +200,56 @@ class TestDuckDBTwin:
         for row in got:
             d, sig = row[0], list(row[1:])
             assert sig == oph_signature_py(sorted(by_doc[d]), k), d
+
+
+class TestFusedUdfFamily:
+    def test_fused_oph_sig_matches_kernel(self, spark, pages):
+        """hash_family="oph" through the production fused Arrow UDF ==
+        oph_from_hashvalues over the kr32 feature hashes of the same
+        normalized text (the spec the family is defined by). Shingles
+        must be IDENTICAL to the kr32 family's — oph only changes the
+        signature estimator, never the verification feature space."""
+        from deduplication_framework_spark.config import PipelineConfig
+        from deduplication_framework_spark.functions import kernels as K
+        from deduplication_framework_spark.functions.text import (
+            make_fused_features_udf,
+        )
+
+        cfg = PipelineConfig()
+        cfg.dedup.hash_family = "oph"
+        cfg.dedup.num_perm = 64
+        docs = pages.limit(80).select(
+            F.col("doc_order").alias("doc_id"), "text"
+        )
+        fused = make_fused_features_udf(
+            cfg.embedding, cfg.dedup, with_minhash=True, with_lsh_feats=True
+        )
+        got = {
+            r.doc_id: r
+            for r in docs.select("doc_id", fused("text").alias("f"))
+            .select("doc_id", "f.*")
+            .collect()
+        }
+        kcfg = PipelineConfig()
+        kcfg.dedup.hash_family = "kr32"
+        kcfg.dedup.num_perm = 64
+        kr = make_fused_features_udf(
+            kcfg.embedding, kcfg.dedup, with_minhash=True, with_lsh_feats=True
+        )
+        kr_sh = {
+            r.doc_id: r.f.shingles
+            for r in docs.select("doc_id", kr("text").alias("f")).collect()
+        }
+        e = cfg.embedding
+        for r in docs.collect():
+            norm = K.normalize_text(
+                r.text or "", e.lowercase, e.strip_non_alnum,
+                e.collapse_whitespace, e.strip_mode,
+            )
+            hv = K.fast_feature_hashes32(
+                norm, e.ngram_size, cfg.dedup.max_words,
+                cfg.dedup.max_char_grams, True,
+            )
+            assert got[r.doc_id].sig == oph_from_hashvalues(hv, 64).tolist()
+            assert got[r.doc_id].shingles == kr_sh[r.doc_id]
+        assert len(got) == 80
