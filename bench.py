@@ -82,6 +82,12 @@ def _jvm_cfg():
     return cfg
 
 
+def _oph_cfg():
+    cfg = PipelineConfig()
+    cfg.dedup.hash_family = "oph"
+    return cfg
+
+
 def materialized_pages(spark, n, parts):
     """Generate + cache the corpus so detector timings exclude generation."""
     df = generate_pages(spark, n, num_partitions=parts)
@@ -938,6 +944,11 @@ def main():
         # trading the Arrow pass for zero Python workers
         ("pages_minhash_jvm_e2e", bench_pages_pipeline(
             spark, pages, ["exact", "minhash"], cfg=_jvm_cfg())),
+        # One-Permutation Hashing: kr32 feature hashes + one-pass
+        # densified signatures (functions/oph.py) — tracks the O(F+K)
+        # sig-construction family round-over-round
+        ("pages_minhash_oph_e2e", bench_pages_pipeline(
+            spark, pages, ["exact", "minhash"], cfg=_oph_cfg())),
         ("pages_simhash_e2e", bench_pages_pipeline(spark, pages, ["simhash"])),
         ("pages_substring_e2e", bench_pages_pipeline(spark, pages, ["substring"])),
         ("pages_suffix_array_e2e", bench_pages_pipeline(spark, pages, ["suffix_array"])),

@@ -79,29 +79,35 @@ def oph_from_hashvalues(hv: np.ndarray, num_bins: int) -> np.ndarray:
     (any dtype holding values in [0, 2^32); duplicates allowed — the min
     ignores them). Empty input → all ``oph_sentinel(num_bins)``.
 
-    Vectorized two-stage form of the closed-form min: per-bin raw minima
-    via ``np.minimum.at`` (O(F)), then the K×K rotation table
-    raw[(j+t) % K] + t*C reduced over t (O(K^2), K ≤ a few hundred)."""
+    O(F + K log K), the property the family exists for: per-bin raw
+    minima via ``np.minimum.at`` (O(F)), then — because any borrowed
+    value carries +t·C ≥ C > every native value — a filled lane IS its
+    raw minimum, and an empty lane takes the NEAREST filled bin to its
+    right regardless of values (raw[src] < C makes t*·C + raw[src] <
+    (t*+1)·C ≤ any farther candidate), found for all empty lanes at once
+    with one searchsorted over the filled-bin indices. Equivalence to
+    the K×K closed-form table is pinned against the literal rotation
+    rule in tests/test_oph.py."""
     k = int(num_bins)
     sent = oph_sentinel(k)
-    out = np.full(k, sent, dtype=np.int64)
     if hv.size == 0:
-        return out
+        return np.full(k, sent, dtype=np.int64)
     h = hv.astype(np.uint64)
     bins = (h % np.uint64(k)).astype(np.int64)
     vals = (h // np.uint64(k)).astype(np.int64)
     raw = np.full(k, sent, dtype=np.int64)
     np.minimum.at(raw, bins, vals)
-    # cand[j, t] = raw[(j + t) % K] + t*C; empty source bins carry the
-    # sentinel which always loses to any real candidate (sent >= K*C >
-    # val + t*C for t <= K-1 ... except t large; mask instead)
-    j = np.arange(k, dtype=np.int64)
-    t = np.arange(k, dtype=np.int64)
-    src = (j[:, None] + t[None, :]) % k
-    cand = raw[src].astype(np.int64)
-    filled = cand < sent  # real (non-sentinel) source bins only
-    cand = np.where(filled, cand + t[None, :] * OPH_C, sent)
-    return cand.min(axis=1)
+    empty = raw == sent
+    if not empty.any():
+        return raw
+    filled_idx = np.flatnonzero(~empty)
+    ext = np.concatenate([filled_idx, filled_idx + k])
+    j = np.flatnonzero(empty)
+    src_pos = np.searchsorted(ext, j)  # first filled bin at or right of j
+    src = ext[src_pos]
+    out = raw.copy()
+    out[j] = raw[src % k] + (src - j) * OPH_C
+    return out
 
 
 def oph_signature_py(grams, num_bins: int) -> list[int]:
