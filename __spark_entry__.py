@@ -2085,6 +2085,61 @@ def q_containment_edges(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+# stable size ranges for the LSH-Ensemble gate query — explicit (not the
+# operator's data-derived equi-depth census) so the DuckDB oracle can
+# replay the identical construction; bigram-set sizes are 8-98 at every
+# SF, the open tail range guards corpus growth
+_LSHE_RANGES = [(1, 40), (41, 80), (81, 100000)]
+_LSHE_PERM = 16
+
+
+def q_lshensemble_containment(spark, sf_dir):
+    """LSH Ensemble containment search (operators/lshensemble.py — Zhu et
+    al. VLDB 2016): the sublinear scale path beside the exact
+    ssjoin_containment (containment_edges). Same word-bigram sets and
+    t=0.8, but candidates come from per-(size-class, partition) tuned
+    MinHash bandings over jvm_minhash signatures instead of a full index
+    explosion. The oracle replays the ENTIRE lossy construction —
+    signatures, the shared ensemble_band_table, per-row partition prune,
+    bucket join, exact verify — value by value (the
+    minhash_band_candidates philosophy: banding is exactly as lossy as
+    the S-curve says, so the oracle IS the construction, not an
+    independent containment oracle; recall vs exact is pinned separately
+    in tests/test_lshensemble.py). Input capped at doc_id < 500 both
+    engines (full corpus at sf0.001/0.01, a slice at sf0.1): the r=1
+    cells the word-soup conversion produces collide ~15% of all pairs —
+    the exact verify prunes them, but the gate keeps the cost bounded;
+    non-emptiness at every SF pinned (56/50/2 rows — the signbit
+    vacuity lesson)."""
+    from deduplication_framework_spark.operators.lsh import (
+        release_census_caches,
+    )
+    from deduplication_framework_spark.functions.text import word_bigram_sets
+    from deduplication_framework_spark.operators.lshensemble import (
+        lshensemble_containment,
+    )
+
+    docs = word_bigram_sets(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 500), lowercase=False
+    )
+    edges, _stats = lshensemble_containment(
+        docs,
+        threshold=0.8,
+        num_perm=_LSHE_PERM,
+        set_col="grams",
+        partitions=_LSHE_RANGES,
+        classes=_LSHE_RANGES,
+        collect_stats=False,
+    )
+    out = edges.select(
+        "src", "dst", F.round("containment", 6).alias("containment")
+    )
+    rows = out.collect()
+    schema = out.schema
+    release_census_caches()
+    return spark.createDataFrame(rows, schema)
+
+
 def q_gopher_quality_flags(spark, sf_dir):
     """Gopher-rule quality filter (functions/quality.py): the canonical
     LLM corpus-curation gate — per-doc scalar signals bounded by the
@@ -2417,7 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # yet covered by an official CORRECTNESS record sits within the first 50.
     return {
         "exact_dup_groups": q_exact_dup_groups,
-        "exact_keepers": q_exact_keepers,
+        "lshensemble_containment": q_lshensemble_containment,
         "oph_signatures_sql": q_oph_signatures_sql,
         "repeated_substring_removal": q_repeated_substring_removal,
         "windowed_greedy_keepers": q_windowed_greedy_keepers,
@@ -2467,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
         # ---- tail block: stable + sub-second (see comment above) ----
+        "exact_keepers": q_exact_keepers,
         "dedup_rate_stats": q_dedup_rate_stats,
         "top_ngram_stats": q_top_ngram_stats,
         "lang_id_ngram": q_lang_id_ngram,
@@ -2506,6 +2562,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from deduplication_framework_spark.functions.oph import (
         oph_sql_aggs as _oph_sql_aggs,
+    )
+    from deduplication_framework_spark.operators.lshensemble import (
+        lshensemble_oracle_sql as _lshe_oracle_sql,
     )
     from deduplication_framework_spark.functions.urls import (
         canonical_url_sql as _canon_url_sql,
@@ -3628,6 +3687,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, round(i::DOUBLE / n, 6) AS containment
             FROM pairs WHERE i::DOUBLE / n >= 0.8
         """,
+        # the WHOLE ensemble construction generated from the same Python
+        # constants (ensemble_band_table + jvm signature twins) under the
+        # explicit _LSHE_RANGES — same bigram-set CTEs as containment_edges
+        "lshensemble_containment": _lshe_oracle_sql(
+            f"""t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '{_WS_DUCK}') AS toks
+                FROM documents WHERE doc_id < 500
+            ),
+            g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])) AS grams
+                FROM t WHERE len(toks) >= 2
+            ),
+            s AS (
+                SELECT doc_id, grams, len(grams) AS n FROM g
+                WHERE len(grams) > 0
+            )""",
+            threshold=0.8,
+            num_perm=_LSHE_PERM,
+            partitions=_LSHE_RANGES,
+            classes=_LSHE_RANGES,
+        ),
         # signals, thresholds, rule order and the first-fail CASE all
         # GENERATED from the same quality.RULES tuples the Spark side uses
         "gopher_quality_flags": f"""
