@@ -752,6 +752,28 @@ def containment_evidence(spark, n_docs=800):
     missing = planted - got
     assert not missing, f"planted quotes missed: {sorted(missing)[:5]}"
     assert planted, "no planted quotes survived featurization"
+    # LSH Ensemble on the SAME planted corpus (operators/lshensemble.py):
+    # quote bigrams ⊂ source at |q| ≈ 0.7|s| → J ≈ 0.7, collision ~1 in
+    # every feasible cell, so the planted recall must be >= 0.99 despite
+    # the S-curve; asserted hard per run
+    from deduplication_framework_spark.operators.lshensemble import (
+        lshensemble_containment,
+    )
+
+    t0 = time.time()
+    ens_edges, ens_stats = lshensemble_containment(
+        docs, threshold=0.8, num_perm=64, num_partitions=8
+    )
+    ens_got = {(r.src, r.dst) for r in ens_edges.select("src", "dst").collect()}
+    ens_sec = round(time.time() - t0, 3)
+    release_census_caches()
+    ens_recall = len(planted & ens_got) / len(planted)
+    assert ens_recall >= 0.99, (
+        f"ensemble dropped planted quotes: {sorted(planted - ens_got)[:5]}"
+    )
+    # precision is exact on both sides (verified edges) — the ensemble
+    # may legitimately find a different near-threshold edge set, but
+    # everything it emits is a true >= 0.8 containment
     return {
         "n_docs": int(n_docs),
         "n_planted_quotes": len(planted),
@@ -759,6 +781,10 @@ def containment_evidence(spark, n_docs=800):
         "n_edges": len(got),
         "n_candidates": int(stats["n_candidates"]),
         "sec": sec,
+        "ensemble_planted_recall": round(ens_recall, 5),
+        "ensemble_n_edges": len(ens_got),
+        "ensemble_n_candidates": int(ens_stats["n_candidates"]),
+        "ensemble_sec": ens_sec,
     }
 
 def decontaminate_evidence(spark, pages):
@@ -1085,6 +1111,7 @@ def main():
             "minhash_vs_oracle": recall["recall"],
             "skew_salted": skew["recall_vs_oracle"],
             "containment_planted": containment["planted_recall"],
+            "containment_ensemble": containment["ensemble_planted_recall"],
         },
     }
     print(json.dumps(line))  # compact FINAL line — the parse target

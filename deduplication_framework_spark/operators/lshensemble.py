@@ -47,8 +47,11 @@ addition, the same role operators/srp.py plays for cosine):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from deduplication_framework_spark.functions import kernels as K
 from deduplication_framework_spark.functions.jvm_minhash import (
@@ -83,6 +86,19 @@ def _size_partitions(size_counts, num_partitions):
     return bounds
 
 
+@lru_cache(maxsize=4096)
+def _band_param_cached(jstar, num_perm, false_negative_weight):
+    """optimal_band_param is ~27 ms of serial numeric integration per
+    call; cells repeat across legs/invocations (review finding) and the
+    jstar rounding (1e-9) is far below any (b, r) decision boundary the
+    2000-point trapezoid grid can resolve."""
+    return K.optimal_band_param(
+        jstar, num_perm,
+        false_positive_weight=1.0 - false_negative_weight,
+        false_negative_weight=false_negative_weight,
+    )
+
+
 def ensemble_band_table(classes, partitions, threshold, num_perm,
                         false_negative_weight=0.9):
     """(class c, partition p) → (b, r) at the converted Jaccard threshold
@@ -98,19 +114,116 @@ def ensemble_band_table(classes, partitions, threshold, num_perm,
             if up < t * lc - _EPS:
                 continue
             jstar = t * lc / (lc + up - t * lc)
-            table[(c, p)] = K.optimal_band_param(
-                jstar, num_perm,
-                false_positive_weight=1.0 - false_negative_weight,
-                false_negative_weight=false_negative_weight,
+            table[(c, p)] = _band_param_cached(
+                round(jstar, 9), num_perm, false_negative_weight
             )
     return table
+
+
+def _ensemble_sigs(base, num_perm):
+    """(_id, s00.., _sz) signature frame over a (_id, _set) base — one
+    explode + one map-side-combined min aggregation, zero Python."""
+    grams = base.select("_id", F.explode("_set").alias("_el"))
+    return jvm_minhash_signatures(
+        grams, num_perm=num_perm, id_col="_id", gram_col="_el"
+    ).join(base.select("_id", F.size("_set").alias("_sz")), "_id")
+
+
+def _band_key(i, r):
+    return F.concat_ws(
+        "-", *[F.col(f"s{i * r + j:02d}").cast("string") for j in range(r)]
+    )
+
+
+def _in_range(col, lo, hi):
+    return (col >= lo) & (col <= hi)
+
+
+def _union_by_name(parts):
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q, allowMissingColumns=False)
+    return out
+
+
+def _index_band_frame(index_sigs, partitions, table):
+    """(dst, _sb, p, r, band, key) rows: per partition, one band set per
+    distinct r any class requests of it (band_idx up to the max b)."""
+    parts = []
+    for p, (lp, up) in enumerate(partitions):
+        by_r = {}
+        for (c, pp), (b, r) in table.items():
+            if pp == p:
+                by_r[r] = max(by_r.get(r, 0), b)
+        if not by_r:
+            continue
+        structs = [
+            F.struct(
+                F.lit(p).alias("p"),
+                F.lit(r).alias("r"),
+                F.lit(i).alias("band"),
+                _band_key(i, r).alias("key"),
+            )
+            for r, bmax in sorted(by_r.items())
+            for i in range(bmax)
+        ]
+        parts.append(
+            index_sigs.filter(_in_range(F.col("_sz"), lp, up)).select(
+                F.col("_id").alias("dst"),
+                F.col("_sz").alias("_sb"),
+                F.explode(F.array(*structs)).alias("bk"),
+            )
+        )
+    return _union_by_name(parts).select(
+        "dst", "_sb", "bk.p", "bk.r", "bk.band", "bk.key"
+    )
+
+
+def _probe_band_frame(probe_sigs, classes, partitions, table, t):
+    """(src, _sa, p, r, band, key) rows: per class, its own (b, r) per
+    surviving cell, with the per-row u_p >= t*q - eps partition prune."""
+    parts = []
+    for c, (lc, hc) in enumerate(classes):
+        structs = [
+            F.struct(
+                F.lit(p).alias("p"),
+                F.lit(r).alias("r"),
+                F.lit(i).alias("band"),
+                _band_key(i, r).alias("key"),
+                F.lit(partitions[p][1]).alias("up"),
+            )
+            for p in range(len(partitions))
+            for (b, r) in [table.get((c, p), (0, 0))]
+            if b
+            for i in range(b)
+        ]
+        if not structs:
+            continue
+        parts.append(
+            probe_sigs.filter(_in_range(F.col("_sz"), lc, hc))
+            .select(
+                F.col("_id").alias("src"),
+                F.col("_sz").alias("_sa"),
+                F.explode(F.array(*structs)).alias("bk"),
+            )
+            # per-row prune: partitions whose largest member is still too
+            # small to t-contain THIS query (class bound was the floor);
+            # bk.up is simply never selected downstream
+            .filter(F.col("bk.up") >= t * F.col("_sa") - _EPS)
+        )
+    return _union_by_name(parts).select(
+        "src", "_sa", "bk.p", "bk.r", "bk.band", "bk.key"
+    )
 
 
 def lshensemble_containment(
     docs: DataFrame,
     *,
     threshold: float,
-    num_perm: int = 64,
+    # 128 = datasketch LSHEnsemble's default, and what the low-J regime
+    # needs: at J≈0.13 (a 20-el quote vs a 150-el container) 64 perms
+    # measured 0.988 planted recall, 128 restores >= 0.99
+    num_perm: int = 128,
     num_partitions: int = 8,
     id_col: str = "doc_id",
     set_col: str = "grams",
@@ -161,11 +274,33 @@ def lshensemble_containment(
                 ),
             ).filter(F.size("_set") > 0)
         )
-        b.count()
-        return b
+        return b, b.count()
 
-    probe_base = _base(docs)
-    index_base = _base(index_docs) if bipartite else probe_base
+    def _empty_result(reason):
+        # an empty side / empty band table means ZERO possible edges at t
+        # -- return the empty edge frame, never crash (review finding:
+        # the size census and the band unions both indexed parts[0])
+        spark = docs.sparkSession
+        id_type = docs.schema[id_col].dataType
+        schema = T.StructType([
+            T.StructField("src", id_type),
+            T.StructField("dst", id_type),
+            T.StructField("containment", T.DoubleType()),
+        ])
+        stats = {
+            "n_candidates": 0, "n_probe_band_rows": 0,
+            "n_index_band_rows": 0, "partitions": partitions or [],
+            "band_table": {}, "empty_reason": reason,
+        }
+        return spark.createDataFrame([], schema), stats
+
+    probe_base, n_probe_docs = _base(docs)
+    if bipartite:
+        index_base, n_index_docs = _base(index_docs)
+    else:
+        index_base, n_index_docs = probe_base, n_probe_docs
+    if n_probe_docs == 0 or n_index_docs == 0:
+        return _empty_result("empty_input")
 
     # ---- driver-side parameter table from a tiny size census (or the
     # caller's explicit stable ranges) ----
@@ -193,99 +328,25 @@ def lshensemble_containment(
     table = ensemble_band_table(
         classes, partitions, t, num_perm, false_negative_weight
     )
+    if not table:
+        # every index partition is too small to t-contain every probe
+        # class -- mathematically zero edges, not a crash
+        return _empty_result("no_feasible_cells")
 
     # ---- signatures (JVM-only: one explode + min aggregation) ----
-    def _sigs(base):
-        grams = base.select("_id", F.explode("_set").alias("_el"))
-        return jvm_minhash_signatures(
-            grams, num_perm=num_perm, id_col="_id", gram_col="_el"
-        ).join(base.select("_id", F.size("_set").alias("_sz")), "_id")
-
-    probe_sigs = _persist_tracked(_sigs(probe_base))
+    probe_sigs = _persist_tracked(_ensemble_sigs(probe_base, num_perm))
     index_sigs = (
-        _persist_tracked(_sigs(index_base)) if bipartite else probe_sigs
+        _persist_tracked(_ensemble_sigs(index_base, num_perm))
+        if bipartite else probe_sigs
     )
     probe_sigs.count()
     if bipartite:
         index_sigs.count()
 
-    def _key(i, r):
-        return F.concat_ws(
-            "-", *[F.col(f"s{i * r + j:02d}").cast("string") for j in range(r)]
-        )
-
-    def _in_range(col, lo, hi):
-        return (col >= lo) & (col <= hi)
-
-    # ---- index bands: per partition, one band set per distinct r ----
-    index_parts = []
-    for p, (lp, up) in enumerate(partitions):
-        by_r = {}
-        for (c, pp), (b, r) in table.items():
-            if pp == p:
-                by_r[r] = max(by_r.get(r, 0), b)
-        if not by_r:
-            continue
-        structs = [
-            F.struct(
-                F.lit(p).alias("p"),
-                F.lit(r).alias("r"),
-                F.lit(i).alias("band"),
-                _key(i, r).alias("key"),
-            )
-            for r, bmax in sorted(by_r.items())
-            for i in range(bmax)
-        ]
-        index_parts.append(
-            index_sigs.filter(_in_range(F.col("_sz"), lp, up)).select(
-                F.col("_id").alias("dst"),
-                F.col("_sz").alias("_sb"),
-                F.explode(F.array(*structs)).alias("bk"),
-            )
-        )
-    # ---- probe bands: per class, its own (b, r) per surviving cell ----
-    probe_parts = []
-    for c, (lc, hc) in enumerate(classes):
-        structs = [
-            F.struct(
-                F.lit(p).alias("p"),
-                F.lit(r).alias("r"),
-                F.lit(i).alias("band"),
-                _key(i, r).alias("key"),
-                F.lit(partitions[p][1]).alias("up"),
-            )
-            for p in range(len(partitions))
-            for (b, r) in [table.get((c, p), (0, 0))]
-            if b
-            for i in range(b)
-        ]
-        if not structs:
-            continue
-        probe_parts.append(
-            probe_sigs.filter(_in_range(F.col("_sz"), lc, hc))
-            .select(
-                F.col("_id").alias("src"),
-                F.col("_sz").alias("_sa"),
-                F.explode(F.array(*structs)).alias("bk"),
-            )
-            # per-row prune: partitions whose largest member is still too
-            # small to t-contain THIS query (class bound was the floor);
-            # bk.up is simply never selected downstream
-            .filter(F.col("bk.up") >= t * F.col("_sa") - _EPS)
-        )
-
-    def _union(parts):
-        out = parts[0]
-        for q in parts[1:]:
-            out = out.unionByName(q, allowMissingColumns=False)
-        return out
-
-    probe_bands = _union(probe_parts).select(
-        "src", "_sa", "bk.p", "bk.r", "bk.band", "bk.key"
+    probe_bands = _probe_band_frame(
+        probe_sigs, classes, partitions, table, t
     )
-    index_bands = _union(index_parts).select(
-        "dst", "_sb", "bk.p", "bk.r", "bk.band", "bk.key"
-    )
+    index_bands = _index_band_frame(index_sigs, partitions, table)
     if collect_stats:
         # persisted BEFORE the stats counts: the counts double as the
         # eager cache fill, so the candidate join reads the cache instead
@@ -437,3 +498,184 @@ def lshensemble_oracle_sql(
         SELECT src, dst, round(i::DOUBLE / n, 6) AS containment
         FROM v WHERE i::DOUBLE / n >= {t!r}
     """
+
+
+# ---------------------------------------------------------------------------
+# stored ensemble index — build once, query per batch (the datasketch
+# LSHEnsemble contract: an INDEX you probe, not a join you re-run)
+# ---------------------------------------------------------------------------
+
+
+def build_ensemble_index(
+    index_docs: DataFrame,
+    *,
+    threshold: float,
+    num_perm: int = 128,
+    partitions: list,
+    classes: list,
+    false_negative_weight: float = 0.9,
+    id_col: str = "doc_id",
+    set_col: str = "grams",
+) -> dict:
+    """→ ``{"bands", "feats", "meta"}``: the reusable half of the
+    ensemble. ``partitions`` AND ``classes`` are REQUIRED explicit
+    ranges — the index materializes exactly the r-values the class table
+    requests, so the probe classes are part of the index's identity
+    (a probe size outside ``classes`` cannot be served; cover the
+    expected probe-size domain at build time). ``feats`` carries the
+    sorted element sets the exact verify needs — the index is
+    self-contained, query batches never touch the original corpus."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+    table = ensemble_band_table(
+        classes, partitions, t, num_perm, false_negative_weight
+    )
+    base = index_docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.col(set_col).cast("array<string>")).alias("_set"),
+    ).filter(F.size("_set") > 0)
+    base = _persist_tracked(base)
+    n_docs = base.count()
+    sigs = _ensemble_sigs(base, num_perm)
+    bands = (
+        _index_band_frame(sigs, partitions, table)
+        if table
+        else None
+    )
+    feats = base.select("_id", F.array_sort("_set").alias("_lex"))
+    meta = {
+        "threshold": t,
+        "num_perm": int(num_perm),
+        "partitions": [list(pr) for pr in partitions],
+        "classes": [list(c) for c in classes],
+        "false_negative_weight": float(false_negative_weight),
+        "band_table": {f"c{c}p{p}": list(br)
+                       for (c, p), br in sorted(table.items())},
+        "n_docs": int(n_docs),
+    }
+    return {"bands": bands, "feats": feats, "meta": meta}
+
+
+def save_ensemble_index(index: dict, path: str) -> None:
+    """bands + feats as parquet under ``path``, meta as JSON. feats are
+    written FIRST: a reader that finds meta.json can rely on both tables
+    being complete (meta is the commit marker)."""
+    import json as _json
+    import os as _os
+
+    if index["bands"] is None:
+        raise ValueError(
+            "cannot save an index with no feasible band cells (every"
+            " partition too small for every class at this threshold)"
+        )
+    index["feats"].write.mode("overwrite").parquet(
+        _os.path.join(path, "feats")
+    )
+    index["bands"].write.mode("overwrite").parquet(
+        _os.path.join(path, "bands")
+    )
+    tmp = _os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(index["meta"], fh, indent=2)
+    _os.replace(tmp, _os.path.join(path, "meta.json"))
+
+
+def load_ensemble_index(spark, path: str) -> dict:
+    """Round-trip of :func:`save_ensemble_index`; refuses a directory
+    without the meta commit marker."""
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(path, "meta.json")
+    if not _os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no committed ensemble index at {path} (meta.json missing)"
+        )
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    meta["partitions"] = [tuple(pr) for pr in meta["partitions"]]
+    meta["classes"] = [tuple(c) for c in meta["classes"]]
+    return {
+        "bands": spark.read.parquet(_os.path.join(path, "bands")),
+        "feats": spark.read.parquet(_os.path.join(path, "feats")),
+        "meta": meta,
+    }
+
+
+def query_ensemble_index(
+    probe_docs: DataFrame,
+    index: dict,
+    *,
+    id_col: str = "doc_id",
+    set_col: str = "grams",
+    collect_stats: bool = True,
+) -> tuple:
+    """Probe a built/loaded index: → ``(edges, stats)`` with edges
+    (src = probe id, dst = index id, containment >= meta threshold).
+    Only the PROBE batch is featurized — the index side is two parquet
+    scans (bands for candidates, feats for the exact verify). Probe ids
+    must not collide with index ids (same contract as the bipartite
+    join). Probes whose set size falls outside the index's ``classes``
+    are excluded (counted in stats when ``collect_stats``)."""
+    meta = index["meta"]
+    t = float(meta["threshold"])
+    partitions, classes = meta["partitions"], meta["classes"]
+    table = ensemble_band_table(
+        classes, partitions, t, meta["num_perm"],
+        meta["false_negative_weight"],
+    )
+    probe_base = _persist_tracked(
+        probe_docs.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.col(set_col).cast("array<string>")).alias(
+                "_set"
+            ),
+        ).filter(F.size("_set") > 0)
+    )
+    n_probe = probe_base.count()
+    if n_probe == 0 or not table or index["bands"] is None:
+        spark = probe_docs.sparkSession
+        id_type = probe_docs.schema[id_col].dataType
+        schema = T.StructType([
+            T.StructField("src", id_type),
+            T.StructField("dst", id_type),
+            T.StructField("containment", T.DoubleType()),
+        ])
+        return spark.createDataFrame([], schema), {
+            "n_candidates": 0, "n_probe_band_rows": 0,
+            "n_probe_docs": n_probe, "n_probe_out_of_class": 0,
+        }
+    probe_sigs = _persist_tracked(_ensemble_sigs(probe_base, meta["num_perm"]))
+    probe_sigs.count()
+    probe_bands = _probe_band_frame(probe_sigs, classes, partitions, table, t)
+    if collect_stats:
+        probe_bands = _persist_tracked(probe_bands)
+        n_probe_rows = probe_bands.count()
+        cond = None
+        for lc, hc in classes:
+            rng = _in_range(F.size("_set"), lc, hc)
+            cond = rng if cond is None else (cond | rng)
+        n_out = n_probe - probe_base.filter(cond).count()
+    else:
+        n_probe_rows = n_out = None
+
+    joined = probe_bands.join(
+        index["bands"], ["p", "r", "band", "key"]
+    ).filter(F.col("_sb") >= t * F.col("_sa") - _EPS)
+    cands = joined.select("src", "dst").distinct()
+    if collect_stats:
+        cands = _persist_tracked(cands)
+        n_candidates = cands.count()
+    else:
+        n_candidates = None
+    feats = probe_base.select(
+        "_id", F.array_sort("_set").alias("_lex")
+    ).unionByName(index["feats"].select("_id", "_lex")).dropDuplicates(["_id"])
+    edges = verify_containment(cands, feats, t, id_col="_id", feat_col="_lex")
+    return edges, {
+        "n_candidates": n_candidates,
+        "n_probe_band_rows": n_probe_rows,
+        "n_probe_docs": n_probe,
+        "n_probe_out_of_class": n_out,
+    }

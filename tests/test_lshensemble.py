@@ -181,3 +181,146 @@ class TestGateQuery:
 
         out = e.q_lshensemble_containment(spark, f"/root/testdata/{sf}")
         assert out.count() >= 8, sf
+
+
+class TestEmptyInputs:
+    def test_empty_probe_returns_empty_edges(self, spark):
+        """Review finding: an all-empty-sets frame crashed the size census
+        (_size_partitions indexed sizes[0]). Must return zero edges."""
+        df = spark.createDataFrame(
+            [(0, []), (1, [])], "doc_id long, grams array<string>"
+        )
+        edges, stats = lshensemble_containment(df, threshold=0.8)
+        assert edges.count() == 0
+        assert stats["empty_reason"] == "empty_input"
+        assert edges.columns == ["src", "dst", "containment"]
+
+    def test_empty_bipartite_index(self, spark):
+        probe = spark.createDataFrame(
+            [(0, ["a", "b"])], "doc_id long, grams array<string>"
+        )
+        index = spark.createDataFrame([], "doc_id long, grams array<string>")
+        edges, stats = lshensemble_containment(
+            probe, index_docs=index, threshold=0.8
+        )
+        assert edges.count() == 0 and stats["empty_reason"] == "empty_input"
+
+    def test_infeasible_band_table_returns_empty(self, spark):
+        """Review finding: when every index partition is too small to
+        t-contain every probe class the band table is {}, which crashed
+        the band-union (_union(parts)[0]). Mathematically zero edges."""
+        rng = random.Random(1)
+        probe = spark.createDataFrame(
+            [(i, [f"x{j}" for j in range(100)]) for i in range(3)],
+            "doc_id long, grams array<string>",
+        )
+        index = spark.createDataFrame(
+            [(100 + i, [f"x{j}" for j in rng.sample(range(100), 6)])
+             for i in range(5)],
+            "doc_id long, grams array<string>",
+        )
+        edges, stats = lshensemble_containment(
+            probe, index_docs=index, threshold=0.8
+        )
+        assert edges.count() == 0
+        assert stats["empty_reason"] == "no_feasible_cells"
+
+
+class TestStoredIndex:
+    """build/save/load/query: the datasketch-LSHEnsemble contract — an
+    index built once, probed per batch with ZERO index-side featurization
+    (load takes only a path; the query plan's index side is two parquet
+    scans)."""
+
+    P = [(1, 80), (81, 400)]
+    C = [(1, 40), (41, 400)]
+
+    def _corpus(self):
+        rng = random.Random(21)
+        vocab = [f"v{i:05d}" for i in range(20_000)]
+        train = [(1000 + i, rng.sample(vocab, rng.randrange(60, 200)))
+                 for i in range(50)]
+        probes, expected = [], set()
+        for i in range(15):  # quoted probes
+            q = random.Random(100 + i).sample(train[i][1], 12 + i)
+            probes.append((i, q))
+            expected.add((i, 1000 + i))
+        for i in range(15, 30):  # fresh probes
+            probes.append((i, rng.sample(vocab[15_000:], 20)))
+        return train, probes, expected
+
+    def test_parity_with_bipartite_join_and_roundtrip(self, spark, tmp_path):
+        from deduplication_framework_spark.operators.lshensemble import (
+            build_ensemble_index,
+            load_ensemble_index,
+            query_ensemble_index,
+            save_ensemble_index,
+        )
+
+        train, probes, expected = self._corpus()
+        train_df = spark.createDataFrame(
+            train, "doc_id long, grams array<string>"
+        )
+        probe_df = spark.createDataFrame(
+            probes, "doc_id long, grams array<string>"
+        )
+        # direct bipartite join under the SAME explicit ranges = the spec
+        direct, _ = lshensemble_containment(
+            probe_df, index_docs=train_df, threshold=0.8, num_perm=64,
+            partitions=self.P, classes=self.C,
+        )
+        want = sorted(
+            (r.src, r.dst, round(r.containment, 9)) for r in direct.collect()
+        )
+
+        idx = build_ensemble_index(
+            train_df, threshold=0.8, num_perm=64,
+            partitions=self.P, classes=self.C,
+        )
+        path = str(tmp_path / "ens_idx")
+        save_ensemble_index(idx, path)
+        loaded = load_ensemble_index(spark, path)
+        assert loaded["meta"]["band_table"] == idx["meta"]["band_table"]
+        edges, stats = query_ensemble_index(probe_df, loaded)
+        got = sorted(
+            (r.src, r.dst, round(r.containment, 9)) for r in edges.collect()
+        )
+        release_census_caches()
+        assert got == want and len(got) > 0
+        assert {(s, d) for s, d, _ in got} >= expected
+        assert stats["n_probe_out_of_class"] == 0
+        # index side of the plan is parquet scans, not featurization
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" in plan
+
+    def test_load_refuses_uncommitted_dir(self, spark, tmp_path):
+        from deduplication_framework_spark.operators.lshensemble import (
+            load_ensemble_index,
+        )
+
+        with pytest.raises(FileNotFoundError, match="meta.json"):
+            load_ensemble_index(spark, str(tmp_path / "nope"))
+
+    def test_out_of_class_probe_excluded_and_counted(self, spark, tmp_path):
+        from deduplication_framework_spark.operators.lshensemble import (
+            build_ensemble_index,
+            query_ensemble_index,
+        )
+
+        train, probes, _ = self._corpus()
+        train_df = spark.createDataFrame(
+            train, "doc_id long, grams array<string>"
+        )
+        big_probe = [(900, [f"z{i}" for i in range(500)])]  # > class max
+        probe_df = spark.createDataFrame(
+            probes + big_probe, "doc_id long, grams array<string>"
+        )
+        idx = build_ensemble_index(
+            train_df, threshold=0.8, num_perm=32,
+            partitions=self.P, classes=self.C,
+        )
+        edges, stats = query_ensemble_index(probe_df, idx)
+        got = {r.src for r in edges.collect()}
+        release_census_caches()
+        assert 900 not in got
+        assert stats["n_probe_out_of_class"] == 1

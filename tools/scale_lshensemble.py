@@ -7,11 +7,14 @@ band rows at S-curve recall.
 
 Corpus (entirely JVM-generated; the scale_ssjoin lesson applied — the
 element domain scales with n so candidate counts do not degrade toward
-all-pairs): doc i has 30 + (i%5)*30 elements drawn from md5(i, pos) over
-a 50·n-element universe; every i with i%50==1 is a 20-element QUOTE of
-doc i-1 (elements 1..20 of the container — containment exactly 1.0,
-Jaccard vs the 150-element container as low as 0.13). Noise docs share
-essentially nothing.
+all-pairs): doc i has 30 + ((i div 50)%5)*30 elements (big mode:
+500 + ((i div 50)%4)*500) drawn from md5(i, pos) over a 50·n-element
+universe; every i with i%50==1 is a QUOTE of doc i-1 (elements 1..quote
+of the container — containment exactly 1.0). The size class is keyed on
+i div 50 so planted containers SPAN the classes: quote J vs the largest
+containers reaches 20/150 ≈ 0.13 (small) / 200/2000 = 0.1 (big) — the
+regimes one global banding cannot serve. Noise docs share essentially
+nothing.
 
 Hard asserts per leg: planted quote-pair recall >= 0.99 (the exact leg
 must be 1.0 by definition of the algorithm; the ensemble leg measures
@@ -63,8 +66,11 @@ def synth_quote_sets(spark, n: int, partitions: int, mode: str = "small"):
         f"cast(pmod(hash(src_id, i), {vocab}) AS string))), 1, 12)"
     )
     quote = QUOTE if mode == "small" else 200
-    big = ("30 + cast(id % 5 AS int)*30" if mode == "small"
-           else "500 + cast(id % 4 AS int)*500")
+    # size class keyed on id div 50, NOT id % k: quotes sit at id % 50 == 1,
+    # so an id%k size class would pin every planted container (id ≡ 0 mod
+    # 50) to ONE size and never exercise the low-J regime (review finding)
+    big = ("30 + cast((id div 50) % 5 AS int)*30" if mode == "small"
+           else "500 + cast((id div 50) % 4 AS int)*500")
     size = f"CASE WHEN is_quote THEN {quote} ELSE {big} END"
     return (
         spark.range(n, numPartitions=partitions)
@@ -82,7 +88,7 @@ def synth_quote_sets(spark, n: int, partitions: int, mode: str = "small"):
     )
 
 
-def run_leg(spark, docs, algo, n, evdir):
+def run_leg(spark, docs, algo, n, evdir, assert_recall=True):
     from pyspark.sql import functions as F
 
     spark.catalog.clearCache()
@@ -103,8 +109,12 @@ def run_leg(spark, docs, algo, n, evdir):
             lshensemble_containment,
         )
 
+        # num_perm=128 (datasketch LSHEnsemble's own default): the fixed
+        # corpus puts planted quotes at J as low as 0.13 vs the largest
+        # containers, and 64 perms measured 0.988 recall there — low-J
+        # containment needs the lanes (b up to ~128 at r=1)
         edges, stats = lshensemble_containment(
-            docs, threshold=THRESHOLD, num_perm=64, num_partitions=8
+            docs, threshold=THRESHOLD, num_perm=128, num_partitions=8
         )
     edges = edges.persist()
     n_edges = edges.count()
@@ -134,7 +144,11 @@ def run_leg(spark, docs, algo, n, evdir):
         "task_run_sec": round(run_sec, 1),
         "n_tasks": n_tasks,
     }
-    assert recall >= 0.99, f"{algo} dropped planted quotes: {leg}"
+    if assert_recall:
+        # timed legs only: the warmup slice has ~40 planted pairs, where
+        # a single S-curve miss is 2.5 points of recall — binomial noise,
+        # not evidence (it fired once: 39/40 at num_perm=128)
+        assert recall >= 0.99, f"{algo} dropped planted quotes: {leg}"
     return leg
 
 
@@ -164,7 +178,8 @@ def main():
     warm = synth_quote_sets(spark, 500 if mode == "big" else 2000, cores, mode).persist()
     warm.count()
     for algo in ("exact", "ensemble"):
-        run_leg(spark, warm, algo, 500 if mode == "big" else 2000, evdir)
+        run_leg(spark, warm, algo, 500 if mode == "big" else 2000, evdir,
+                assert_recall=False)
     warm.unpersist()
 
     legs = []
