@@ -1750,6 +1750,32 @@ def q_semdedup_decisions(spark, sf_dir):
     return decisions.select("vec_id", "block_id", "keep")
 
 
+def q_d4_prune_decisions(spark, sf_dir):
+    """D4 prototypicality pruning (Tirumala et al. 2023 — the
+    diversification half of the D4 recipe whose dedup half is
+    semdedup_decisions): per label block, rank members by raw dot with
+    the block's mean vector (centroid norm is a per-block constant, so
+    the cosine ranking is identical) and drop the most-prototypical 1/5
+    in EXACT integer arithmetic ((n*1) div 5 — a float 0.2 rounds
+    differently at integer boundaries). Hash-compared output is all
+    ints/bools (vec_id, block_id, proto_rank, keep), so the cross-engine
+    contract is rank ORDER + cutoff: per-block adjacent proto-dot gaps
+    measured 2.4e-6 / 2.6e-6 / 2.5e-9 across SFs, >= ~1e4x the float-
+    association noise (~1e-13), zero exact cross-doc ties; pinned in
+    tests/test_oracle_assumptions.py."""
+    from deduplication_framework_spark.operators.embeddings import (
+        d4_prune_within_blocks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    blocked = emb.select(
+        "vec_id", "embedding", F.col("label").alias("block_id")
+    )
+    return d4_prune_within_blocks(blocked, drop_num=1, drop_den=5).orderBy(
+        "vec_id"
+    )
+
+
 def q_sorter_categories(spark, sf_dir):
     """S2-S8: modality classification of a deterministic mixed swamp built
     from the documents table (text bytes + planted magic-header rows)."""
@@ -2477,7 +2503,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_substring_removal": q_repeated_substring_removal,
         "windowed_greedy_keepers": q_windowed_greedy_keepers,
         "signbit_jaccard_edges": q_signbit_jaccard_edges,
-        "ngram_jaccard_edges": q_ngram_jaccard_edges,
         "minhash_signatures_sql": q_minhash_signatures_sql,
         "minhash_band_candidates": q_minhash_band_candidates,
         "minhash_jaccard_estimates": q_minhash_jaccard_estimates,
@@ -2501,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "suffix_array_clusters": q_suffix_array_clusters,
         "semdedup_decisions": q_semdedup_decisions,
+        "d4_prune_decisions": q_d4_prune_decisions,
         "sorter_categories": q_sorter_categories,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2522,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
         # ---- tail block: stable + sub-second (see comment above) ----
+        "ngram_jaccard_edges": q_ngram_jaccard_edges,
         "exact_keepers": q_exact_keepers,
         "dedup_rate_stats": q_dedup_rate_stats,
         "top_ngram_stats": q_top_ngram_stats,
@@ -3925,6 +3952,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, e.label AS block_id,
                    coalesce(pr.mp, -1.0) <= (1.0 - 0.7) AS keep
             FROM embeddings e LEFT JOIN pr USING (vec_id)
+        """,
+        # D4 diversification twin: per-(label, pos) avg centroid, raw-dot
+        # prototypicality rank (DESC, vec_id tie-break), integer 1/5
+        # cutoff — margins in q_d4_prune_decisions' docstring
+        "d4_prune_decisions": """
+            WITH ex AS (
+                SELECT label, vec_id,
+                       unnest(list_transform(range(1, len(embedding)+1),
+                              i -> {'pos': i, 'x': embedding[i]::DOUBLE}),
+                              recursive := true)
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT label, pos, avg(x) AS m FROM ex GROUP BY label, pos
+            ),
+            cvec AS (
+                SELECT label, list(m ORDER BY pos) AS cv
+                FROM cent GROUP BY label
+            ),
+            d AS (
+                SELECT e.vec_id, e.label,
+                       list_sum(list_transform(list_zip(e.embedding, c.cv),
+                           p -> p[1]::DOUBLE * p[2])) AS proto
+                FROM embeddings e JOIN cvec c USING (label)
+            ),
+            r AS (
+                SELECT vec_id, label,
+                       row_number() OVER (
+                           PARTITION BY label ORDER BY proto DESC, vec_id
+                       ) AS proto_rank,
+                       count(*) OVER (PARTITION BY label) AS n
+                FROM d
+            )
+            SELECT vec_id, label AS block_id, proto_rank,
+                   proto_rank > (n * 1) // 5 AS keep
+            FROM r ORDER BY vec_id
         """,
         # exact top-5 by raw float64 dot, ties by neighbor id — the same
         # (dot DESC, id ASC) order knn_bruteforce(normalize=False) emits

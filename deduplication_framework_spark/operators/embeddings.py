@@ -248,3 +248,76 @@ def kmeans_semdedup(
     )
     keepers = df.join(keep_ids, df[id_col] == F.col("_keep_id"), "left_semi")
     return keepers, decisions
+
+
+def d4_prune_within_blocks(
+    blocked: DataFrame,
+    *,
+    drop_num: int = 1,
+    drop_den: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "block_id",
+) -> DataFrame:
+    """D4 prototypicality pruning (Tirumala et al. 2023, "D4: Improving
+    LLM Pretraining via Document De-Duplication and Diversification",
+    §3): after SemDeDup removes near-duplicates, drop the docs CLOSEST
+    to their cluster centroid — the most prototypical, least informative
+    members — to diversify the kept set. → (id, block, proto_rank, keep).
+
+    Spark shape: per-(block, pos) avg over a posexplode (map-side
+    combined, no collect — centroids stay distributed, unlike ivf_topk's
+    broadcast path which must gather them for the probe join), one join
+    back on the block, a block-PARTITIONED window for the rank. Ranking
+    uses the RAW dot with the mean vector: the centroid's norm is a
+    per-block constant, so the cosine ranking is identical and the
+    per-row math stays one fused dot.
+
+    The drop fraction is the exact rational ``drop_num/drop_den``:
+    ``n_drop = (n_block * drop_num) div drop_den`` in pure integer
+    arithmetic — a float fraction like 0.2 rounds differently at block
+    sizes where n*frac lands on an integer boundary, and this cutoff
+    must be engine-exact for the DuckDB oracle. Rank ties (exactly equal
+    dots) break by id ascending. proto_rank 1 = most prototypical;
+    keep = proto_rank > n_drop."""
+    if drop_num < 0 or drop_den <= 0 or drop_num > drop_den:
+        raise ValueError(
+            f"drop_num/drop_den must satisfy 0 <= num <= den, den > 0:"
+            f" {drop_num}/{drop_den}"
+        )
+    cent = (
+        blocked.select(block_col, F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(block_col, "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy(block_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("_ps")
+        )
+        .select(
+            block_col,
+            F.expr("transform(_ps, p -> p.m)").alias("_cvec"),
+        )
+    )
+    w = Window.partitionBy(block_col)
+    scored = (
+        blocked.join(cent, block_col)
+        .withColumn("_proto", _dot_expr(F.col(vec_col), F.col("_cvec")))
+        .withColumn(
+            "proto_rank",
+            F.row_number().over(
+                w.orderBy(F.col("_proto").desc(), F.col(id_col))
+            ),
+        )
+        .withColumn("_n", F.count("*").over(w))
+    )
+    return scored.select(
+        id_col,
+        block_col,
+        "proto_rank",
+        (
+            F.col("proto_rank")
+            > F.expr(f"(_n * {int(drop_num)}) div {int(drop_den)}")
+        ).alias("keep"),
+    )

@@ -118,3 +118,95 @@ class TestSemDeDup:
         assert not ({0, 80} <= kept)
         assert not ({25, 81} <= kept)
         assert len(kept) < 82
+
+
+class TestD4Prune:
+    def _blocks(self, spark):
+        """Two blocks with a KNOWN most-prototypical member: vec 0 (block
+        0) and vec 100 (block 1) ARE the block mean direction; the rest
+        fan out symmetrically around it."""
+        import math
+        rng = np.random.default_rng(3)
+        rows = []
+        for blk, base_id in ((0, 0), (1, 100)):
+            center = rng.normal(size=8)
+            center /= np.linalg.norm(center)
+            rows.append((base_id, blk, [float(x) for x in center]))
+            for i in range(1, 10):
+                # pairs of symmetric perturbations keep the mean ON center
+                d = rng.normal(size=8) * 0.2
+                for s, off in ((1, i * 2 - 1), (-1, i * 2)):
+                    v = center + s * d
+                    v = v / np.linalg.norm(v)
+                    rows.append((base_id + off, blk, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id long, block_id long, embedding array<double>"
+        )
+
+    def test_prototype_ranked_first_and_dropped(self, spark):
+        from deduplication_framework_spark.operators.embeddings import (
+            d4_prune_within_blocks,
+        )
+
+        df = self._blocks(spark)
+        out = d4_prune_within_blocks(df, drop_num=1, drop_den=5)
+        rows = {r.vec_id: r for r in out.collect()}
+        # the planted centroid-direction member is the most prototypical
+        assert rows[0].proto_rank == 1 and not rows[0].keep
+        assert rows[100].proto_rank == 1 and not rows[100].keep
+        # integer cutoff: 19 members per block -> (19*1) div 5 = 3 dropped
+        for blk_base in (0, 100):
+            blk = [r for r in rows.values()
+                   if blk_base <= r.vec_id < blk_base + 100]
+            assert len(blk) == 19
+            assert sum(not r.keep for r in blk) == 3
+            assert sorted(r.proto_rank for r in blk) == list(range(1, 20))
+
+    def test_numpy_parity_and_integer_cutoff_edge(self, spark):
+        """Full replay on uneven block sizes incl. the n*frac integer
+        boundary (n=5, 1/5 -> exactly 1 dropped; n=4 -> 0 dropped)."""
+        from deduplication_framework_spark.operators.embeddings import (
+            d4_prune_within_blocks,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = []
+        vid = 0
+        for blk, n in ((0, 5), (1, 4), (2, 13)):
+            for _ in range(n):
+                v = rng.normal(size=6)
+                rows.append((vid, blk, [float(x) for x in v])); vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, block_id long, embedding array<double>"
+        )
+        got = {r.vec_id: (r.proto_rank, r.keep)
+               for r in d4_prune_within_blocks(df, drop_num=1, drop_den=5)
+               .collect()}
+        by_blk = {}
+        for vid_, blk, v in rows:
+            by_blk.setdefault(blk, []).append((vid_, np.array(v)))
+        for blk, members in by_blk.items():
+            mat = np.stack([v for _, v in members])
+            ids = np.array([i for i, _ in members])
+            proto = mat @ mat.mean(axis=0)
+            order = np.lexsort((ids, -proto))
+            n_drop = (len(ids) * 1) // 5
+            for rank0, i in enumerate(order):
+                assert got[int(ids[i])] == (rank0 + 1, rank0 + 1 > n_drop)
+        # boundary counts: n=5 drops exactly 1, n=4 drops 0, n=13 drops 2
+        drops = {blk: sum(not got[i][1] for i, _ in mem)
+                 for blk, mem in by_blk.items()}
+        assert drops == {0: 1, 1: 0, 2: 2}
+
+    def test_validation(self, spark):
+        from deduplication_framework_spark.operators.embeddings import (
+            d4_prune_within_blocks,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 0, [1.0])], "vec_id long, block_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="drop_num/drop_den"):
+            d4_prune_within_blocks(df, drop_num=3, drop_den=2)
+        with pytest.raises(ValueError, match="drop_num/drop_den"):
+            d4_prune_within_blocks(df, drop_num=1, drop_den=0)

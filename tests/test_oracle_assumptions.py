@@ -510,3 +510,46 @@ def test_minhash_jaccard_estimator_invariants(sf_dir, spark):
     dst = out["dst"].map(idx).to_numpy()
     np_match = (mat[src] == mat[dst]).sum(axis=1)
     assert (np_match == out["n_match"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_d4_proto_rank_margins_and_numpy_third_opinion(sf_dir, spark):
+    """d4_prune_decisions hashes only ints/bools, so the cross-engine
+    contract is the per-block prototypicality ORDER. Pins: (1) the
+    minimum adjacent proto-dot gap within a block stays >= 1e-7
+    (measured 2.4e-6 / 2.6e-6 here, 2.5e-9 at sf0.1 — all >= ~1e4x the
+    ~1e-13 float-association noise between engines), (2) zero exact
+    cross-doc ties (identical dots would silently lean on the vec_id
+    tie-break agreeing for DIFFERENT vectors), (3) a full numpy replay
+    of centroid -> rank -> integer cutoff equals the Spark output."""
+    import __spark_entry__ as entrymod
+
+    emb = _emb(sf_dir)
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    expect = {}
+    min_gap = np.inf
+    for lab in np.unique(labels):
+        m = labels == lab
+        block = vecs[m]
+        bids = ids[m]
+        cent = block.mean(axis=0)
+        proto = block @ cent
+        order = np.lexsort((bids, -proto))
+        sp = np.sort(proto)[::-1]
+        gaps = sp[:-1] - sp[1:]
+        if len(gaps):
+            assert (gaps > 0).all(), f"exact proto tie in block {lab}"
+            min_gap = min(min_gap, gaps.min())
+        n = len(bids)
+        n_drop = (n * 1) // 5
+        for rank0, i in enumerate(order):
+            expect[int(bids[i])] = (int(lab), rank0 + 1, rank0 + 1 > n_drop)
+    assert min_gap >= 1e-7, min_gap
+    out = entrymod.q_d4_prune_decisions(spark, sf_dir).toPandas()
+    assert len(out) == len(expect) > 0
+    for r in out.itertuples():
+        assert expect[int(r.vec_id)] == (
+            int(r.block_id), int(r.proto_rank), bool(r.keep)
+        ), r
