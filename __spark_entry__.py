@@ -294,6 +294,25 @@ def q_exact_dup_groups(spark, sf_dir):
     )
 
 
+def q_soft_dedup_weights(spark, sf_dir):
+    """Soft deduplication (SoftDedup, He et al. ACL 2024): per-doc
+    sampling weight 1e6 div |exact md5 group| — down-weight duplicated
+    content instead of dropping it; every distinct content class ends up
+    with ~equal total mass while no document is lost. Pure integer
+    arithmetic both engines (operators/cluster.py::soft_dedup_weights
+    over the P7 md5 grouping). The cluster input is the exact-group
+    labeling; the operator itself works over any labeling (MinHash CCs,
+    span classes)."""
+    from deduplication_framework_spark.operators.cluster import (
+        soft_dedup_weights,
+    )
+
+    clusters = _docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("cluster_id")
+    )
+    return soft_dedup_weights(clusters).orderBy("doc_id")
+
+
 def q_exact_keepers(spark, sf_dir):
     """P7: keeper rows (row_number()==1 within md5 group by doc order)."""
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -2512,7 +2531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "span_dedup_chunks": q_span_dedup_chunks,
         "frequent_span_removal": q_frequent_span_removal,
-        "stratified_sample": q_stratified_sample,
         "decontaminate_eval_overlap": q_decontaminate_eval_overlap,
         "decontaminate_span_removal": q_decontaminate_span_removal,
         "cosine_neighbor_counts": q_cosine_neighbor_counts,
@@ -2527,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_array_clusters": q_suffix_array_clusters,
         "semdedup_decisions": q_semdedup_decisions,
         "d4_prune_decisions": q_d4_prune_decisions,
+        "soft_dedup_weights": q_soft_dedup_weights,
         "sorter_categories": q_sorter_categories,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2548,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "tiered_dedup_attribution": q_tiered_dedup_attribution,
         # ---- tail block: stable + sub-second (see comment above) ----
+        "stratified_sample": q_stratified_sample,
         "ngram_jaccard_edges": q_ngram_jaccard_edges,
         "exact_keepers": q_exact_keepers,
         "dedup_rate_stats": q_dedup_rate_stats,
@@ -2765,6 +2785,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, count(*) AS n_copies,
                    min(doc_id) AS keeper_id
             FROM documents GROUP BY 1
+        """,
+        # SoftDedup reweighting: integer 1e6 // group-size per doc
+        "soft_dedup_weights": """
+            SELECT doc_id, cluster_id, cluster_size,
+                   1000000 // cluster_size AS weight_ppm
+            FROM (
+                SELECT doc_id, md5(text) AS cluster_id,
+                       count(*) OVER (PARTITION BY md5(text)) AS cluster_size
+                FROM documents
+            ) ORDER BY doc_id
         """,
         "exact_keepers": """
             SELECT doc_id, n_chars FROM (

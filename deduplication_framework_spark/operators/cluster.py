@@ -138,3 +138,32 @@ def dup_pairs_from_clusters(clusters: DataFrame) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
     )
+
+
+def soft_dedup_weights(
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Soft deduplication (SoftDedup, He et al. ACL 2024 — public method:
+    DOWN-WEIGHT duplicated content instead of dropping it, so each
+    distinct content class contributes ~equal total sampling mass while
+    no document is lost): → (id, cluster, cluster_size, weight_ppm) with
+    ``weight_ppm = unit div cluster_size`` in pure integer arithmetic
+    (engine-exact; a float 1/n reweighting has no cross-engine rounding
+    guarantee). Works over ANY cluster labeling — exact md5 groups,
+    MinHash CCs, span classes. One count aggregation on the cluster key
+    (map-side combined) + one join back; no windows."""
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return clusters.join(sizes, cluster_col).select(
+        id_col,
+        cluster_col,
+        "cluster_size",
+        F.expr(f"CAST({int(unit)} div cluster_size AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+    )

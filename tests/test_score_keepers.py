@@ -84,3 +84,32 @@ def test_plan_partial_aggregates_before_exchange(spark):
     assert "Window" not in plan
     before_exchange = plan.split("Exchange", 1)[0]
     assert "partial_min" in plan or "HashAggregate" in before_exchange
+
+
+class TestSoftDedupWeights:
+    def test_integer_weights_over_any_labeling(self, spark):
+        from deduplication_framework_spark.operators.cluster import (
+            soft_dedup_weights,
+        )
+
+        rows = [(0, "a"), (1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "c"),
+                (6, "d"), (7, "d"), (8, "d"), (9, "d"), (10, "d"), (11, "d"),
+                (12, "d")]
+        df = spark.createDataFrame(rows, "doc_id long, cluster_id string")
+        got = {r.doc_id: (r.cluster_size, r.weight_ppm)
+               for r in soft_dedup_weights(df).collect()}
+        assert len(got) == len(rows)  # nothing dropped — the point
+        assert got[0] == (3, 333333)       # 1e6 div 3, integer floor
+        assert got[3] == (1, 1000000)
+        assert got[4] == (2, 500000)
+        assert got[6] == (7, 142857)
+        # per-class total mass ≈ unit (floor loss < cluster_size ppm)
+        mass = {}
+        for _d, (s, w) in got.items():
+            mass[s] = mass.get(s, 0) + w
+        for size, total in mass.items():
+            assert 1_000_000 - size < total <= 1_000_000
+        # unit parameter honored
+        got2 = {r.doc_id: r.weight_ppm
+                for r in soft_dedup_weights(df, unit=1000).collect()}
+        assert got2[0] == 333 and got2[3] == 1000
