@@ -2511,10 +2511,12 @@ def q_tfidf_top_terms(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order is deliberate: CORRECTNESS_r04 covered exactly the
     # first 50 registered queries, so if the driver's budget cuts again, it
-    # should fall on the TAIL block below — 19 sub-second queries that have
-    # been hash-exact in every driver run since rounds 1-2 and are trivial
-    # to replicate (tools/check_contract.py <sf> <name>). Every query never
-    # yet covered by an official CORRECTNESS record sits within the first 50.
+    # should fall on the TAIL block below — 25 cheap queries, each covered
+    # by an official CORRECTNESS record (r1-r4; the newest movers:
+    # ngram_jaccard_edges r3, stratified_sample/dedup_rate_stats/
+    # exact_keepers r4) and trivial to replicate
+    # (tools/check_contract.py <sf> <name>). Every query never yet covered
+    # by an official CORRECTNESS record sits within the first 50.
     return {
         "exact_dup_groups": q_exact_dup_groups,
         "lshensemble_containment": q_lshensemble_containment,

@@ -156,14 +156,18 @@ def soft_dedup_weights(
     guarantee). Works over ANY cluster labeling — exact md5 groups,
     MinHash CCs, span classes. One count aggregation on the cluster key
     (map-side combined) + one join back; no windows."""
+    # underscore-shielded internal name: the ANY-labeling contract means
+    # the caller's frame may itself carry a cluster_size/weight_ppm
+    # column (cluster stats joined onto the labeling), which would make
+    # an unprefixed join ambiguous (the repo's _sz/_sa/_sb convention)
     sizes = clusters.groupBy(cluster_col).agg(
-        F.count("*").alias("cluster_size")
+        F.count("*").alias("_sd_size")
     )
     return clusters.join(sizes, cluster_col).select(
         id_col,
         cluster_col,
-        "cluster_size",
-        F.expr(f"CAST({int(unit)} div cluster_size AS BIGINT)").alias(
+        F.col("_sd_size").alias("cluster_size"),
+        F.expr(f"CAST({int(unit)} div _sd_size AS BIGINT)").alias(
             "weight_ppm"
         ),
     )

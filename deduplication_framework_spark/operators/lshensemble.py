@@ -279,12 +279,15 @@ def lshensemble_containment(
     def _empty_result(reason):
         # an empty side / empty band table means ZERO possible edges at t
         # -- return the empty edge frame, never crash (review finding:
-        # the size census and the band unions both indexed parts[0])
+        # the size census and the band unions both indexed parts[0]).
+        # dst takes the INDEX side's id type: an empty batch must union
+        # cleanly with non-empty batches (whose dst type verify
+        # propagates from the index frame)
         spark = docs.sparkSession
-        id_type = docs.schema[id_col].dataType
+        dst_src = index_docs if bipartite else docs
         schema = T.StructType([
-            T.StructField("src", id_type),
-            T.StructField("dst", id_type),
+            T.StructField("src", docs.schema[id_col].dataType),
+            T.StructField("dst", dst_src.schema[id_col].dataType),
             T.StructField("containment", T.DoubleType()),
         ])
         stats = {
@@ -558,9 +561,13 @@ def build_ensemble_index(
 
 
 def save_ensemble_index(index: dict, path: str) -> None:
-    """bands + feats as parquet under ``path``, meta as JSON. feats are
-    written FIRST: a reader that finds meta.json can rely on both tables
-    being complete (meta is the commit marker)."""
+    """bands + feats as parquet under ``path``, meta as JSON. The meta
+    file is the COMMIT MARKER: any stale one is removed before the
+    tables are overwritten and the new one lands (atomic rename) only
+    after both writes — a crash mid-save leaves no marker and load
+    refuses, never a loadable mixed-generation index (a stale meta with
+    a different num_perm would make probe keys silently never match —
+    zero edges, no error; the fuzzy-index |gen= protocol lesson)."""
     import json as _json
     import os as _os
 
@@ -569,6 +576,9 @@ def save_ensemble_index(index: dict, path: str) -> None:
             "cannot save an index with no feasible band cells (every"
             " partition too small for every class at this threshold)"
         )
+    _meta_path = _os.path.join(path, "meta.json")
+    if _os.path.exists(_meta_path):
+        _os.remove(_meta_path)
     index["feats"].write.mode("overwrite").parquet(
         _os.path.join(path, "feats")
     )
@@ -636,10 +646,11 @@ def query_ensemble_index(
     n_probe = probe_base.count()
     if n_probe == 0 or not table or index["bands"] is None:
         spark = probe_docs.sparkSession
-        id_type = probe_docs.schema[id_col].dataType
         schema = T.StructType([
-            T.StructField("src", id_type),
-            T.StructField("dst", id_type),
+            T.StructField("src", probe_docs.schema[id_col].dataType),
+            # dst = the stored index's id type, so empty batches union
+            # cleanly with non-empty ones (review finding)
+            T.StructField("dst", index["feats"].schema["_id"].dataType),
             T.StructField("containment", T.DoubleType()),
         ])
         return spark.createDataFrame([], schema), {

@@ -324,3 +324,39 @@ class TestStoredIndex:
         release_census_caches()
         assert 900 not in got
         assert stats["n_probe_out_of_class"] == 1
+
+    def test_save_crash_midway_leaves_no_commit_marker(self, spark, tmp_path):
+        """Review finding: overwriting a committed index must invalidate
+        the OLD meta.json BEFORE touching the tables — a crash between
+        the table overwrite and the new meta landing would otherwise
+        leave a loadable mixed-generation index (stale num_perm vs new
+        band keys → silent zero edges)."""
+        from deduplication_framework_spark.operators.lshensemble import (
+            build_ensemble_index,
+            load_ensemble_index,
+            save_ensemble_index,
+        )
+
+        train, _, _ = self._corpus()
+        df = spark.createDataFrame(train, "doc_id long, grams array<string>")
+        idx = build_ensemble_index(
+            df, threshold=0.8, num_perm=32,
+            partitions=self.P, classes=self.C,
+        )
+        path = str(tmp_path / "idx")
+        save_ensemble_index(idx, path)
+        assert load_ensemble_index(spark, path)["meta"]["num_perm"] == 32
+
+        class _CrashingFrame:
+            @property
+            def write(self):
+                raise RuntimeError("simulated crash before bands write")
+
+        import os
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            save_ensemble_index({**idx, "feats": _CrashingFrame()}, path)
+        # the stale marker is gone -> load refuses instead of serving a
+        # mixed-generation index
+        assert not os.path.exists(os.path.join(path, "meta.json"))
+        with pytest.raises(FileNotFoundError, match="meta.json"):
+            load_ensemble_index(spark, path)
