@@ -125,6 +125,13 @@ def main(argv=None) -> int:
                         "keep only the comma-listed buckets (e.g. "
                         "'head,middle'); per-bucket counts in summary "
                         "metrics")
+    p.add_argument("--soft-weights", action="store_true",
+                   help="SoftDedup reweighting (operators/cluster.py::"
+                        "soft_dedup_weights): per-doc sampling weight "
+                        "1e6 div |cluster| over the pipeline's duplicate "
+                        "clusters — the keep-everything alternative to "
+                        "keeper selection; writes <output>/weights "
+                        "parquet and soft_weights.* summary metrics")
     p.add_argument("--assign-splits", type=float, default=None,
                    metavar="VAL_FRAC",
                    help="leakage-safe train/val assignment over the "
@@ -164,6 +171,7 @@ def main(argv=None) -> int:
         ("--span-dedup", args.span_dedup is not None),
         ("--decontaminate-against", args.decontaminate_against is not None),
         ("--assign-splits", args.assign_splits is not None),
+        ("--soft-weights", args.soft_weights),
     ]
     if args.sweep:
         for flag, on in sweep_incompatible:
@@ -331,6 +339,30 @@ def main(argv=None) -> int:
     res.keepers.write.mode("overwrite").parquet(f"{args.output}/keepers")
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     res.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+
+    if args.soft_weights:
+        from deduplication_framework_spark.operators.cluster import (
+            soft_dedup_weights,
+        )
+
+        weights = soft_dedup_weights(
+            res.clusters.select("doc_id", "cluster_id")
+        )
+        weights.write.mode("overwrite").parquet(f"{args.output}/weights")
+        wdf = spark.read.parquet(f"{args.output}/weights")
+        row = wdf.selectExpr(
+            "count(*) AS n",
+            "sum(CAST(cluster_size > 1 AS INT)) AS n_downweighted",
+            "sum(weight_ppm) AS mass_ppm",
+        ).collect()[0]
+        res.metrics["soft_weights.n_docs"] = float(row.n)
+        res.metrics["soft_weights.n_downweighted"] = float(
+            row.n_downweighted or 0
+        )
+        # total mass / 1e6 ~ number of distinct content classes
+        res.metrics["soft_weights.mass"] = float(
+            (row.mass_ppm or 0) / 1_000_000.0
+        )
 
     if args.assign_splits is not None:
         from deduplication_framework_spark.operators.splits import (

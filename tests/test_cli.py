@@ -590,3 +590,48 @@ def test_cli_full_layer_stack(spark, tmp_path):
     with open(os.path.join(out2, "summary.json")) as fh:
         m3 = json.load(fh)["metrics"]
     assert "keepers.resumed" not in m3
+
+
+def test_cli_soft_weights(spark, tmp_path):
+    """--soft-weights writes the SoftDedup reweighting parquet: every doc
+    kept with weight_ppm = 1e6 div |cluster|, and total mass equals the
+    number of distinct content classes (== keepers count) within the
+    integer floor loss."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out_sw")
+    rc = main(
+        [
+            "--synthetic", "300",
+            "--output", out,
+            "--detectors", "exact,minhash",
+            "--checkpoint-dir", str(tmp_path / "ckpt_sw"),
+            "--soft-weights",
+        ]
+    )
+    assert rc == 0
+    w = spark.read.parquet(os.path.join(out, "weights"))
+    assert w.count() == 300  # nothing dropped — the point of the mode
+    keepers = spark.read.parquet(os.path.join(out, "keepers")).count()
+    bad = w.filter(
+        F.col("weight_ppm") != F.expr("CAST(1000000 div cluster_size AS BIGINT)")
+    ).count()
+    assert bad == 0
+    with open(os.path.join(out, "summary.json")) as fh:
+        m = json.load(fh)["metrics"]
+    assert m["soft_weights.n_docs"] == 300
+    assert m["soft_weights.n_downweighted"] > 0
+    # mass ~ one unit per cluster == keepers (floor loss < 1 ppm*docs)
+    assert abs(m["soft_weights.mass"] - keepers) < 1.0
+    # rejected under --sweep
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "--synthetic", "50",
+                "--output", str(tmp_path / "x"),
+                "--sweep", "0.8",
+                "--soft-weights",
+            ]
+        )
