@@ -54,66 +54,140 @@ def connected_components(
     Vertices with no edges are absent — callers union them back with
     cluster_id = own id (cheaper than shipping singletons through the loop).
     """
-    ckpt = checkpoint or (lambda df: df.localCheckpoint(eager=True))
+    ckpt = checkpoint or _stats_bounded_local_ckpt
+    # pin the loop's partition count (REPARTITION_BY_NUM is exempt from
+    # AQE coalescing, so checkpointed frames keep co-partitioning across
+    # rounds) — scale-adaptive via the session's shuffle-partition conf
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Spark 4's Dataset.checkpoint copies the child plan's CONSTRAINT set
+    # into the checkpointed LogicalRDD (LogicalRDD.rewriteStatsAndConstraints).
+    # In an iterative self-referential loop the per-round joins derive new
+    # constraints FROM the inherited ones, so the set compounds geometrically
+    # — measured ~4x driver time per round from ~round 8 (jstack:
+    # SizeInBytesOnlyStatsPlanVisitor under rewriteStatsAndConstraints),
+    # turning a 16-round toy graph into minutes. Constraint propagation is
+    # purely an optimizer inference (never changes results); disable it for
+    # the loop's queries and restore afterwards (guide §7.3 — driver
+    # planning hot spot).
+    _CP = "spark.sql.constraintPropagation.enabled"
+    try:
+        cp_old = spark.conf.get(_CP)
+    except Exception:
+        cp_old = None
+    spark.conf.set(_CP, "false")
+    try:
+        return _cc_loop(
+            edges, src, dst, max_iterations, ckpt, round_stats, n_part
+        )
+    finally:
+        if cp_old is None:
+            spark.conf.unset(_CP)
+        else:
+            spark.conf.set(_CP, cp_old)
+
+
+def _stats_bounded_local_ckpt(df: DataFrame) -> DataFrame:
+    """localCheckpoint whose resulting LogicalRDD carries REAL (bounded)
+    size statistics. Spark 4's Dataset.checkpoint copies the child plan's
+    estimated stats into the checkpointed LogicalRDD; the size estimate of
+    a join is the PRODUCT of its children's sizes, so in an iterative
+    loop each round's checkpointed sizeInBytes is ~the 4th power of the
+    previous round's — after ~8 rounds the BigInteger arithmetic inside
+    SizeInBytesOnlyStatsPlanVisitor dominates the driver (measured ~4x
+    wall per round on a 400-node toy graph; jstack: BigInteger.
+    multiplyToomCook3 under LogicalRDD.rewriteStatsAndConstraints).
+    Persisting first makes the checkpointed plan an InMemoryRelation,
+    whose post-materialization stats are the ACTUAL cached bytes — one
+    extra cache scan per round buys O(1) stats forever. The InMemory
+    cache is dropped immediately: the checkpoint holds its own blocks."""
+    c = df.persist()
+    out = c.localCheckpoint(eager=True)
+    c.unpersist()
+    return out
+
+
+def _cc_loop(edges, src, dst, max_iterations, ckpt, round_stats, n_part):
 
     both = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    both = ckpt(both)
+    # partitioned by the probe key: every round's neighbor join then
+    # needs NO exchange on the (larger) edge side — localCheckpoint
+    # preserves outputPartitioning (r6, guide §2.4)
+    both = ckpt(both.repartition(n_part, "b"))
 
     labels = both.groupBy("a").agg(F.min("b").alias("nbr_min"))
     labels = labels.select(
         F.col("a").alias("doc_id"),
         F.least(F.col("a"), F.col("nbr_min")).alias("cluster_id"),
     )
-    labels = ckpt(labels)
+    # labels stay partitioned by doc_id across rounds (see tail of loop)
+    labels = ckpt(labels.repartition(n_part, "doc_id"))
 
     for it in range(max_iterations):
-        # 1. propagate: candidate label for each vertex = min over neighbors'
-        #    current labels (plus its own)
-        nbr_labels = (
-            both.join(labels, both.b == labels.doc_id, "inner")
+        # 1. propagate: candidate label for each vertex = min over
+        #    neighbors' current labels. labels(doc_id) is co-partitioned
+        #    with both(b) → zero exchange; SHUFFLE_HASH skips the
+        #    per-round sort of the edge side. The vertex's own label
+        #    rides the left join below (not a union branch), which also
+        #    carries the OLD label so convergence needs no diff join.
+        lab_h = labels.hint("shuffle_hash")
+        nbr_min = (
+            both.join(lab_h, both.b == lab_h.doc_id, "inner")
             .select(F.col("a").alias("doc_id"), F.col("cluster_id").alias("cand"))
+            .groupBy("doc_id")
+            .agg(F.min("cand").alias("_nmin"))
         )
         prop = (
-            labels.select("doc_id", F.col("cluster_id").alias("cand"))
-            .unionByName(nbr_labels)
-            .groupBy("doc_id")
-            .agg(F.min("cand").alias("cluster_id"))
+            labels.join(nbr_min.hint("shuffle_hash"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("cluster_id").alias("_old"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_nmin", "cluster_id")
+                ).alias("cluster_id"),
+            )
         )
 
-        # 2. pointer jump twice: label(v) <- label(label(label(v))) — each
-        #    extra jump is a cheap self-join on the (small) label table and
-        #    multiplies the per-round shortcutting
+        # 2. pointer jump three times — each jump is a self-join on the
+        #    (small) label table that SQUARES the per-round shortcutting;
+        #    3 jumps cut the 6000-diameter bench chain from 7 rounds to 5
+        #    (r6 interleaved minima: 18.8s vs 20.8s) and extra jumps never
+        #    increase the round count, so the log2-diameter bound holds
         jumped = prop
-        for _ in range(2):
+        for _ in range(3):
             parent = jumped.select(
                 F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
-            )
+            ).hint("shuffle_hash")
             jumped = (
-                jumped.join(parent, jumped.cluster_id == parent.p_id, "left")
+                jumped.join(
+                    parent,
+                    jumped.cluster_id == parent.p_id,
+                    "left",
+                )
                 .select(
                     "doc_id",
+                    "_old",
                     F.coalesce(F.col("p_label"), F.col("cluster_id")).alias(
                         "cluster_id"
                     ),
                 )
             )
-        jumped = ckpt(jumped)
+        jumped = ckpt(jumped.repartition(n_part, "doc_id"))
 
-        diff = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-        )
+        # carried-old convergence test: a filter scan over the checkpoint,
+        # not a join against the previous round (r6 — was 2 exchanges +
+        # a full shuffle join per round)
+        diff = jumped.filter(F.col("_old") != F.col("cluster_id"))
         if round_stats is not None:
             changed = diff.count()
             round_stats.append({"round": it + 1, "n_changed": changed})
         else:
             changed = diff.limit(1).count()
-        labels = jumped
+        labels = jumped.select("doc_id", "cluster_id")
         if changed == 0:
             return labels, it + 1
 

@@ -62,8 +62,13 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from deduplication_framework_spark.operators.verify import verify_jaccard
 
@@ -74,6 +79,143 @@ __all__ = ["ssjoin_jaccard", "ssjoin_containment"]
 # this module already imports from it)
 from deduplication_framework_spark.operators.verify import _EPS  # noqa: E402
 
+# Dense-universe fast path budgets (r6): when the element universe is
+# TINY (the degenerate regime the module docstring warns about — e.g. the
+# sf documents tables' word-bigram vocabulary is <1k elements), the
+# prefix filter is structurally useless: candidates approach all-pairs
+# (measured 6.7M candidates for 5k docs = 27% of all ordered pairs at
+# sf0.1) and the candidate shuffle + per-pair string verify dominate. In
+# that regime every doc's set fits a <=DENSE_MAX_ELS-bit bitmap, so the
+# EXACT intersection sizes of every pair come from popcount(AND) against
+# a broadcast bitmap matrix — no candidate generation, no pair shuffle,
+# no string comparisons. Output is the identical exact predicate set
+# (same float64 division, same >= threshold compare as verify.py); the
+# lemma-based prefix path remains the sparse-universe production shape.
+DENSE_MAX_ELS = 2048  # bitmap width cap (bits); <=32 uint64 lanes
+DENSE_MAX_DOCS = 20_000  # all-pairs compute cap: n^2 * lanes popcounts
+_DENSE_SAMPLE_DOCS = 256  # cheap pre-check sample (sparse corpora bail here)
+
+
+def _dense_allpairs_edges(
+    base: DataFrame, threshold: float, mode: str
+) -> Optional[DataFrame]:
+    """Exact all-pairs edges over a TINY element universe via bitmap
+    popcount blocks, or None when the universe/corpus exceeds the dense
+    budgets (the prefix-filter path then applies). ``base`` must be the
+    persisted (_id, _set) projection with empty sets dropped; ``_id``
+    must be integral. ``mode``: 'jaccard' (src < dst, sim) or
+    'containment' (ordered src != dst, containment).
+
+    Detection cost on the sparse path is one _DENSE_SAMPLE_DOCS-doc
+    sample census (~tens of ms): any 256 docs of a sparse corpus exceed
+    DENSE_MAX_ELS distinct elements, so real featurizations never reach
+    the full-universe check. Driver memory is bounded by the budgets:
+    <= DENSE_MAX_DOCS rows of <= DENSE_MAX_ELS-element sets collected,
+    and the broadcast matrix is <= 20k * 256B = 5MB.
+
+    Exactness: the bitmap code is a DENSE rank over the exact distinct
+    elements (no hashing — no collision caveat); intersection sizes are
+    popcounts of ANDed exact membership vectors, and the emitted value is
+    the same float64 division + >= threshold compare as verify.py, so
+    the edge set and values are bit-identical to the prefix+verify path
+    (which is itself exact by the prefix lemma)."""
+    t = float(threshold)
+    spark = base.sparkSession
+    if not isinstance(
+        base.schema["_id"].dataType, (T.LongType, T.IntegerType, T.ShortType)
+    ):
+        return None
+    n_docs = base.count()  # cached — base is persisted+counted by callers
+    if n_docs == 0 or n_docs > DENSE_MAX_DOCS:
+        return None
+    sample_distinct = (
+        base.limit(_DENSE_SAMPLE_DOCS)
+        .select(F.explode("_set").alias("_el"))
+        .agg(F.countDistinct("_el").alias("n"))
+        .first()["n"]
+    )
+    if sample_distinct > DENSE_MAX_ELS:
+        return None
+    # one Arrow transfer of the (bounded) corpus; universe + bitmaps are
+    # then built locally in vectorized pandas/numpy — this replaced a
+    # distinct+collect job, a py4j row collect and a per-doc Python loop
+    # (r6: build phase was ~half the dense wall)
+    pdf = base.select("_id", "_set").toPandas()
+    sets = [np.asarray(s) for s in pdf["_set"]]
+    lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+    codes, uniq = pd.factorize(np.concatenate(sets))
+    if len(uniq) > DENSE_MAX_ELS:
+        return None  # sample was unlucky; prefix path handles it
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    n_lanes = max(1, (len(uniq) + 63) // 64)
+    mat = np.zeros((len(sets), n_lanes), dtype=np.uint64)
+    row_idx = np.repeat(np.arange(len(sets), dtype=np.int64), lens)
+    np.bitwise_or.at(
+        mat,
+        (row_idx, codes >> 6),
+        np.uint64(1) << (codes & 63).astype(np.uint64),
+    )
+    bc = spark.sparkContext.broadcast((ids, lens, mat, int(len(uniq))))
+
+    out_col = "sim" if mode == "jaccard" else "containment"
+    schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField(out_col, T.DoubleType()),
+        ]
+    )
+    jaccard = mode == "jaccard"
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g_ids, g_sizes, g_mat, g_bits = bc.value
+        # unpack the bitmaps once per task into a float32 0/1 matrix and
+        # compute intersection sizes as a BLAS sgemm (P @ M.T): counts
+        # <= DENSE_MAX_ELS << 2^24 are exact in float32, and sgemm beats
+        # any numpy popcount emulation by an order of magnitude on
+        # numpy<2.0 (no bitwise_count)
+        dense01 = np.unpackbits(
+            g_mat.view(np.uint8), axis=1, bitorder="little"
+        )[:, :g_bits].astype(np.float32)
+        order = np.argsort(g_ids, kind="stable")
+        g_sizes_f = g_sizes.astype(np.float64)
+        # bound the per-chunk gemm output to ~64MB float32
+        chunk = max(1, (16 << 20) // max(1, len(g_ids)))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # map this partition's rows back to matrix rows by id
+            pos = order[
+                np.searchsorted(g_ids, pdf["_id"].to_numpy(), sorter=order)
+            ]
+            for s in range(0, len(pos), chunk):
+                cpos = pos[s : s + chunk]
+                nx = g_sizes_f[cpos]
+                inter = (dense01[cpos] @ dense01.T).astype(np.float64)
+                my_ids = g_ids[cpos]
+                if jaccard:
+                    union = nx[:, None] + g_sizes_f[None, :] - inter
+                    val = inter / np.where(union > 0, union, 1.0)
+                    mask = (val >= t) & (my_ids[:, None] < g_ids[None, :])
+                else:
+                    val = inter / nx[:, None]
+                    mask = (val >= t) & (my_ids[:, None] != g_ids[None, :])
+                ii, jj = np.nonzero(mask)
+                if not ii.size:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "src": my_ids[ii],
+                        "dst": g_ids[jj],
+                        out_col: val[ii, jj],
+                    }
+                )
+
+    probe = base.select(F.col("_id").cast("long").alias("_id")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return probe.mapInPandas(block, schema)
+
 
 def ssjoin_jaccard(
     docs: DataFrame,
@@ -82,6 +224,7 @@ def ssjoin_jaccard(
     id_col: str = "doc_id",
     set_col: str = "grams",
     positional: bool = True,
+    dense: bool | str = "auto",
 ) -> tuple:
     """Exact Jaccard-similarity self-join: every pair (src < dst) with
     ``J(set(src), set(dst)) >= threshold``.
@@ -111,14 +254,31 @@ def ssjoin_jaccard(
             F.array_distinct(F.col(set_col)).alias("_set"),
         ).filter(F.size("_set") > 0)
     )
-    base.count()  # eager: fill the cache before concurrent consumers
+    n_docs = base.count()  # eager: fill the cache before concurrent consumers
+
+    if dense in ("auto", True):
+        dense_edges = _dense_allpairs_edges(base, t, "jaccard")
+        if dense_edges is not None:
+            # tiny-universe regime: prefix candidates approach all-pairs,
+            # so the exact bitmap all-pairs IS the candidate set
+            return dense_edges, {
+                "n_candidates": n_docs * (n_docs - 1) // 2,
+                "path": "dense",
+            }
+        if dense is True:
+            raise ValueError(
+                "dense=True but the corpus exceeds the dense budgets "
+                f"(els<={DENSE_MAX_ELS}, docs<={DENSE_MAX_DOCS})"
+            )
 
     exploded = base.select("_id", F.explode("_set").alias("_el"))
     dfreq = exploded.groupBy("_el").agg(F.count("*").alias("_df"))
 
-    # rarest-first canonical ranking, one per-doc aggregation
+    # rarest-first canonical ranking, one per-doc aggregation; the dfreq
+    # side is one row per element — SHUFFLE_HASH builds the per-partition
+    # hash table instead of sorting both 10^6-row sides (guide §3.1)
     ranked = (
-        exploded.join(dfreq, "_el")
+        exploded.join(dfreq.hint("shuffle_hash"), "_el")
         .groupBy("_id")
         .agg(
             F.array_sort(
@@ -130,11 +290,22 @@ def ssjoin_jaccard(
 
     # prefix length p = sz - ceil(t*sz) + 1 (conservative ceil)
     p = F.col("_sz") - F.ceil(t * F.col("_sz") - _EPS).cast("int") + 1
-    prefix = ranked.select(
-        "_id",
-        "_sz",
-        F.posexplode(F.slice("_ranked", 1, p)).alias("_pos", "_w"),
+    # df=1 elements can never produce a CROSS-doc prefix match (their only
+    # occurrence is this doc), and rare elements rank FIRST, so they fill
+    # most prefix slots — dropping them before the self-join is exact and
+    # shrinks the join input severalfold (r6; they still occupy prefix
+    # positions for the positional filter, hence filter AFTER posexplode).
+    # The prefix is persisted so the self-join reads one cached compute of
+    # the ranked subtree instead of evaluating it twice (no ReusedExchange
+    # fires across the differently-aliased sides — r6 plan audit).
+    prefix = _persist_tracked(
+        ranked.select(
+            "_id",
+            "_sz",
+            F.posexplode(F.slice("_ranked", 1, p)).alias("_pos", "_w"),
+        ).filter(F.col("_w._df") >= 2)
     )
+    prefix.count()  # eager: one compute, two cached self-join reads
 
     a = prefix.select(
         F.col("_id").alias("src"),
@@ -148,7 +319,7 @@ def ssjoin_jaccard(
         F.col("_pos").alias("_pb"),
         "_w",
     )
-    joined = a.join(b, "_w").filter(
+    joined = a.join(b.hint("shuffle_hash"), "_w").filter(
         (F.col("src") < F.col("dst"))
         # exact length filter: t*|x| <= |y| <= |x|/t, both directions
         & (F.col("_sb") >= t * F.col("_sa") - _EPS)
@@ -184,6 +355,7 @@ def ssjoin_containment(
     threshold: float,
     id_col: str = "doc_id",
     set_col: str = "grams",
+    dense: bool | str = "auto",
 ) -> tuple:
     """Exact containment self-join: every ORDERED pair (src != dst) with
     ``|set(src) ∩ set(dst)| / |set(src)| >= threshold`` — src is the
@@ -226,12 +398,30 @@ def ssjoin_containment(
             F.array_distinct(F.col(set_col)).alias("_set"),
         ).filter(F.size("_set") > 0)
     )
-    base.count()  # eager: fill the cache before concurrent consumers
+    n_docs = base.count()  # eager: fill the cache before concurrent consumers
+
+    if dense in ("auto", True):
+        dense_edges = _dense_allpairs_edges(base, t, "containment")
+        if dense_edges is not None:
+            # tiny-universe regime (e.g. the sf documents word-bigram
+            # vocabulary, ~10^3 elements): candidates approach all ordered
+            # pairs — measured 6.7M of 25M at sf0.1 — so candidate
+            # generation + per-pair string verify lose to exact bitmap
+            # popcount blocks
+            return dense_edges, {
+                "n_candidates": n_docs * (n_docs - 1),
+                "path": "dense",
+            }
+        if dense is True:
+            raise ValueError(
+                "dense=True but the corpus exceeds the dense budgets "
+                f"(els<={DENSE_MAX_ELS}, docs<={DENSE_MAX_DOCS})"
+            )
 
     exploded = base.select("_id", F.explode("_set").alias("_el"))
     dfreq = exploded.groupBy("_el").agg(F.count("*").alias("_df"))
     ranked = (
-        exploded.join(dfreq, "_el")
+        exploded.join(dfreq.hint("shuffle_hash"), "_el")
         .groupBy("_id")
         .agg(
             F.array_sort(
@@ -242,11 +432,14 @@ def ssjoin_containment(
     )
 
     p = F.col("_sz") - F.ceil(t * F.col("_sz") - _EPS).cast("int") + 1
+    # df=1 probe elements occur in no other doc — their index matches are
+    # all src == dst rows; dropping them pre-join is exact (r6, mirrors
+    # ssjoin_jaccard)
     probe = ranked.select(
         "_id",
         "_sz",
         F.explode(F.slice("_ranked", 1, p)).alias("_w"),
-    ).select(
+    ).filter(F.col("_w._df") >= 2).select(
         F.col("_id").alias("src"),
         F.col("_sz").alias("_sa"),
         F.col("_w._el").alias("_el"),
@@ -258,7 +451,7 @@ def ssjoin_containment(
         F.explode("_set").alias("_el"),
     )
 
-    joined = probe.join(index, "_el").filter(
+    joined = probe.hint("shuffle_hash").join(index, "_el").filter(
         (F.col("src") != F.col("dst"))
         & (F.col("_sb") >= t * F.col("_sa") - _EPS)
     )

@@ -360,6 +360,14 @@ def stream_text_candidates(
     )
 
     cfg = cfg or PipelineConfig()
+    # a file-source micro-batch has one partition per input file (e.g. 4
+    # at maxFilesPerTrigger=4), so the Arrow featurization UDF would run
+    # at file parallelism regardless of cores; repartition the raw text
+    # first — a few MB shuffled per trigger buys full-width featurization
+    # (r6, guide §2.5 input skew / §4 Python boundary)
+    pages_stream = pages_stream.repartition(
+        pages_stream.sparkSession.sparkContext.defaultParallelism
+    )
     if detector == "minhash":
         mh = make_minhash_udf(cfg.embedding, cfg.dedup, include_words=True)
         sigs = pages_stream.select(

@@ -28,14 +28,33 @@ def _py_oracle(sets, t):
     return out
 
 
-def _run(spark, sets, t):
+def _run(spark, sets, t, **kw):
     df = spark.createDataFrame(
         [(i, list(s)) for i, s in sets.items()], ["doc_id", "grams"]
     )
-    edges, stats = ssjoin_containment(df, threshold=t)
+    edges, stats = ssjoin_containment(df, threshold=t, **kw)
     got = {(r.src, r.dst) for r in edges.collect()}
     release_census_caches()
     return got, stats
+
+
+@pytest.mark.parametrize("t", [0.6, 0.8])
+def test_dense_path_equals_prefix_path(spark, t):
+    """The tiny-universe bitmap path (r6) must emit the identical ordered
+    edge set AND identical float containment values as prefix+verify."""
+    sets = _random_corpus(5)
+    df = spark.createDataFrame(
+        [(i, list(s)) for i, s in sets.items()], ["doc_id", "grams"]
+    )
+    e_dense, s_dense = ssjoin_containment(df, threshold=t, dense=True)
+    rows_dense = {(r.src, r.dst): r.containment for r in e_dense.collect()}
+    release_census_caches()
+    e_sparse, s_sparse = ssjoin_containment(df, threshold=t, dense=False)
+    rows_sparse = {(r.src, r.dst): r.containment for r in e_sparse.collect()}
+    release_census_caches()
+    assert s_dense["path"] == "dense" and "path" not in s_sparse
+    assert rows_dense == rows_sparse  # exact float equality, both paths
+    assert set(rows_dense) == _py_oracle(sets, t)
 
 
 def _random_corpus(seed, n_docs=50, universe=40):
@@ -52,9 +71,10 @@ def _random_corpus(seed, n_docs=50, universe=40):
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
 @pytest.mark.parametrize("t", [0.6, 0.8, 1.0])
-def test_matches_bruteforce_oracle(spark, seed, t):
+@pytest.mark.parametrize("dense", [False, "auto"])
+def test_matches_bruteforce_oracle(spark, seed, t, dense):
     sets = _random_corpus(seed)
-    got, _ = _run(spark, sets, t)
+    got, _ = _run(spark, sets, t, dense=dense)
     assert got == _py_oracle(sets, t)
 
 
@@ -92,7 +112,7 @@ def test_hot_element_never_probes(spark):
     # so candidates stay ~answer-sized rather than ~n^2
     sets = {i: {"hot", f"r{i}a", f"r{i}b", f"r{i}c"} for i in range(40)}
     sets[100] = {"hot", "r0a", "r0b", "r0c"}  # true container pair with 0
-    got, stats = _run(spark, sets, 0.9)
+    got, stats = _run(spark, sets, 0.9, dense=False)
     assert got == {(0, 100), (100, 0)}
     assert stats["n_candidates"] <= 10, stats
 

@@ -40,6 +40,41 @@ def _run(spark, sets, t, **kw):
     return got, stats
 
 
+@pytest.mark.parametrize("t", [0.5, 0.8])
+def test_dense_path_equals_prefix_path(spark, t):
+    """The tiny-universe bitmap path (r6) must emit the identical edge
+    set AND identical float sim values as the prefix+verify path."""
+    sets = _random_corpus(4)
+    df = spark.createDataFrame(
+        [(i, list(s)) for i, s in sets.items()], ["doc_id", "grams"]
+    )
+    e_dense, s_dense = ssjoin_jaccard(df, threshold=t, dense=True)
+    rows_dense = {(r.src, r.dst): r.sim for r in e_dense.collect()}
+    release_census_caches()
+    e_sparse, s_sparse = ssjoin_jaccard(df, threshold=t, dense=False)
+    rows_sparse = {(r.src, r.dst): r.sim for r in e_sparse.collect()}
+    release_census_caches()
+    assert s_dense["path"] == "dense" and "path" not in s_sparse
+    assert rows_dense == rows_sparse  # exact float equality, both paths
+    assert set(rows_dense) == _py_oracle(sets, t)
+
+
+def test_dense_true_raises_over_budget(spark):
+    from deduplication_framework_spark.operators import setjoin as sj
+
+    # universe wider than DENSE_MAX_ELS -> dense=True must refuse loudly
+    sets = {
+        i: {f"u{i}_{j}" for j in range(40)} for i in range(80)
+    }  # 3200 distinct elements > 2048
+    df = spark.createDataFrame(
+        [(i, list(s)) for i, s in sets.items()], ["doc_id", "grams"]
+    )
+    with pytest.raises(ValueError, match="dense budgets"):
+        ssjoin_jaccard(df, threshold=0.8, dense=True)
+    release_census_caches()
+    assert sj.DENSE_MAX_ELS == 2048  # budget documented in the docstring
+
+
 def _random_corpus(seed, n_docs=60, universe=40):
     rng = random.Random(seed)
     els = [f"g{i}" for i in range(universe)]
@@ -59,9 +94,10 @@ def _random_corpus(seed, n_docs=60, universe=40):
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
 @pytest.mark.parametrize("t", [0.5, 0.8])
-def test_matches_bruteforce_oracle(spark, seed, t):
+@pytest.mark.parametrize("dense", [False, "auto"])
+def test_matches_bruteforce_oracle(spark, seed, t, dense):
     sets = _random_corpus(seed)
-    got, _ = _run(spark, sets, t)
+    got, _ = _run(spark, sets, t, dense=dense)
     assert got == _py_oracle(sets, t)
 
 
@@ -81,8 +117,8 @@ def test_exact_duplicates_and_t1(spark):
 
 def test_positional_filter_changes_nothing(spark):
     sets = _random_corpus(9, n_docs=40)
-    on, s_on = _run(spark, sets, 0.8, positional=True)
-    off, s_off = _run(spark, sets, 0.8, positional=False)
+    on, s_on = _run(spark, sets, 0.8, positional=True, dense=False)
+    off, s_off = _run(spark, sets, 0.8, positional=False, dense=False)
     assert on == off == _py_oracle(sets, 0.8)
     # the positional filter may only REMOVE candidates
     assert s_on["n_candidates"] <= s_off["n_candidates"]
@@ -95,7 +131,7 @@ def test_hot_element_stays_out_of_prefixes(spark):
     n = 60
     sets = {i: {"THE", f"a{i}", f"b{i}", f"c{i}", f"d{i}"} for i in range(n)}
     sets[n] = set(sets[0])  # one true duplicate pair
-    got, stats = _run(spark, sets, 0.8)
+    got, stats = _run(spark, sets, 0.8, dense=False)
     assert got == {(0, n)}
     assert stats["n_candidates"] <= 5, stats  # not ~1800 hot-bucket pairs
 
