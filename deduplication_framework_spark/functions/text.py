@@ -460,16 +460,30 @@ def word_bigram_sets(
     # explicit whitespace class (not \s): Java \s includes \x0B, RE2's
     # does not — the shared twin keeps the DuckDB oracles byte-identical
     toks = F.split(text, _WS_JAVA)
+    # LET-BINDING TRAP (r6): when a consumer stacks any expression over
+    # ``grams`` (a filter, another array_distinct, …), Catalyst's alias
+    # substitution can inline the token-array definition INTO the bigram
+    # lambda — ``split(text)`` then re-evaluates PER ELEMENT and the
+    # projection goes quadratic in document length (measured 0.6s → 27s
+    # for the 20k-doc corpus the moment setjoin added its
+    # distinct+filter on top). Binding the token array as a lambda
+    # VARIABLE (transform over a 1-element array) is substitution-proof:
+    # lambda variables cannot be inlined into, so the split runs once
+    # per row no matter what the consumer stacks. Values are identical
+    # (element_at is 1-based: element_at(ts, i)==toks[i-1]).
+    grams = F.transform(
+        F.array(F.col("toks")),
+        lambda ts: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - 1),
+                lambda i: F.concat(
+                    F.element_at(ts, i), F.lit(" "), F.element_at(ts, i + 1)
+                ),
+            )
+        ),
+    )[0]
     return (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
         .filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(toks)-1),"
-                    " i -> concat(toks[i-1], ' ', toks[i]))"
-                )
-            ).alias("grams"),
-        )
+        .select("doc_id", grams.alias("grams"))
     )
