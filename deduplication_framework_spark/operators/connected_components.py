@@ -55,11 +55,7 @@ def connected_components(
     cluster_id = own id (cheaper than shipping singletons through the loop).
     """
     ckpt = checkpoint or _stats_bounded_local_ckpt
-    # pin the loop's partition count (REPARTITION_BY_NUM is exempt from
-    # AQE coalescing, so checkpointed frames keep co-partitioning across
-    # rounds) — scale-adaptive via the session's shuffle-partition conf
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # Spark 4's Dataset.checkpoint copies the child plan's CONSTRAINT set
     # into the checkpointed LogicalRDD (LogicalRDD.rewriteStatsAndConstraints).
     # In an iterative self-referential loop the per-round joins derive new
@@ -77,9 +73,7 @@ def connected_components(
         cp_old = None
     spark.conf.set(_CP, "false")
     try:
-        return _cc_loop(
-            edges, src, dst, max_iterations, ckpt, round_stats, n_part
-        )
+        return _cc_loop(edges, src, dst, max_iterations, ckpt, round_stats)
     finally:
         if cp_old is None:
             spark.conf.unset(_CP)
@@ -107,33 +101,35 @@ def _stats_bounded_local_ckpt(df: DataFrame) -> DataFrame:
     return out
 
 
-def _cc_loop(edges, src, dst, max_iterations, ckpt, round_stats, n_part):
+def _cc_loop(edges, src, dst, max_iterations, ckpt, round_stats):
 
     both = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    # partitioned by the probe key: every round's neighbor join then
-    # needs NO exchange on the (larger) edge side — localCheckpoint
-    # preserves outputPartitioning (r6, guide §2.4)
-    both = ckpt(both.repartition(n_part, "b"))
+    both = ckpt(both)
 
     labels = both.groupBy("a").agg(F.min("b").alias("nbr_min"))
     labels = labels.select(
         F.col("a").alias("doc_id"),
         F.least(F.col("a"), F.col("nbr_min")).alias("cluster_id"),
     )
-    # labels stay partitioned by doc_id across rounds (see tail of loop)
-    labels = ckpt(labels.repartition(n_part, "doc_id"))
+    labels = ckpt(labels)
 
+    # NOTE (r6): pre-partitioning the checkpointed frames does NOT carry
+    # co-partitioning into later rounds — under AQE the checkpoint's
+    # LogicalRDD records unknown output partitioning, so the per-round
+    # joins re-exchange regardless (A/B'd: identical interleaved minima
+    # with and without explicit repartitions). The round's wins are the
+    # SHUFFLE_HASH joins (no per-round sorts), the carried-old
+    # convergence test, and three jumps per round.
     for it in range(max_iterations):
         # 1. propagate: candidate label for each vertex = min over
-        #    neighbors' current labels. labels(doc_id) is co-partitioned
-        #    with both(b) → zero exchange; SHUFFLE_HASH skips the
-        #    per-round sort of the edge side. The vertex's own label
-        #    rides the left join below (not a union branch), which also
-        #    carries the OLD label so convergence needs no diff join.
+        #    neighbors' current labels; SHUFFLE_HASH skips the per-round
+        #    sort of the edge side. The vertex's own label rides the left
+        #    join below (not a union branch), which also carries the OLD
+        #    label so convergence needs no diff join.
         lab_h = labels.hint("shuffle_hash")
         nbr_min = (
             both.join(lab_h, both.b == lab_h.doc_id, "inner")
@@ -176,7 +172,7 @@ def _cc_loop(edges, src, dst, max_iterations, ckpt, round_stats, n_part):
                     ),
                 )
             )
-        jumped = ckpt(jumped.repartition(n_part, "doc_id"))
+        jumped = ckpt(jumped)
 
         # carried-old convergence test: a filter scan over the checkpoint,
         # not a join against the previous round (r6 — was 2 exchanges +
