@@ -129,10 +129,16 @@ def _ensemble_sigs(base, num_perm):
     ).join(base.select("_id", F.size("_set").alias("_sz")), "_id")
 
 
-def _band_key(i, r):
-    return F.concat_ws(
-        "-", *[F.col(f"s{i * r + j:02d}").cast("string") for j in range(r)]
-    )
+def _band_key_sql(i, r):
+    """SQL text for band i's key over r signature columns. The band
+    frames are built as ONE parsed expression string per branch (r6):
+    the previous Column-API construction created tens of thousands of
+    py4j-backed Column objects (a concat_ws + casts per band × up to
+    num_perm bands × partitions × classes), which cost ~33s of pure
+    DRIVER time per call before any job ran — expression construction,
+    not execution, dominated the operator at every input size."""
+    cols = ", ".join(f"CAST(s{i * r + j:02d} AS STRING)" for j in range(r))
+    return f"concat_ws('-', {cols})"
 
 
 def _in_range(col, lo, hi):
@@ -157,21 +163,17 @@ def _index_band_frame(index_sigs, partitions, table):
                 by_r[r] = max(by_r.get(r, 0), b)
         if not by_r:
             continue
-        structs = [
-            F.struct(
-                F.lit(p).alias("p"),
-                F.lit(r).alias("r"),
-                F.lit(i).alias("band"),
-                _band_key(i, r).alias("key"),
-            )
+        structs = ", ".join(
+            f"named_struct('p', {p}, 'r', {r}, 'band', {i},"
+            f" 'key', {_band_key_sql(i, r)})"
             for r, bmax in sorted(by_r.items())
             for i in range(bmax)
-        ]
+        )
         parts.append(
             index_sigs.filter(_in_range(F.col("_sz"), lp, up)).select(
                 F.col("_id").alias("dst"),
                 F.col("_sz").alias("_sb"),
-                F.explode(F.array(*structs)).alias("bk"),
+                F.explode(F.expr(f"array({structs})")).alias("bk"),
             )
         )
     return _union_by_name(parts).select(
@@ -184,27 +186,27 @@ def _probe_band_frame(probe_sigs, classes, partitions, table, t):
     surviving cell, with the per-row u_p >= t*q - eps partition prune."""
     parts = []
     for c, (lc, hc) in enumerate(classes):
-        structs = [
-            F.struct(
-                F.lit(p).alias("p"),
-                F.lit(r).alias("r"),
-                F.lit(i).alias("band"),
-                _band_key(i, r).alias("key"),
-                F.lit(partitions[p][1]).alias("up"),
-            )
+        struct_list = [
+            f"named_struct('p', {p}, 'r', {r}, 'band', {i},"
+            f" 'key', {_band_key_sql(i, r)},"
+            # BIGINT cast: the open tail range's upper bound exceeds
+            # int32, and mixed INT/BIGINT struct fields across union
+            # branches would fail analysis
+            f" 'up', CAST({int(partitions[p][1])} AS BIGINT))"
             for p in range(len(partitions))
             for (b, r) in [table.get((c, p), (0, 0))]
             if b
             for i in range(b)
         ]
-        if not structs:
+        if not struct_list:
             continue
+        structs = ", ".join(struct_list)
         parts.append(
             probe_sigs.filter(_in_range(F.col("_sz"), lc, hc))
             .select(
                 F.col("_id").alias("src"),
                 F.col("_sz").alias("_sa"),
-                F.explode(F.array(*structs)).alias("bk"),
+                F.explode(F.expr(f"array({structs})")).alias("bk"),
             )
             # per-row prune: partitions whose largest member is still too
             # small to t-contain THIS query (class bound was the floor);
